@@ -1,0 +1,133 @@
+"""Attack dispatch + the model-adapter closure.
+
+TPU-first design: every attack is a pure function of
+``(logits_fn, x01, y, config)`` where ``logits_fn(x01) -> [B, K] float32``
+hides the model, its variables, its compute dtype, and ImageNet
+normalization.  Because attacks never see a framework "module", they jit,
+vmap and pjit transparently, and the whole attack (forward+backward, step,
+projection, clip — all ``steps`` iterations) compiles to ONE XLA program.
+
+The reference's equivalent surface is ``run_attack``
+(defense_experiments.py:534-576), a string dispatcher over eager per-step
+Python loops; the dispatch surface and parameter names are preserved here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    DEFAULT_ALPHA,
+    DEFAULT_CW_C,
+    DEFAULT_CW_KAPPA,
+    DEFAULT_CW_LR,
+    DEFAULT_EPS,
+    DEFAULT_STEPS,
+)
+from ..core.normalize import normalize_batch
+
+LogitsFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def make_logits_fn(
+    module: Any,
+    variables: dict,
+    mean,
+    std,
+    input_dtype: Any = None,
+) -> LogitsFn:
+    """Builds ``x01 [B,H,W,C] in [0,1] -> logits [B,K] float32``.
+
+    Normalization happens inside so attacks operate purely in pixel space
+    (the reference's invariant, attack.py:30).  ``input_dtype`` lets the
+    caller push the normalize+model compute to bfloat16 for the MXU while
+    attack state stays float32.
+    """
+
+    def logits_fn(x01: jnp.ndarray) -> jnp.ndarray:
+        x = x01 if input_dtype is None else x01.astype(input_dtype)
+        x = normalize_batch(x, mean, std)
+        out = module.apply(variables, x)
+        return out.astype(jnp.float32)
+
+    return logits_fn
+
+
+def cross_entropy_sum(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Summed softmax cross-entropy.
+
+    torch ``F.cross_entropy`` defaults to the batch mean (attack.py:31); sum
+    differs only by the constant 1/B factor, which is invariant under the
+    sign() used by FGSM/PGD and keeps per-sample gradients decoupled.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+    return -jnp.sum(picked)
+
+
+def input_grad(logits_fn: LogitsFn, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """d(CE)/dx only — no parameter gradients exist in the trace, so XLA
+    compiles just the data-gradient chain (≈1x forward FLOPs instead of 2x).
+    The reference pays the same via ``torch.autograd.grad(..., only_inputs=True)``
+    per step from Python (attack.py:32); here it is inside the compiled loop."""
+    return jax.grad(lambda xx: cross_entropy_sum(logits_fn(xx), y))(x)
+
+
+@dataclass(frozen=True)
+class AttackParams:
+    """Full parameter plumbing for run_attack (cf. defense_experiments.py:534)."""
+
+    eps: float = DEFAULT_EPS
+    alpha: float = DEFAULT_ALPHA
+    steps: int = DEFAULT_STEPS
+    cw_c: float = DEFAULT_CW_C
+    cw_kappa: float = DEFAULT_CW_KAPPA
+    cw_steps: int = 100
+    cw_lr: float = DEFAULT_CW_LR
+    random_start: bool = True
+
+
+def run_attack(
+    attack_name: str,
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    params: AttackParams,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """String dispatch: 'fgsm' | 'pgd' | 'cw' -> x_adv in [0,1]."""
+    from .cw import cw_l2_attack
+    from .fgsm import fgsm_attack
+    from .pgd import pgd_linf_attack
+
+    if attack_name == "fgsm":
+        return fgsm_attack(logits_fn, x, y_true, eps=params.eps)
+    if attack_name == "pgd":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return pgd_linf_attack(
+            logits_fn,
+            x,
+            y_true,
+            eps=params.eps,
+            alpha=params.alpha,
+            steps=params.steps,
+            random_start=params.random_start,
+            key=key,
+        )
+    if attack_name == "cw":
+        res = cw_l2_attack(
+            logits_fn,
+            x,
+            y_true,
+            c=params.cw_c,
+            kappa=params.cw_kappa,
+            steps=params.cw_steps,
+            lr=params.cw_lr,
+        )
+        return res.x_adv
+    raise ValueError(f"unknown attack '{attack_name}'")

@@ -1,0 +1,111 @@
+"""Carlini-Wagner L2 attack (tanh-space Adam).
+
+Semantics parity with reference attack.py:68-140:
+
+- change of variables ``x_adv = 0.5 * (tanh(w) + 1)`` with
+  ``w0 = atanh(2 * (x0*(1-2e-6)+1e-6) - 1)``;
+- margin loss ``f = max(real - other + kappa, 0)`` (untargeted; flipped when
+  targeted) using the one-hot masking ``other = max(logits - 1e4*onehot)``;
+- objective ``sum_b( ||x_adv - x0||_2^2 + c * f )`` minimized by Adam on w;
+- per-sample best-(L2, success) tracking evaluated BEFORE each Adam update
+  (the reference records this iteration's x_adv, attack.py:133-137);
+- output: best successful x_adv per sample, else the final iterate.
+
+TPU design: the whole optimization is a single ``lax.scan`` carrying
+``(w, adam_state, best_adv, best_l2, best_success)`` — one compiled program
+for all ``steps`` iterations, vs. the reference's per-step Python round trip
+with ``.any()`` device syncs (attack.py:134).  optax.adam matches torch.Adam
+defaults (b1=0.9, b2=0.999, eps=1e-8, bias correction).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from .api import LogitsFn
+
+
+class CWResult(NamedTuple):
+    x_adv: jnp.ndarray   # [B,H,W,C] in [0,1]
+    success: jnp.ndarray  # [B] bool — ever-misclassified at some iterate
+
+
+def _margin_and_success(logits, y_cmp, kappa: float, targeted: bool, y_true):
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(y_cmp, num_classes, dtype=logits.dtype)
+    real = jnp.sum(logits * onehot, axis=-1)
+    other = jnp.max(logits - 1e4 * onehot, axis=-1)
+    pred = jnp.argmax(logits, axis=-1)
+    if targeted:
+        f = jnp.maximum(other - real + kappa, 0.0)
+        success = pred == y_cmp
+    else:
+        f = jnp.maximum(real - other + kappa, 0.0)
+        success = pred != y_true
+    return f, success
+
+
+def cw_l2_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    c: float = 1.0,
+    kappa: float = 0.0,
+    steps: int = 1000,
+    lr: float = 1e-2,
+    targeted: bool = False,
+    y_target: Optional[jnp.ndarray] = None,
+) -> CWResult:
+    if targeted and y_target is None:
+        raise ValueError("y_target must be provided when targeted=True")
+    y_cmp = y_target if targeted else y_true
+
+    x0 = jnp.clip(x, 0.0, 1.0)
+    tiny = 1e-6
+    x0_tanh = x0 * (1.0 - 2.0 * tiny) + tiny
+    w0 = jnp.arctanh(x0_tanh * 2.0 - 1.0)
+
+    optimizer = optax.adam(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state0 = optimizer.init(w0)
+
+    batch = x0.shape[0]
+    best_adv0 = x0
+    best_l2_0 = jnp.full((batch,), jnp.inf, dtype=x0.dtype)
+    best_success0 = jnp.zeros((batch,), dtype=jnp.bool_)
+
+    def objective(w):
+        x_adv = 0.5 * (jnp.tanh(w) + 1.0)
+        logits = logits_fn(x_adv)
+        f, success = _margin_and_success(logits, y_cmp, kappa, targeted, y_true)
+        l2 = jnp.sum(jnp.square(x_adv - x0).reshape(batch, -1), axis=-1)
+        loss = jnp.sum(l2 + c * f)
+        return loss, (x_adv, l2, success)
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def body(carry, _):
+        w, opt_state, best_adv, best_l2, best_success = carry
+        grads, (x_adv, l2, success) = grad_fn(w)
+
+        # Best tracking uses THIS iterate (before the update), like the ref.
+        improved = success & (l2 < best_l2)
+        best_l2 = jnp.where(improved, l2, best_l2)
+        best_success = best_success | improved
+        best_adv = jnp.where(improved[:, None, None, None], x_adv, best_adv)
+
+        updates, opt_state = optimizer.update(grads, opt_state, w)
+        w = optax.apply_updates(w, updates)
+        return (w, opt_state, best_adv, best_l2, best_success), None
+
+    carry0 = (w0, opt_state0, best_adv0, best_l2_0, best_success0)
+    (w, _, best_adv, _, best_success), _ = lax.scan(body, carry0, None, length=int(steps))
+
+    final_iterate = 0.5 * (jnp.tanh(w) + 1.0)
+    x_adv = jnp.where(best_success[:, None, None, None], best_adv, final_iterate)
+    return CWResult(x_adv=x_adv, success=best_success)

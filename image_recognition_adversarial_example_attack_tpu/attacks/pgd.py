@@ -1,0 +1,55 @@
+"""PGD-L-inf: iterated sign-gradient with epsilon-ball projection.
+
+Semantics parity with reference attack.py:37-65: optional uniform random
+start in the eps-ball, ``steps`` iterations of ``alpha * sign(grad)``,
+projection to ``[x0-eps, x0+eps]`` via min/max, clip to [0,1].
+
+TPU design (the difference that matters): the reference relaunches a
+forward+backward from Python every step (attack.py:55-63).  Here the whole
+loop is a ``lax.scan`` inside one jitted program — zero host round-trips,
+static step count, and XLA fuses step+project+clip into the backward's
+epilogue.  The random start consumes an explicit PRNG key (the reference's
+is unseeded, attack.py:51).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import LogitsFn, input_grad
+
+
+def pgd_step(x_adv, grad, x_orig, eps: float, alpha: float):
+    """One fused PGD update: sign step + eps-ball projection + [0,1] clip."""
+    x_new = x_adv + alpha * jnp.sign(grad).astype(x_adv.dtype)
+    x_new = jnp.clip(x_new, x_orig - eps, x_orig + eps)
+    return jnp.clip(x_new, 0.0, 1.0)
+
+
+def pgd_linf_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    alpha: float,
+    steps: int,
+    key: jax.Array,
+    random_start: bool = True,
+) -> jnp.ndarray:
+    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1]."""
+    x_orig = x
+    if random_start:
+        noise = jax.random.uniform(key, x.shape, x.dtype, minval=-eps, maxval=eps)
+        x_adv = jnp.clip(x_orig + noise, 0.0, 1.0)
+    else:
+        x_adv = x_orig
+
+    def body(x_adv, _):
+        grad = input_grad(logits_fn, x_adv, y_true)
+        return pgd_step(x_adv, grad, x_orig, eps, alpha), None
+
+    x_adv, _ = lax.scan(body, x_adv, None, length=int(steps))
+    return x_adv

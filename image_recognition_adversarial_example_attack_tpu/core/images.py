@@ -1,0 +1,107 @@
+"""Host-side image IO and preprocessing.
+
+Pipeline parity with the reference (ResNet.py:27-31): shorter side -> 256
+(PIL bilinear, antialiased -- exactly what torchvision does for PIL inputs),
+center crop 224, scale to [0,1].  Output layout is NHWC float32, the
+TPU-native layout, instead of the reference's NCHW.
+
+All functions here are host-side by design: decode/resize happen once per
+image while attacks/evaluation run as compiled XLA programs on device.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import numpy as np
+from PIL import Image
+
+from .constants import IMAGE_EXTS, IMAGE_SIZE, RESIZE_SIZE
+
+
+def preprocess_pil(
+    img: Image.Image,
+    resize: int = RESIZE_SIZE,
+    crop: int = IMAGE_SIZE,
+) -> np.ndarray:
+    """PIL image -> [H, W, 3] float32 array in [0,1].
+
+    Matches torchvision's ``Resize(resize) + CenterCrop(crop) + ToTensor``
+    semantics for PIL inputs: the shorter side is scaled to ``resize``
+    keeping aspect ratio (bilinear, antialiased), then a centered
+    ``crop x crop`` window is taken.
+    """
+    img = img.convert("RGB")
+    w, h = img.size
+    if w <= h:
+        new_w, new_h = resize, max(1, round(h * resize / w))
+    else:
+        new_w, new_h = max(1, round(w * resize / h)), resize
+    img = img.resize((new_w, new_h), Image.Resampling.BILINEAR)
+
+    left = int(round((new_w - crop) / 2.0))
+    top = int(round((new_h - crop) / 2.0))
+    img = img.crop((left, top, left + crop, top + crop))
+
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:  # grayscale safety; convert("RGB") should prevent this
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+def load_image(path: str | Path, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Load one image -> [1, size, size, 3] float32 in [0,1] (NHWC)."""
+    with Image.open(path) as img:
+        arr = preprocess_pil(img, crop=size, resize=max(size, round(size * RESIZE_SIZE / IMAGE_SIZE)))
+    return arr[None]
+
+
+def list_images(image_dir: str | Path, recursive: bool = False) -> list[Path]:
+    """Sorted image files under a directory (jpg/jpeg/png/bmp)."""
+    image_dir = Path(image_dir)
+    it: Iterable[Path] = image_dir.rglob("*") if recursive else image_dir.iterdir()
+    return sorted(p for p in it if p.is_file() and p.suffix.lower() in IMAGE_EXTS)
+
+
+def load_image_batch(
+    paths: Sequence[str | Path],
+    size: int = IMAGE_SIZE,
+) -> np.ndarray:
+    """Load many images into one [B, size, size, 3] float32 batch.
+
+    This replaces the reference's per-image Python loop (e.g.
+    defense_experiments.py:816-832) with a single dense batch that one XLA
+    program processes at once.
+    """
+    if not paths:
+        raise ValueError("load_image_batch: empty path list")
+    return np.concatenate([load_image(p, size=size) for p in paths], axis=0)
+
+
+def pad_batch(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad batch dim up to a multiple (for even sharding). Returns (padded, n_valid)."""
+    n = x.shape[0]
+    if multiple <= 1 or n % multiple == 0:
+        return x, n
+    pad = multiple - (n % multiple)
+    # Repeat the last image; callers slice results back to n_valid.
+    x_pad = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+    return x_pad, n
+
+
+def save_image_01(x, path: str | Path) -> None:
+    """Save a [H,W,3] or [1,H,W,3] array in [0,1] as PNG/JPEG.
+
+    Uses round() (not floor) so a [0,1] pixel value round-trips through
+    uint8 with <= 0.5/255 error, same as torchvision's ToPILImage.
+    """
+    arr = np.asarray(x)
+    if arr.ndim == 4:
+        arr = arr[0]
+    arr = np.clip(arr, 0.0, 1.0)
+    arr8 = np.round(arr * 255.0).astype(np.uint8)
+    path = Path(path)
+    if path.parent and str(path.parent) not in ("", "."):
+        path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr8).save(path)

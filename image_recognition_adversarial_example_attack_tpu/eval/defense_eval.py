@@ -1,0 +1,150 @@
+"""The attack -> defend -> detect evaluation unit, batched and jitted.
+
+Reference semantics (defense_experiments.py:579-646), per sample:
+  clean pred -> attack -> adv pred (attack_success = pred_adv != y_true)
+  -> preprocessing defense -> defended pred (recovery = pred_def == y_true)
+  -> detector on adv & clean -> bypass = attack_success AND not flagged.
+
+TPU design: the reference runs this per image from Python at batch size 1
+(hot loop defense_experiments.py:816-832).  Here the entire unit — attack
+loop included — is ONE jitted XLA program over a sharded [B,H,W,C] batch;
+each (attack, eps) grid cell is a separate compiled call (static config),
+and per-cell counters come out already summed so a multi-chip mesh reduces
+them with an XLA psum instead of host arithmetic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..attacks.api import AttackParams, LogitsFn, run_attack
+from ..defenses.detector import FeaturesFn, score_from_features
+from ..defenses.preprocess import DefenseConfig, defend_input
+from ..core.constants import DEFAULT_CW_KAPPA
+
+STAT_KEYS = (
+    "clean_correct",
+    "attack_success",
+    "defense_preproc_success",
+    "detector_flags_clean",
+    "detector_flags_adv",
+    "detector_attack_success",
+)
+
+
+@dataclass(frozen=True)
+class DefenseEvalConfig:
+    """Static (compile-time) configuration of one grid cell."""
+
+    attack_name: str
+    eps: float
+    alpha: float
+    steps: int
+    cw_c: float = 1.0
+    cw_kappa: float = DEFAULT_CW_KAPPA
+    cw_steps: int = 100
+    cw_lr: float = 0.01
+    defense: DefenseConfig = DefenseConfig()
+
+    def attack_params(self) -> AttackParams:
+        return AttackParams(
+            eps=self.eps,
+            alpha=self.alpha,
+            steps=self.steps,
+            cw_c=self.cw_c,
+            cw_kappa=self.cw_kappa,
+            cw_steps=self.cw_steps,
+            cw_lr=self.cw_lr,
+        )
+
+
+def evaluate_defenses_batch(
+    logits_fn: LogitsFn,
+    features_fn: FeaturesFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    detector_threshold: jnp.ndarray | float,
+    config: DefenseEvalConfig,
+    key: jax.Array,
+) -> dict[str, jnp.ndarray]:
+    """Returns per-sample int32 vectors for the six reference counters,
+    plus the adversarial batch under key ``"x_adv"``.
+
+    Fully traceable: wrap in jit with ``config`` static (see
+    ``make_defense_eval_fn``).
+    """
+    threshold = jnp.asarray(detector_threshold, jnp.float32)
+
+    logits_clean = logits_fn(x)
+    pred_clean = jnp.argmax(logits_clean, axis=-1)
+    clean_correct = (pred_clean == y_true).astype(jnp.int32)
+
+    x_adv = run_attack(config.attack_name, logits_fn, x, y_true, config.attack_params(), key)
+
+    pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
+    attack_success = (pred_adv != y_true).astype(jnp.int32)
+
+    x_def = defend_input(x_adv, config.defense)
+    pred_def = jnp.argmax(logits_fn(x_def), axis=-1)
+    defense_preproc_success = (pred_def == y_true).astype(jnp.int32)
+
+    score_adv = score_from_features(features_fn(x_adv))
+    score_clean = score_from_features(features_fn(x))
+    detector_flags_adv = (score_adv > threshold).astype(jnp.int32)
+    detector_flags_clean = (score_clean > threshold).astype(jnp.int32)
+
+    detector_attack_success = attack_success * (1 - detector_flags_adv)
+
+    return {
+        "clean_correct": clean_correct,
+        "attack_success": attack_success,
+        "defense_preproc_success": defense_preproc_success,
+        "detector_flags_clean": detector_flags_clean,
+        "detector_flags_adv": detector_flags_adv,
+        "detector_attack_success": detector_attack_success,
+        "x_adv": x_adv,
+    }
+
+
+def make_defense_eval_fn(logits_fn: LogitsFn, features_fn: FeaturesFn, config: DefenseEvalConfig):
+    """jit-compiled closure over static config; donates nothing."""
+
+    @partial(jax.jit, static_argnames=())
+    def fn(x, y_true, threshold, key):
+        return evaluate_defenses_batch(logits_fn, features_fn, x, y_true, threshold, config, key)
+
+    return fn
+
+
+def aggregate_stats(per_sample: dict[str, Any], n_valid: int | None = None) -> dict[str, int]:
+    """Per-sample vectors -> summed counters (+ count), host-side ints.
+
+    ``n_valid`` trims sharding padding (see core.images.pad_batch).
+    """
+    out: dict[str, int] = {}
+    for k in STAT_KEYS:
+        v = jnp.asarray(per_sample[k])
+        if n_valid is not None:
+            v = v[:n_valid]
+        out[k] = int(jnp.sum(v))
+    out["count"] = int(n_valid if n_valid is not None else jnp.asarray(per_sample[STAT_KEYS[0]]).shape[0])
+    return out
+
+
+def summary_line(attack_name: str, eps: float, stats: dict[str, int]) -> str:
+    """EXACT reference console format (defense_experiments.py:843-850 —
+    README.md:48-55 shows the same lines as expected output)."""
+    count = max(1, stats["count"])
+    return (
+        f"attack={attack_name}, eps={eps:.5f}, "
+        f"attack_success={stats['attack_success'] / count:.3f}, "
+        f"preproc_defense_acc={stats['defense_preproc_success'] / count:.3f}, "
+        f"detector_clean_pass_rate={1.0 - stats['detector_flags_clean'] / count:.3f}, "
+        f"detector_adv_flag_rate={stats['detector_flags_adv'] / count:.3f}, "
+        f"detector_attack_success={stats['detector_attack_success'] / count:.3f}"
+    )

@@ -1,0 +1,111 @@
+"""Perturbation quality metrics, all in jnp (device-resident, jit-safe).
+
+Parity with reference visualized_attacks.py:228-262 (which used
+torchmetrics SSIM + numpy):
+
+- L-inf / L2 / L1 norms of the perturbation (whole-batch norms, matching
+  ``torch.norm`` over the full tensor),
+- SSIM (gaussian 11x11, sigma 1.5, k1=0.01, k2=0.03, data_range=1.0 — the
+  torchmetrics defaults),
+- PSNR = 20*log10(1/sqrt(MSE)),
+- perturbed-pixel percentage (|delta| > 1/255),
+- high-frequency FFT ratio (share of spectrum bins above the mean magnitude).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def _filter2d_per_channel(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise VALID 2-D filter on [B,H,W,C]."""
+    c = x.shape[-1]
+    kern = jnp.tile(kernel2d[:, :, None, None], (1, 1, 1, c))  # HWIO, feature_group_count=C
+    return lax.conv_general_dilated(
+        x,
+        kern.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        # TPU executes f32 convs in bf16 at default precision; the
+        # E[x^2]-E[x]^2 cancellation in SSIM then produces garbage (>1
+        # scores). Force full precision — this op is microscopic.
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM over a [B,H,W,C] pair (scalar), torchmetrics-default recipe."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu_a = _filter2d_per_channel(a, kernel)
+    mu_b = _filter2d_per_channel(b, kernel)
+    mu_aa = mu_a * mu_a
+    mu_bb = mu_b * mu_b
+    mu_ab = mu_a * mu_b
+    sigma_aa = _filter2d_per_channel(a * a, kernel) - mu_aa
+    sigma_bb = _filter2d_per_channel(b * b, kernel) - mu_bb
+    sigma_ab = _filter2d_per_channel(a * b, kernel) - mu_ab
+
+    num = (2 * mu_ab + c1) * (2 * sigma_ab + c2)
+    den = (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
+    return jnp.mean(num / den)
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean(jnp.square(a - b))
+    return jnp.where(
+        mse > 1e-10,
+        20.0 * jnp.log10(data_range) - 10.0 * jnp.log10(mse),
+        jnp.array(100.0, a.dtype),
+    )
+
+
+def high_freq_ratio(diff: jnp.ndarray) -> jnp.ndarray:
+    """% of FFT bins above mean |FFT| for the first image's per-channel
+    spectrum (reference computed fft2 of the CHW diff of image 0,
+    visualized_attacks.py:251-252; here HWC — fft over H,W per channel)."""
+    d0 = diff[0]  # [H, W, C]
+    fft = jnp.fft.fft2(d0, axes=(0, 1))
+    mag = jnp.abs(fft)
+    return jnp.mean((mag > jnp.mean(mag)).astype(jnp.float32)) * 100.0
+
+
+def attack_metrics(x_clean: jnp.ndarray, x_adv: jnp.ndarray) -> dict:
+    """The reference's 7-metric dict (visualized_attacks.py:254-262),
+    computed in one jit-able pass.  Keys preserved verbatim."""
+    diff = x_adv - x_clean
+    out = {
+        "L∞ (pixel)": jnp.max(jnp.abs(diff)),
+        "L2": jnp.sqrt(jnp.sum(jnp.square(diff))),
+        "L1": jnp.sum(jnp.abs(diff)),
+        "SSIM": ssim(x_clean, x_adv),
+        "PSNR": psnr(x_clean, x_adv),
+        "Perturbed Pixels %": jnp.mean((jnp.abs(diff) > 1.0 / 255.0).astype(jnp.float32)) * 100.0,
+        "High Freq Ratio %": high_freq_ratio(diff),
+    }
+    return out
+
+
+def metrics_to_python(metrics: dict) -> dict:
+    return {k: float(np.asarray(v)) for k, v in metrics.items()}

@@ -1,0 +1,163 @@
+"""Model registry + weight resolution.
+
+Replaces the reference's ad-hoc per-script loaders (ResNet.py:13,
+blackbox_transfer.py:14-54, transferability_attack.py:22-49) with one
+registry.  Weight resolution order for ``load_model(name)``:
+
+1. explicit ``weights=`` path (``.msgpack`` Flax cache or torch ``.pth``),
+2. ``$ADV_TPU_WEIGHTS_DIR/<name>.msgpack`` (or ``./weights/<name>.msgpack``),
+3. ``$ADV_TPU_WEIGHTS_DIR/<name>.pth`` torchvision state dict (converted and
+   cached as msgpack for next time),
+4. deterministic random init (PRNGKey(0)) with a loud warning — this keeps
+   every CLI runnable on an air-gapped machine; accuracy-parity claims are
+   only meaningful with real weights.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..core.constants import IMAGENET_MEAN, IMAGENET_STD, IMAGE_SIZE
+from . import convert as conv_mod
+from .resnet import resnet50, resnet_tiny
+from .tiny import TinyCNN
+
+
+@dataclass
+class ModelBundle:
+    """A loaded model: Flax module + variables + normalization constants."""
+
+    name: str
+    module: Any
+    variables: dict
+    source: str  # "cache" | "converted" | "random"
+    mean: np.ndarray = field(default_factory=lambda: IMAGENET_MEAN.copy())
+    std: np.ndarray = field(default_factory=lambda: IMAGENET_STD.copy())
+    input_size: int = IMAGE_SIZE
+
+    def apply(self, x_norm: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply(self.variables, x_norm)
+
+
+# name -> (module factory(dtype) , supports torch conversion)
+_REGISTRY: dict[str, Callable[[Any], Any]] = {}
+
+
+def register(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+    return deco
+
+
+register("resnet50")(lambda dtype: resnet50(dtype=dtype))
+register("resnet_tiny")(lambda dtype: resnet_tiny(dtype=dtype))
+register("tiny")(lambda dtype: TinyCNN(num_classes=1000, dtype=dtype))
+
+
+def register_lazy(name: str, import_path: str, factory_name: str) -> None:
+    """Register a model whose module is imported on first use."""
+
+    def factory(dtype):
+        import importlib
+
+        mod = importlib.import_module(import_path, package=__package__)
+        return getattr(mod, factory_name)(dtype=dtype)
+
+    _REGISTRY[name] = factory
+
+
+# Transfer-study architectures (built in their own modules).
+register_lazy("vgg19", ".vgg", "vgg19")
+register_lazy("vit_b_16", ".vit", "vit_b_16")
+register_lazy("swin_t", ".swin", "swin_t")
+register_lazy("densenet121", ".densenet", "densenet121")
+register_lazy("efficientnet_b0", ".efficientnet", "efficientnet_b0")
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def weights_dir() -> Path:
+    return Path(os.environ.get("ADV_TPU_WEIGHTS_DIR", "weights"))
+
+
+def _init_variables(module, input_size: int) -> dict:
+    # jit the init: on TPU, eager init would dispatch each op over the
+    # interconnect; one compiled program materializes all params at once.
+    x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x)
+    return jax.device_get(variables)
+
+
+def _load_msgpack(path: Path, template: dict) -> dict:
+    return serialization.from_bytes(template, path.read_bytes())
+
+
+def save_variables(variables: dict, path: Path) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(jax.device_get(variables)))
+
+
+def _convert_torch(name: str, pth: Path, template: dict) -> dict:
+    rename = conv_mod.RENAMES.get(name)
+    if rename is None:
+        raise ValueError(f"no torch->flax converter registered for '{name}'")
+    sd = conv_mod.load_torch_checkpoint(pth)
+    converted = conv_mod.convert_state_dict(sd, rename)
+    conv_mod.assert_tree_shapes_match(converted, template)
+    return converted
+
+
+def load_model(
+    name: str,
+    dtype: Any = jnp.float32,
+    weights: str | Path | None = None,
+    input_size: int = IMAGE_SIZE,
+    cache_converted: bool = True,
+) -> ModelBundle:
+    """Resolve a model by name; see module docstring for the search order."""
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown model '{name}'; known: {list_models()}")
+    module = _REGISTRY[name](dtype)
+    template = _init_variables(module, input_size)
+
+    candidates: list[Path] = []
+    if weights is not None:
+        candidates.append(Path(weights))
+    candidates.append(weights_dir() / f"{name}.msgpack")
+    candidates.append(weights_dir() / f"{name}.pth")
+
+    for path in candidates:
+        if not path.is_file():
+            continue
+        if path.suffix == ".msgpack":
+            variables = _load_msgpack(path, template)
+            return ModelBundle(name=name, module=module, variables=variables,
+                               source="cache", input_size=input_size)
+        if path.suffix in (".pth", ".pt"):
+            variables = _convert_torch(name, path, template)
+            if cache_converted:
+                save_variables(variables, weights_dir() / f"{name}.msgpack")
+            return ModelBundle(name=name, module=module, variables=variables,
+                               source="converted", input_size=input_size)
+
+    warnings.warn(
+        f"no weights found for '{name}' (searched {[str(c) for c in candidates]}); "
+        "using deterministic random init — predictions are NOT ImageNet-accurate. "
+        "Drop a torchvision state dict at "
+        f"{weights_dir() / (name + '.pth')} to enable pretrained behavior.",
+        stacklevel=2,
+    )
+    return ModelBundle(name=name, module=module, variables=template,
+                       source="random", input_size=input_size)

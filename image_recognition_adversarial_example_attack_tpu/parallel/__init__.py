@@ -1,0 +1,3 @@
+"""Device mesh + sharding: the framework's scale-out layer."""
+
+from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch, shard_model_variables

@@ -1,0 +1,169 @@
+"""Attack math unit tests on a tiny deterministic model (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_recognition_adversarial_example_attack_tpu.attacks import (
+    AttackParams,
+    cw_l2_attack,
+    fgsm_attack,
+    pgd_linf_attack,
+    run_attack,
+)
+from image_recognition_adversarial_example_attack_tpu.attacks.api import (
+    cross_entropy_sum,
+    input_grad,
+)
+
+EPS = 8 / 255
+ALPHA = 2 / 255
+
+
+def _labels(logits_fn, x):
+    return jnp.argmax(logits_fn(x), axis=-1)
+
+
+class TestFGSM:
+    def test_closed_form_sign_step(self, tiny_logits_fn, image_batch):
+        """FGSM equals clip01(x + eps*sign(grad)) computed independently."""
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        grad = jax.grad(lambda xx: cross_entropy_sum(tiny_logits_fn(xx), y))(x)
+        expected = jnp.clip(x + EPS * jnp.sign(grad), 0.0, 1.0)
+        got = fgsm_attack(tiny_logits_fn, x, y, eps=EPS)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-7)
+
+    def test_linf_bound_and_range(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = fgsm_attack(tiny_logits_fn, x, y, eps=EPS)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_loss_increases(self, tiny_logits_fn, image_batch):
+        """An FGSM step must not decrease the CE loss on a smooth model."""
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = fgsm_attack(tiny_logits_fn, x, y, eps=EPS)
+        l0 = float(cross_entropy_sum(tiny_logits_fn(x), y))
+        l1 = float(cross_entropy_sum(tiny_logits_fn(x_adv), y))
+        assert l1 >= l0
+
+
+class TestPGD:
+    def test_ball_and_range_invariants(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = pgd_linf_attack(
+            tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=10, key=rng_key
+        )
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        a = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=rng_key)
+        b = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=rng_key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_no_random_start_first_step_matches_fgsm_alpha(self, tiny_logits_fn, image_batch, rng_key):
+        """steps=1, no random start == one alpha-sized FGSM step (alpha<eps)."""
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        got = pgd_linf_attack(
+            tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=1, key=rng_key, random_start=False
+        )
+        expected = fgsm_attack(tiny_logits_fn, x, y, eps=ALPHA)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-7)
+
+    def test_stronger_than_fgsm_in_loss(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_f = fgsm_attack(tiny_logits_fn, x, y, eps=EPS)
+        x_p = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=20, key=rng_key)
+        lf = float(cross_entropy_sum(tiny_logits_fn(x_f), y))
+        lp = float(cross_entropy_sum(tiny_logits_fn(x_p), y))
+        assert lp >= lf - 1e-3
+
+    def test_jit_compiles_once_and_matches_eager(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        fn = jax.jit(
+            lambda x, y, k: pgd_linf_attack(
+                tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=k
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(x, y, rng_key)),
+            np.asarray(
+                pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=rng_key)
+            ),
+            atol=1e-6,
+        )
+
+
+class TestCW:
+    def test_tanh_roundtrip(self):
+        """w-space change of variables reconstructs x to ~1e-6."""
+        x = jnp.linspace(0.0, 1.0, 64).reshape(1, 4, 4, 4)
+        tiny = 1e-6
+        w = jnp.arctanh((x * (1 - 2 * tiny) + tiny) * 2 - 1)
+        back = 0.5 * (jnp.tanh(w) + 1.0)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+    def test_invariants_and_success_tracking(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=10.0, steps=200, lr=0.05)
+        assert res.x_adv.shape == x.shape
+        assert res.success.dtype == jnp.bool_
+        assert float(res.x_adv.min()) >= 0.0 and float(res.x_adv.max()) <= 1.0
+        # successful samples must actually be misclassified at the returned point
+        pred = jnp.argmax(tiny_logits_fn(res.x_adv), axis=-1)
+        mis = np.asarray(pred != y)
+        np.testing.assert_array_equal(np.asarray(res.success) & ~mis, False)
+
+    def test_cw_finds_adversarial_on_easy_model(self, tiny_logits_fn, image_batch):
+        """With a large c, CW should flip at least one tiny-model sample."""
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=300, lr=0.1)
+        assert bool(jnp.any(res.success))
+
+    def test_targeted_requires_target(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        with pytest.raises(ValueError):
+            cw_l2_attack(tiny_logits_fn, x, y, targeted=True)
+
+    def test_targeted_mode(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        y_t = (y + 1) % 8
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=300, lr=0.1,
+                           targeted=True, y_target=y_t)
+        pred = jnp.argmax(tiny_logits_fn(res.x_adv), axis=-1)
+        hit = np.asarray(pred == y_t)
+        np.testing.assert_array_equal(np.asarray(res.success) & ~hit, False)
+
+
+class TestRunAttack:
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        params = AttackParams(eps=EPS, alpha=ALPHA, steps=3, cw_steps=10)
+        for name in ("fgsm", "pgd", "cw"):
+            x_adv = run_attack(name, tiny_logits_fn, x, y, params, rng_key)
+            assert x_adv.shape == x.shape
+        with pytest.raises(ValueError):
+            run_attack("nope", tiny_logits_fn, x, y, params, rng_key)
+
+    def test_grad_is_input_only(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        g = input_grad(tiny_logits_fn, x, y)
+        assert g.shape == x.shape
+        assert bool(jnp.any(g != 0))
