@@ -1,0 +1,106 @@
+"""Headline benchmark: PGD-10 adversarial examples/sec/chip, ResNet-50 @ 224².
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the 5k ex/s/chip north-star target
+(BASELINE.json; the reference publishes no throughput numbers — SURVEY.md §6).
+
+The measured program is the full fused attack: 10 iterations of
+forward + input-gradient + sign step + eps-ball projection + clip, compiled
+once, with the model in bfloat16 (MXU) and attack state in float32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_attack(batch: int):
+    from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
+    from image_recognition_adversarial_example_attack_tpu.attacks.pgd import pgd_linf_attack
+    from image_recognition_adversarial_example_attack_tpu.core.constants import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.resnet import resnet50
+
+    model = resnet50(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    logits_fn = make_logits_fn(
+        model, variables, IMAGENET_MEAN, IMAGENET_STD, input_dtype=jnp.bfloat16
+    )
+
+    @jax.jit
+    def attack(x, y, key):
+        return pgd_linf_attack(
+            logits_fn, x, y, eps=8 / 255, alpha=2 / 255, steps=10, key=key
+        )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 1000, size=(batch,)).astype(np.int32))
+    return attack, x, y
+
+
+def measure(batch: int, iters: int, warmup: int = 2) -> float:
+    attack, x, y = build_attack(batch)
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        attack(x, y, jax.random.fold_in(key, i)).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = attack(x, y, jax.random.fold_in(key, 100 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=None,
+                        help="fixed batch size (default: sweep)")
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args()
+
+    n_chips = max(1, len(jax.devices()))
+    batches = [args.batch] if args.batch else [64, 128, 256]
+    best = 0.0
+    best_batch = 0
+    for b in batches:
+        try:
+            ex_s = measure(b, args.iters)
+        except Exception as e:  # OOM at large batch etc. — keep best so far
+            print(f"batch {b}: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        print(f"batch {b}: {ex_s:.1f} ex/s", file=sys.stderr)
+        if ex_s > best:
+            best, best_batch = ex_s, b
+
+    per_chip = best / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "pgd10_resnet50_224_adv_examples_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(per_chip / 5000.0, 4),
+                "batch": best_batch,
+                "n_chips": n_chips,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
