@@ -1,0 +1,89 @@
+"""Shared CLI plumbing: model/dtype/seed flags, batched prediction helpers.
+
+Every CLI mirrors its reference script's argparse surface (SURVEY.md §1 L5)
+and adds the TPU-native flags: ``--model-dtype`` (bfloat16 by default on
+TPU), ``--weights`` (torch .pth or msgpack), ``--seed`` (the reference's
+randomness is unseeded), ``--profile-dir`` (jax profiler traces).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.cache import enable_compilation_cache
+
+# Every CLI flows through this module; arm the persistent compile cache once.
+enable_compilation_cache()
+
+
+def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet50") -> None:
+    parser.add_argument("--model", type=str, default=default_model,
+                        help="model name from the zoo (default: %(default)s)")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="weights file (.msgpack cache or torchvision .pth)")
+    parser.add_argument("--model-dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype (default: bfloat16 on TPU, float32 on CPU)")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax profiler trace here")
+
+
+def resolve_dtype(name: str | None) -> Any:
+    if name == "float32":
+        return jnp.float32
+    if name == "bfloat16":
+        return jnp.bfloat16
+    # default: bf16 on accelerators (MXU), f32 on CPU
+    return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+
+def load_bundle(args: argparse.Namespace, name: str | None = None):
+    from ..models.zoo import load_model
+
+    dtype = resolve_dtype(getattr(args, "model_dtype", None))
+    return load_model(name or args.model, dtype=dtype,
+                      weights=getattr(args, "weights", None))
+
+
+def make_fns(bundle, dtype=None):
+    """(logits_fn, features_fn) for a bundle, with bf16 input cast when the
+    module computes in bf16."""
+    from ..attacks.api import make_logits_fn
+    from ..defenses.detector import make_features_fn
+
+    input_dtype = bundle.module.dtype if bundle.module.dtype != jnp.float32 else None
+    lf = make_logits_fn(bundle.module, bundle.variables, bundle.mean, bundle.std,
+                        input_dtype=input_dtype)
+    ff = make_features_fn(bundle.module, bundle.variables, bundle.mean, bundle.std,
+                          input_dtype=input_dtype)
+    return lf, ff
+
+
+def topk_host(probs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """[B,K] probs -> (values [B,k], indices [B,k]) sorted descending."""
+    idx = np.argsort(-probs, axis=-1)[:, :k]
+    vals = np.take_along_axis(probs, idx, axis=-1)
+    return vals, idx
+
+
+def print_topk(title: str, prob_row: np.ndarray, idx_row: np.ndarray, labels) -> None:
+    """The reference's exact per-rank print format (ResNet.py:76-78)."""
+    print(f"{title}:")
+    for rank, (p, idx) in enumerate(zip(prob_row, idx_row), start=1):
+        label = labels[idx] if labels and idx < len(labels) else str(idx)
+        print(f"Top {rank}: {label} (class {idx}), prob = {p:.4f}")
+
+
+def maybe_profile(profile_dir: str | None):
+    """Context manager: jax.profiler.trace when a dir is given, else no-op."""
+    import contextlib
+
+    if profile_dir:
+        return jax.profiler.trace(profile_dir)
+    return contextlib.nullcontext()

@@ -1,0 +1,280 @@
+"""Defense experiment CLI (parity with reference defense_experiments.py).
+
+Same argparse surface (reference defense_experiments.py:699-738) and the
+exact summary-line format (":843-850", also README.md:48-55).  Differences
+by design (TPU-native):
+
+- the whole image set is ONE sharded batch; each (attack, eps) grid cell is
+  one compiled XLA program (attack + defend + detect fused) instead of a
+  per-image Python loop;
+- per-cell results are appended to ``<output_dir>/results_partial.json`` so
+  interrupted sweeps resume (--resume; the reference restarts from scratch —
+  SURVEY.md §5 checkpoint/resume);
+- ``--model_type robust`` loads ``resnet50_robust`` weights (converted
+  RobustBench checkpoint) with identity normalization
+  (reference defense_experiments.py:765-767); without the weight file it
+  degrades to random init with a warning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import (
+    DEFAULT_ALPHA,
+    DEFAULT_CW_C,
+    DEFAULT_CW_KAPPA,
+    DEFAULT_CW_LR,
+    DEFAULT_EPS_LIST,
+    DEFAULT_STEPS,
+)
+from ..core.images import list_images, load_image_batch
+from ..core.rng import key_from_seed
+from ..defenses.detector import calibrate_feature_threshold
+from ..defenses.preprocess import DefenseConfig, defend_input
+from ..eval.defense_eval import (
+    DefenseEvalConfig,
+    aggregate_stats,
+    make_defense_eval_fn,
+    summary_line,
+)
+from .common import add_model_args, load_bundle, make_fns, maybe_profile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Adversarial attack & defense experiment harness (TPU-native)",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument("--model_type", type=str, choices=["standard", "robust"],
+                        default="standard")
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--image", type=str, default="example.jpg")
+
+    parser.add_argument("--attacks", type=str, nargs="+",
+                        default=["fgsm", "pgd", "cw"],
+                        choices=["fgsm", "pgd", "cw"])
+    parser.add_argument("--eps_list", type=float, nargs="+",
+                        default=list(DEFAULT_EPS_LIST))
+    parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
+    parser.add_argument("--steps", type=int, default=DEFAULT_STEPS)
+    parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
+    parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
+    parser.add_argument("--cw_steps", type=int, default=100)
+    parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
+
+    parser.add_argument("--detector_threshold", type=float, default=None)
+    parser.add_argument("--calibrate_dir", type=str, default=None)
+    parser.add_argument("--calibrate_n", type=int, default=100)
+    parser.add_argument("--calibrate_quantile", type=float, default=0.95)
+
+    parser.add_argument("--use_jpeg", action="store_true")
+    parser.add_argument("--jpeg_quality", type=int, default=75)
+
+    parser.add_argument("--output_dir", type=str, default="./defense_results")
+    parser.add_argument("--viz_samples", type=int, default=5,
+                        help="number of attack samples to visualize (0 disables)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip (attack, eps) cells already in results_partial.json")
+    add_model_args(parser)
+    return parser
+
+
+def _partial_path(output_dir: Path) -> Path:
+    return output_dir / "results_partial.json"
+
+
+def _load_partial(output_dir: Path) -> dict:
+    path = _partial_path(output_dir)
+    if path.is_file():
+        try:
+            return json.loads(path.read_text())
+        except json.JSONDecodeError:
+            return {}
+    return {}
+
+
+def _save_partial(output_dir: Path, partial: dict) -> None:
+    output_dir.mkdir(parents=True, exist_ok=True)
+    _partial_path(output_dir).write_text(json.dumps(partial, indent=2))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # --- image list first: fail fast before any device work ---
+    if args.image_dir is not None:
+        image_dir = Path(args.image_dir)
+        if not image_dir.is_dir():
+            raise SystemExit(f"image_dir not found: {image_dir}")
+        image_paths = [p for p in list_images(image_dir) if p.suffix.lower() != ".bmp"]
+        if not image_paths:
+            raise SystemExit(f"no images found in {image_dir}")
+        print(f"Loaded image directory: {image_dir} ({len(image_paths)} images)")
+    else:
+        image_path = Path(args.image)
+        if not image_path.is_file():
+            raise SystemExit(f"image not found: {image_path}")
+        image_paths = [image_path]
+        print(f"Loaded single image: {image_path}")
+
+    print(f"Using device: {jax.devices()[0]}")
+
+    # --- model + normalization (robust arm: identity normalize) ---
+    if args.model_type == "robust":
+        bundle = load_bundle(args, name="resnet50_robust")
+        bundle.mean = np.zeros(3, np.float32)
+        bundle.std = np.ones(3, np.float32)
+    else:
+        bundle = load_bundle(args)
+    logits_fn, features_fn = make_fns(bundle)
+
+    x = jnp.asarray(load_image_batch(image_paths))
+    n = x.shape[0]
+
+    # --- detector threshold ---
+    if args.calibrate_dir is not None:
+        calib_dir = Path(args.calibrate_dir)
+        if not calib_dir.is_dir():
+            raise SystemExit(f"calibrate_dir not found: {calib_dir}")
+        calib_paths = [p for p in list_images(calib_dir) if p.suffix.lower() != ".bmp"]
+        if not calib_paths:
+            raise SystemExit(f"no images found in calibrate_dir: {calib_dir}")
+        x_calib = jnp.asarray(load_image_batch(calib_paths[: args.calibrate_n]))
+        detector_threshold = calibrate_feature_threshold(
+            features_fn, x_calib, n=args.calibrate_n,
+            quantile=args.calibrate_quantile,
+        )
+        print(f"Using calibrated threshold: {detector_threshold:.4f}")
+    elif args.detector_threshold is not None:
+        detector_threshold = float(args.detector_threshold)
+        print(f"Using specified threshold: {detector_threshold:.4f}")
+    else:
+        detector_threshold = calibrate_feature_threshold(
+            features_fn, x, n=min(100, n), quantile=args.calibrate_quantile,
+        )
+        print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
+
+    defense_cfg = DefenseConfig(use_jpeg=bool(args.use_jpeg),
+                                jpeg_quality=int(args.jpeg_quality))
+
+    # clean predictions = pseudo-labels (reference :818-819)
+    y_true = jax.jit(lambda x: jnp.argmax(logits_fn(x), -1))(x)
+
+    output_dir = Path(args.output_dir)
+    partial = _load_partial(output_dir) if args.resume else {}
+
+    results: dict[tuple[str, float], dict] = {}
+    print("\n" + "=" * 60)
+    print("Running attack & defense experiments...")
+    print("=" * 60)
+
+    key = key_from_seed(args.seed)
+    with maybe_profile(args.profile_dir):
+        for attack_name in args.attacks:
+            for eps in args.eps_list:
+                cell_id = f"{attack_name}:{float(eps):.6f}"
+                print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}]")
+                if cell_id in partial and partial[cell_id].get("count") == n:
+                    print("  (resumed from partial results)")
+                    results[(attack_name, float(eps))] = partial[cell_id]
+                    continue
+
+                cfg = DefenseEvalConfig(
+                    attack_name=attack_name, eps=float(eps),
+                    alpha=float(args.alpha), steps=int(args.steps),
+                    cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+                    cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+                    defense=defense_cfg,
+                )
+                fn = make_defense_eval_fn(logits_fn, features_fn, cfg)
+                t0 = time.perf_counter()
+                key, sub = jax.random.split(key)
+                out = fn(x, y_true, detector_threshold, sub)
+                jax.block_until_ready(out)
+                dt = time.perf_counter() - t0
+                stats = aggregate_stats(out, n_valid=n)
+                print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
+                results[(attack_name, float(eps))] = stats
+                partial[cell_id] = stats
+                _save_partial(output_dir, partial)
+
+    # --- summary (exact reference format) ---
+    print("\n" + "=" * 60)
+    print("Experiment summary")
+    print("=" * 60)
+    for (attack_name, eps), stats in sorted(results.items()):
+        print(summary_line(attack_name, eps, stats))
+
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- sample visualization (PGD at eps_list[1] or 8/255, alpha=eps/4) ---
+    if args.viz_samples > 0:
+        print("\n" + "=" * 60)
+        print("Generating attack-sample visualization...")
+        print("=" * 60)
+        viz_eps = float(args.eps_list[1]) if len(args.eps_list) > 1 else 8 / 255
+        n_viz = min(int(args.viz_samples), n)
+        _visualize_samples(
+            logits_fn, x[:n_viz], y_true[:n_viz], viz_eps, defense_cfg,
+            output_dir, key_from_seed(args.seed + 1),
+        )
+
+    print("\n" + "=" * 60)
+    print("Generating defense heatmaps...")
+    print("=" * 60)
+    from ..viz.plots import plot_defense_heatmaps
+
+    plot_defense_heatmaps(results, output_dir, save_prefix="defense_results")
+    print(f"Saved visualizations to: {output_dir}")
+
+    print("\nAll experiments complete. Results saved to:", output_dir)
+    return 0
+
+
+def _visualize_samples(logits_fn, x, y_true, eps, defense_cfg, output_dir, key):
+    """Clean/adv/defended/perturbation grid (reference :423-530): PGD with
+    alpha=eps/4, 10 steps, then the composite defense — one jitted program."""
+    from ..attacks.pgd import pgd_linf_attack
+    from ..viz.plots import plot_attack_samples
+
+    @jax.jit
+    def viz_program(x, y, k):
+        probs_clean = jax.nn.softmax(logits_fn(x), -1)
+        x_adv = pgd_linf_attack(logits_fn, x, y, eps=eps, alpha=eps / 4,
+                                steps=10, key=k)
+        x_def = defend_input(x_adv, defense_cfg)
+        pred_adv = jnp.argmax(logits_fn(x_adv), -1)
+        pred_def = jnp.argmax(logits_fn(x_def), -1)
+        return probs_clean, x_adv, x_def, pred_adv, pred_def
+
+    probs_clean, x_adv, x_def, pred_adv, pred_def = map(
+        np.asarray, jax.device_get(viz_program(x, y_true, key))
+    )
+    y_np = np.asarray(y_true)
+    samples = [
+        {
+            "x": np.asarray(x[i]),
+            "x_adv": x_adv[i],
+            "x_def": x_def[i],
+            "pred_clean": int(y_np[i]),
+            "conf_clean": float(probs_clean[i, y_np[i]]),
+            "pred_adv": int(pred_adv[i]),
+            "pred_def": int(pred_def[i]),
+        }
+        for i in range(x.shape[0])
+    ]
+    out = plot_attack_samples(samples, output_dir, eps)
+    print(f"Saved sample visualization: {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,8 +86,14 @@ def convert_state_dict(
 # ---------------------------------------------------------------------------
 
 def resnet_rename(path: str) -> str:
-    """torchvision resnet50: layer1.0.downsample.0 -> layer1_0/downsample_conv."""
+    """torchvision resnet50: layer1.0.downsample.0 -> layer1_0/downsample_conv.
+
+    Leading "module."/"model." wrappers (DataParallel / RobustBench
+    checkpoints) are stripped so robust weights convert with the same rule.
+    """
     parts = path.split(".")
+    while parts and parts[0] in ("module", "model"):
+        parts = parts[1:]
     out: list[str] = []
     i = 0
     while i < len(parts):
@@ -123,6 +129,7 @@ def vgg_rename(path: str) -> str:
 
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
+    "resnet50_robust": resnet_rename,
     "vgg19": vgg_rename,
 }
 

@@ -60,6 +60,10 @@ def register(name: str):
 
 
 register("resnet50")(lambda dtype: resnet50(dtype=dtype))
+# Adversarially-trained arm (reference defense_experiments.py:674-686 loads
+# RobustBench Engstrom2019Robustness): same architecture, separate weights,
+# identity normalization applied by the caller.
+register("resnet50_robust")(lambda dtype: resnet50(dtype=dtype))
 register("resnet_tiny")(lambda dtype: resnet_tiny(dtype=dtype))
 register("tiny")(lambda dtype: TinyCNN(num_classes=1000, dtype=dtype))
 
