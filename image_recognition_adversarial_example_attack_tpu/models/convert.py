@@ -64,7 +64,7 @@ def convert_state_dict(
                 _set_path(out["params"], flax_module + ("kernel",), arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 2:  # linear OI -> IO
                 _set_path(out["params"], flax_module + ("kernel",), arr.T)
-            elif arr.ndim == 1:  # batchnorm gamma
+            elif arr.ndim == 1:  # batchnorm / layernorm gamma
                 _set_path(out["params"], flax_module + ("scale",), arr)
             else:
                 raise ValueError(f"unhandled weight rank {arr.ndim} at {key}")
@@ -74,6 +74,15 @@ def convert_state_dict(
             _set_path(out["batch_stats"], flax_module + ("mean",), arr)
         elif leaf == "running_var":
             _set_path(out["batch_stats"], flax_module + ("var",), arr)
+        elif leaf == "in_proj_weight":  # torch MHA fused qkv [3D, D]
+            _set_path(out["params"], flax_module + ("qkv", "kernel"), arr.T)
+        elif leaf == "in_proj_bias":
+            _set_path(out["params"], flax_module + ("qkv", "bias"), arr)
+        elif leaf in ("class_token", "pos_embedding", "relative_position_bias_table"):
+            # bare parameters: leaf name IS the flax param name, shapes match
+            _set_path(out["params"], flax_module + (leaf,), arr)
+        elif leaf == "relative_position_index":
+            continue  # static buffer; recomputed at trace time (swin.py)
         else:
             raise ValueError(f"unhandled state_dict leaf: {key}")
     if not out["batch_stats"]:
@@ -127,10 +136,147 @@ def vgg_rename(path: str) -> str:
     return "/".join(out)
 
 
+def vit_rename(path: str) -> str:
+    """torchvision vit_b_16 keys -> vit.py module paths.
+
+    encoder.layers.encoder_layer_3.self_attention.out_proj
+      -> encoder_layer_3/self_attention/out
+    mlp.0 / mlp.linear_1 -> mlp_linear_1 ; mlp.3 / mlp.linear_2 -> mlp_linear_2
+    encoder.pos_embedding / class_token -> root params.
+    """
+    parts = [p for p in path.split(".") if p]
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in ("encoder", "layers", "heads"):
+            i += 1  # structural wrappers with no flax counterpart
+        elif p == "out_proj":
+            out.append("out")
+            i += 1
+        elif p == "mlp" and i + 1 < len(parts):
+            nxt = parts[i + 1]
+            if nxt in ("0", "linear_1"):
+                out.append("mlp_linear_1")
+            elif nxt in ("3", "linear_2"):
+                out.append("mlp_linear_2")
+            else:
+                raise ValueError(f"unexpected vit mlp index: {path}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return "/".join(out)
+
+
+def swin_rename(path: str) -> str:
+    """torchvision swin_t keys -> swin.py module paths.
+
+    features.0.0 -> patch_conv ; features.0.2 -> patch_norm
+    features.{1,3,5,7}.B.* -> stage{1..4}_block{B}/* (mlp.0->mlp_0, mlp.3->mlp_3)
+    features.{2,4,6}.* -> merge{1,2,3}/*
+    """
+    parts = [p for p in path.split(".") if p]
+    out: list[str] = []
+    i = 0
+    stage_of = {"1": 1, "3": 2, "5": 3, "7": 4}
+    merge_of = {"2": 1, "4": 2, "6": 3}
+    while i < len(parts):
+        p = parts[i]
+        if p == "features" and i + 1 < len(parts):
+            idx = parts[i + 1]
+            if idx == "0":
+                sub = parts[i + 2]
+                out.append("patch_conv" if sub == "0" else "patch_norm")
+                i += 3
+            elif idx in stage_of:
+                block = parts[i + 2]
+                out.append(f"stage{stage_of[idx]}_block{block}")
+                i += 3
+            elif idx in merge_of:
+                out.append(f"merge{merge_of[idx]}")
+                i += 2
+            else:
+                raise ValueError(f"unexpected swin features index: {path}")
+        elif p == "mlp" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"mlp_{parts[i + 1]}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return "/".join(out)
+
+
+def densenet_rename(path: str) -> str:
+    """torchvision densenet121 keys -> densenet.py module paths."""
+    parts = [p for p in path.split(".") if p]
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "features" and i + 1 < len(parts):
+            nxt = parts[i + 1]
+            if nxt.startswith("denseblock") and i + 2 < len(parts):
+                out.append(f"{nxt}_{parts[i + 2]}")  # denseblock1_denselayer1
+                i += 3
+            elif nxt.startswith("transition"):
+                out.append(nxt)
+                i += 2
+            else:  # conv0/norm0/norm5
+                out.append(f"features_{nxt}")
+                i += 2
+        else:
+            out.append(p)
+            i += 1
+    return "/".join(out)
+
+
+def efficientnet_rename(path: str) -> str:
+    """torchvision efficientnet_b0 keys -> efficientnet.py module paths.
+
+    features.0.{0,1} -> stem_conv/stem_bn ; features.8.{0,1} -> head_conv/head_bn
+    features.S.B.block.I.J -> stage{S}_block{B}/<role>, where the role of
+    sequential index I depends on whether the block has an expansion conv
+    (stage 1 blocks have expand_ratio 1 and no expansion).
+    classifier.1 -> classifier
+    """
+    parts = [p for p in path.split(".") if p]
+    if parts[0] == "classifier":
+        return "classifier"
+    if parts[0] != "features":
+        return "/".join(parts)
+    s = parts[1]
+    if s == "0":
+        return "stem_conv" if parts[2] == "0" else "stem_bn"
+    if s == "8":
+        return "head_conv" if parts[2] == "0" else "head_bn"
+
+    stage, block = int(s), parts[2]
+    rest = parts[3:]  # ['block', I, J, ...] or ['block', I, 'fc1'] for SE
+    assert rest[0] == "block", path
+    i_seq = rest[1]
+    has_expand = stage != 1
+    if has_expand:
+        roles = {"0": "expand", "1": "dw", "2": "se", "3": "project"}
+    else:
+        roles = {"0": "dw", "1": "se", "2": "project"}
+    role = roles[i_seq]
+    prefix = f"stage{stage}_block{block}"
+    if role == "se":
+        return f"{prefix}/se/{rest[2]}"  # fc1 / fc2
+    # Conv2dNormActivation: sub-index 0 = conv, 1 = bn
+    sub = "conv" if rest[2] == "0" else "bn"
+    return f"{prefix}/{role}_{sub}"
+
+
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
     "resnet50_robust": resnet_rename,
     "vgg19": vgg_rename,
+    "vit_b_16": vit_rename,
+    "swin_t": swin_rename,
+    "densenet121": densenet_rename,
+    "efficientnet_b0": efficientnet_rename,
 }
 
 

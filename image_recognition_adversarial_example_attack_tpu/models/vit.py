@@ -1,0 +1,131 @@
+"""Flax Vision Transformer (ViT-B/16, torchvision-compatible) — NHWC, MXU-first.
+
+Transfer-study target (reference blackbox_transfer.py:36-43 loads
+``torchvision.models.vit_b_16``).  TPU design choices:
+
+- the qkv projection is ONE fused [D, 3D] matmul (matches torch's
+  ``in_proj_weight`` layout for conversion, and keeps the MXU busy with one
+  large GEMM instead of three small ones);
+- attention math follows jax.nn conventions with static shapes — 197 tokens
+  pad well onto the 8x128 VPU lanes after the [B, heads, T, T] softmax;
+- GELU is torch-exact (erf form), matching torchvision inference.
+
+Module names mirror the torchvision state dict (conv_proj, class_token,
+encoder.pos_embedding, encoder.layers.encoder_layer_N.*, encoder.ln,
+heads.head) so conversion is a rename + qkv re-layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention with a fused qkv GEMM."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, d = x.shape
+        head_dim = self.dim // self.num_heads
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+
+        qkv = dense(3 * self.dim, name="qkv")(x)  # [B, T, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.array(head_dim, self.dtype)
+        )
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        return dense(self.dim, name="out")(out)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype,
+                     param_dtype=jnp.float32)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+
+        y = ln(name="ln_1")(x)
+        y = MHSA(dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                 name="self_attention")(y)
+        x = x + y
+
+        y = ln(name="ln_2")(x)
+        y = dense(self.mlp_dim, name="mlp_linear_1")(y)
+        y = nn.gelu(y, approximate=False)  # torch GELU is the erf form
+        y = dense(self.dim, name="mlp_linear_2")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """torchvision-style ViT: conv patchify, class token, learned pos emb."""
+
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: int = 1000
+    image_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        x = x.astype(self.dtype)
+        p = self.patch_size
+        x = nn.Conv(self.dim, (p, p), strides=(p, p), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_proj")(x)
+        x = x.reshape(b, -1, self.dim)  # [B, T, D], row-major patches
+
+        n_tokens = x.shape[1] + 1
+        cls = self.param("class_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.tile(cls.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, n_tokens, self.dim),
+        )
+        x = x + pos.astype(self.dtype)
+
+        for i in range(self.depth):
+            x = EncoderBlock(dim=self.dim, num_heads=self.num_heads,
+                             mlp_dim=self.mlp_dim, dtype=self.dtype,
+                             name=f"encoder_layer_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="ln")(x)
+        x = x[:, 0]  # class token
+        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="head")(x)
+        return x.astype(jnp.float32)
+
+
+def vit_b_16(num_classes: int = 1000, dtype: Any = jnp.float32) -> ViT:
+    return ViT(num_classes=num_classes, dtype=dtype)
+
+
+def vit_tiny(num_classes: int = 10, dtype: Any = jnp.float32) -> ViT:
+    """Miniature ViT (same code path) for CPU tests: 32x32/8, depth 2."""
+    return ViT(patch_size=8, dim=32, depth=2, num_heads=2, mlp_dim=64,
+               num_classes=num_classes, image_size=32, dtype=dtype)
