@@ -20,6 +20,16 @@ from ..utils.cache import enable_compilation_cache
 # Every CLI flows through this module; arm the persistent compile cache once.
 enable_compilation_cache()
 
+# $ADV_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke tests and
+# air-gapped development; plain $JAX_PLATFORMS is overridden by the TPU
+# plugin's site customization on some hosts).
+_platform = __import__("os").environ.get("ADV_TPU_PLATFORM")
+if _platform:
+    try:
+        jax.config.update("jax_platforms", _platform)
+    except Exception:
+        pass
+
 
 def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet50") -> None:
     parser.add_argument("--model", type=str, default=default_model,

@@ -1,0 +1,190 @@
+"""Generalized transfer CLI (parity with reference transferability_attack.py).
+
+Configurable source/target model lists and an eps sweep; success convention:
+target's adversarial label differs from the SOURCE model's clean
+pseudo-label (reference transferability_attack.py:110-120).  Emits the
+summary table, ``transfer_results.json``, and a seaborn heatmap per attack.
+
+The reference ships broken (undefined ``predict``/``load_image`` ->
+NameError at runtime; SURVEY.md §2 "Known defects") — this CLI is the
+working equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks import AttackParams
+from ..core.constants import (
+    DEFAULT_ALPHA,
+    DEFAULT_CW_C,
+    DEFAULT_CW_KAPPA,
+    DEFAULT_CW_LR,
+    DEFAULT_EPS_LIST,
+)
+from ..core.images import list_images, load_image_batch, save_image_01
+from ..core.rng import key_from_seed
+from ..eval.transfer import transfer_attack_batch
+from .common import add_model_args, load_bundle, make_fns, maybe_profile
+
+MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
+                 "efficientnet_b0", "swin_t",
+                 # miniature models for smoke tests / CI
+                 "resnet_tiny", "tiny"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Black-box Transferability Attack")
+    parser.add_argument("--source_model", type=str, default="resnet50",
+                        choices=MODEL_CHOICES)
+    parser.add_argument("--target_models", type=str, nargs="+",
+                        default=["vgg19", "densenet121", "vit_b_16"],
+                        choices=MODEL_CHOICES)
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--image", type=str, default="example.jpg")
+    parser.add_argument("--attacks", type=str, nargs="+", default=["pgd"],
+                        choices=["fgsm", "pgd", "cw"])
+    parser.add_argument("--eps_list", type=float, nargs="+",
+                        default=list(DEFAULT_EPS_LIST))
+    parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
+    parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
+    parser.add_argument("--cw_steps", type=int, default=100)
+    parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
+    parser.add_argument("--save_adv_images", action="store_true")
+    parser.add_argument("--output_dir", type=str, default="./transfer_results")
+    add_model_args(parser)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f"Using device: {jax.devices()[0]}")
+
+    if args.image_dir is not None:
+        image_dir = Path(args.image_dir)
+        if not image_dir.is_dir():
+            raise SystemExit(f"image_dir not found: {image_dir}")
+        image_paths = [p for p in list_images(image_dir) if p.suffix.lower() != ".bmp"]
+        if not image_paths:
+            raise SystemExit(f"no images found in {image_dir}")
+        print(f"\n[3/4] Found {len(image_paths)} images in {image_dir}")
+    else:
+        image_path = Path(args.image)
+        if not image_path.is_file():
+            raise SystemExit(f"Image not found: {image_path}")
+        image_paths = [image_path]
+        print(f"\n[3/4] Using single image: {image_path}")
+
+    print(f"\n[1/4] Loading source model: {args.source_model}")
+    src_bundle = load_bundle(args, name=args.source_model)
+    src_logits_fn, _ = make_fns(src_bundle)
+
+    print(f"\n[2/4] Loading target models: {args.target_models}")
+    target_fns = {}
+    for name in args.target_models:
+        if name == args.source_model:
+            print(f"  Skipping {name} (same as source model)")
+            continue
+        target_fns[name] = make_fns(load_bundle(args, name=name))[0]
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    x = jnp.asarray(load_image_batch(image_paths))
+    n = x.shape[0]
+    key = key_from_seed(args.seed)
+
+    print("\n[4/4] Running transfer attack experiments...")
+    print("=" * 80)
+
+    # all_results[attack][eps] = {"source_success": rate-relevant list,
+    #                             "transfer_success": {model: list}}
+    all_results: dict = {}
+    with maybe_profile(args.profile_dir):
+        for attack_name in args.attacks:
+            all_results[attack_name] = {}
+            for eps in args.eps_list:
+                print(f"  Running {attack_name.upper()} with eps={eps:.5f} "
+                      f"on a batch of {n}...")
+                params = AttackParams(
+                    eps=float(eps), alpha=float(args.alpha), steps=int(args.steps),
+                    cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+                    cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+                )
+                key, sub = jax.random.split(key)
+                cell = jax.jit(
+                    lambda x, k, a=attack_name, p=params: transfer_attack_batch(
+                        src_logits_fn, target_fns, x, a, p, k,
+                        convention="source-label",
+                    )
+                )(x, sub)
+                src_vec = np.asarray(cell.source_success)
+                all_results[attack_name][float(eps)] = {
+                    "source_success": src_vec.tolist(),
+                    "transfer_success": {
+                        name: np.asarray(v).tolist()
+                        for name, v in cell.target_success.items()
+                    },
+                }
+                print(f"    Source model ASR: {src_vec.mean():.3f}")
+                for name, v in cell.target_success.items():
+                    print(f"    Transfer to {name}: {np.asarray(v).mean():.3f}")
+
+                if args.save_adv_images:
+                    adv_dir = output_dir / f"{attack_name}_eps_{eps:.5f}"
+                    adv_np = np.asarray(jax.device_get(cell.x_adv))
+                    for i, p in enumerate(image_paths):
+                        save_image_01(adv_np[i], adv_dir / f"adv_{p.stem}.png")
+
+    # summary table (reference layout, ":318-340")
+    print("\n" + "=" * 80)
+    print("TRANSFERABILITY SUMMARY")
+    print("=" * 80)
+    header = f"{'Attack':<10} {'Eps':<10} {'Source':<10}"
+    for name in target_fns:
+        header += f" {name:<15}"
+    print(header)
+    print("-" * len(header))
+    for attack_name in args.attacks:
+        for eps in args.eps_list:
+            cell = all_results[attack_name][float(eps)]
+            src_rate = float(np.mean(cell["source_success"]))
+            row = f"{attack_name:<10} {eps:<10.5f} {src_rate:<10.3f}"
+            for name in target_fns:
+                rate = float(np.mean(cell["transfer_success"][name]))
+                row += f" {rate:<15.3f}"
+            print(row)
+
+    results_file = output_dir / "transfer_results.json"
+    results_file.write_text(json.dumps(all_results, indent=2))
+    print(f"\nDetailed results saved to: {results_file}")
+
+    # per-attack heatmap (eps x target-model)
+    from ..viz.plots import plot_transfer_heatmap
+
+    model_names = list(target_fns)
+    if model_names:
+        for attack_name in args.attacks:
+            matrix = np.zeros((len(args.eps_list), len(model_names)))
+            for i, eps in enumerate(args.eps_list):
+                for j, name in enumerate(model_names):
+                    v = all_results[attack_name][float(eps)]["transfer_success"][name]
+                    matrix[i, j] = float(np.mean(v))
+            plot_path = output_dir / f"transfer_heatmap_{attack_name}.png"
+            plot_transfer_heatmap(matrix, args.eps_list, model_names,
+                                  args.source_model, attack_name, plot_path)
+            print(f"Transferability heatmap saved: {plot_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,8 +17,7 @@ by default) so the per-image loop of the reference disappears.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Mapping
+from typing import Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +25,12 @@ import jax.numpy as jnp
 from ..attacks.api import AttackParams, LogitsFn, run_attack
 
 
-@dataclass
-class TransferCell:
-    """Result for one (attack, eps) cell of a transfer sweep."""
+class TransferCell(NamedTuple):
+    """Result for one (attack, eps) cell of a transfer sweep.
 
-    attack: str
-    eps: float
+    A NamedTuple of arrays so it is a valid jit output pytree.
+    """
+
     source_success: jnp.ndarray  # [B] int32: source pred_adv != y_source_clean
     target_success: dict[str, jnp.ndarray]  # name -> [B] int32
     x_adv: jnp.ndarray
@@ -68,8 +67,6 @@ def transfer_attack_batch(
         target_success[name] = (pred_adv != ref_label).astype(jnp.int32)
 
     return TransferCell(
-        attack=attack_name,
-        eps=params.eps,
         source_success=source_success,
         target_success=target_success,
         x_adv=x_adv,

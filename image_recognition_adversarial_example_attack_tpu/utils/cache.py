@@ -18,10 +18,16 @@ _DEFAULT = Path.home() / ".cache" / "adv_tpu" / "jax_cache"
 
 
 def enable_compilation_cache() -> None:
+    """Opt-in: set $ADV_TPU_COMPILE_CACHE=1 (or a directory).
+
+    Opt-in rather than default-on because this fleet's remote-compile
+    service produces CPU AOT artifacts whose target machine features can
+    mismatch the local host (XLA then warns about potential SIGILL).
+    """
     setting = os.environ.get("ADV_TPU_COMPILE_CACHE", "")
-    if setting.lower() in ("0", "off", "false"):
+    if not setting or setting.lower() in ("0", "off", "false"):
         return
-    cache_dir = Path(setting) if setting else _DEFAULT
+    cache_dir = Path(setting) if setting.lower() not in ("1", "on", "true") else _DEFAULT
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))

@@ -1,0 +1,135 @@
+"""CLI smoke tests: every surface runs end-to-end with tiny models on CPU.
+
+These call each CLI's ``main(argv)`` in-process (same argparse path as the
+root shims) against generated images, asserting output artifacts and
+console formats — the reference's golden-transcript style of verification
+(SURVEY.md §4) at miniature scale.
+"""
+
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    return d
+
+
+def test_classify_cli(image_dir, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.classify import main
+
+    adv_path = image_dir / "out" / "adv.png"
+    rc = main([str(image_dir / "img_0.jpg"), "--attack", "pgd", "--steps", "2",
+               "--model", "resnet_tiny", "--save_adv", str(adv_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Clean:" in out and "Adversarial (pgd):" in out
+    assert re.search(r"Top 1: .* \(class \d+\), prob = 0\.\d{4}", out)
+    assert adv_path.is_file()
+
+
+def test_classify_cli_directory_mode(image_dir, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.classify import main
+
+    rc = main([str(image_dir), "--model", "resnet_tiny"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Image: ") == 3
+
+
+def test_defense_experiments_cli(image_dir, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    out_dir = tmp_path / "defres"
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm", "pgd",
+               "--eps_list", "0.03137", "--steps", "2", "--cw_steps", "4",
+               "--model", "resnet_tiny", "--viz_samples", "2",
+               "--output_dir", str(out_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the exact 6-field summary-line format (reference README.md:48-55)
+    assert re.search(
+        r"attack=fgsm, eps=0\.03137, attack_success=\d\.\d{3}, "
+        r"preproc_defense_acc=\d\.\d{3}, detector_clean_pass_rate=\d\.\d{3}, "
+        r"detector_adv_flag_rate=\d\.\d{3}, detector_attack_success=\d\.\d{3}",
+        out,
+    )
+    assert (out_dir / "results_partial.json").is_file()
+    assert (out_dir / "defense_results_attack_trend.png").is_file()
+    assert (out_dir / "defense_results_defense_matrix.png").is_file()
+    assert (out_dir / "attack_samples.png").is_file()
+
+    # resume path: second run must reuse the finished cells
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--eps_list", "0.03137", "--steps", "2",
+               "--model", "resnet_tiny", "--viz_samples", "0",
+               "--output_dir", str(out_dir), "--resume"])
+    assert rc == 0
+    assert "(resumed from partial results)" in capsys.readouterr().out
+
+
+def test_blackbox_transfer_cli(image_dir, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.blackbox_transfer import main
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--source", "resnet_tiny", "--targets", "tiny",
+               "--visualize_n", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Attack/Model\ttiny" in out
+    assert re.search(r"FGSM\t\d+\.\d%", out)
+
+
+def test_transferability_cli(image_dir, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.transferability import main
+
+    out_dir = tmp_path / "transres"
+    rc = main(["--source_model", "resnet_tiny", "--target_models", "tiny",
+               "--image_dir", str(image_dir), "--attacks", "pgd",
+               "--eps_list", "0.03137", "--steps", "2",
+               "--output_dir", str(out_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TRANSFERABILITY SUMMARY" in out
+    data = json.loads((out_dir / "transfer_results.json").read_text())
+    assert "pgd" in data and "0.03137" in str(data["pgd"].keys()) or data["pgd"]
+    assert (out_dir / "transfer_heatmap_pgd.png").is_file()
+
+
+def test_visualize_cli(image_dir, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.visualize import main
+
+    out_dir = tmp_path / "vizres"
+    rc = main(["--image", str(image_dir / "img_0.jpg"), "--model", "resnet_tiny",
+               "--steps", "3", "--cw_steps", "4", "--save_images",
+               "--output_dir", str(out_dir)])
+    assert rc == 0
+    for f in ("attack_comparison.png", "attack_trajectory.png",
+              "perturbation_analysis.png", "attack_report.json"):
+        assert (out_dir / f).is_file(), f
+    report = json.loads((out_dir / "attack_report.json").read_text())
+    # the reference crashed on a pred_adj typo here; assert the fixed schema
+    for attack in ("fgsm", "pgd", "cw"):
+        assert "predicted_class" in report["attacks"][attack]
+        assert "metrics" in report["attacks"][attack]
+    assert (out_dir / "adversarial_images" / "adv_cw.png").is_file()
+
+
+def test_dataset_check_cli(image_dir, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.dataset_check import main
+
+    rc = main(["--test_dir", str(image_dir), "--model", "resnet_tiny"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Total images: 3" in out
+    assert "Low-confidence ratio" in out
