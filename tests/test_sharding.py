@@ -1,0 +1,154 @@
+"""Multi-chip semantics on a faked 8-device CPU mesh (SURVEY.md §4 item 3).
+
+Asserts the property that matters for scale-out: sharded execution over the
+('data','model') mesh produces the SAME results (attack outputs, eval
+counters) as single-device execution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
+from image_recognition_adversarial_example_attack_tpu.attacks.pgd import pgd_linf_attack
+from image_recognition_adversarial_example_attack_tpu.core.constants import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from image_recognition_adversarial_example_attack_tpu.defenses.detector import (
+    make_features_fn,
+)
+from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+    DefenseEvalConfig,
+    evaluate_defenses_batch,
+)
+from image_recognition_adversarial_example_attack_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_model_variables,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(n_data=4, n_model=2)
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_resnet):
+    model, variables = tiny_resnet
+    lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+    ff = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(16, 32, 32, 3), np.float32)
+    y = jnp.argmax(lf(x), -1)
+    return model, variables, lf, ff, x, y
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        assert dict(make_mesh().shape) == {"data": 8, "model": 1}
+        assert dict(make_mesh(n_model=2).shape) == {"data": 4, "model": 2}
+        with pytest.raises(ValueError):
+            make_mesh(n_data=16, n_model=1)
+
+    def test_shard_batch_placement(self, mesh8):
+        x = shard_batch(np.zeros((8, 4, 4, 3), np.float32), mesh8)
+        assert x.sharding.spec == P("data")
+
+    def test_tp_head_sharding(self, mesh8, tiny_resnet):
+        model, variables = tiny_resnet
+        placed = shard_model_variables(variables, mesh8, tensor_parallel=True)
+        fc = placed["params"]["fc"]["kernel"]
+        assert fc.sharding.spec == P(None, "model")
+        conv = placed["params"]["conv1"]["kernel"]
+        assert conv.sharding.spec == P()  # replicated
+
+
+class TestShardedEquality:
+    def test_pgd_sharded_equals_single_device(self, mesh8, setup):
+        """Bitwise-equal adversarial batches sharded vs unsharded."""
+        _, _, lf, _, x, y = setup
+        key = jax.random.PRNGKey(7)
+
+        def attack(x, y, k):
+            return pgd_linf_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                                   steps=4, key=k)
+
+        ref = jax.jit(attack)(x, y, key)
+
+        xs = data_sharding(mesh8)
+        sharded = jax.jit(attack, in_shardings=(xs, NamedSharding(mesh8, P("data")), None),
+                          out_shardings=xs)(shard_batch(np.asarray(x), mesh8),
+                                            jax.device_put(y, NamedSharding(mesh8, P("data"))),
+                                            key)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+
+    def test_eval_counters_sharded_equal(self, mesh8, setup):
+        """The six defense counters agree between sharded and single-device
+        execution (the psum-reduced cross-chip path)."""
+        _, _, lf, ff, x, y = setup
+        cfg = DefenseEvalConfig(attack_name="fgsm", eps=8 / 255, alpha=2 / 255,
+                                steps=2, cw_steps=2)
+        key = jax.random.PRNGKey(3)
+
+        def cell(x, y, thr, k):
+            out = evaluate_defenses_batch(lf, ff, x, y, thr, cfg, k)
+            return {k2: jnp.sum(v) for k2, v in out.items() if k2 != "x_adv"}
+
+        ref = jax.jit(cell)(x, y, 1.0, key)
+
+        xs = data_sharding(mesh8)
+        got = jax.jit(
+            cell,
+            in_shardings=(xs, NamedSharding(mesh8, P("data")), None, None),
+            out_shardings=None,
+        )(shard_batch(np.asarray(x), mesh8),
+          jax.device_put(y, NamedSharding(mesh8, P("data"))), 1.0, key)
+
+        for k2 in ref:
+            assert int(ref[k2]) == int(got[k2]), k2
+
+    def test_tp_logits_match_replicated(self, mesh8, setup):
+        """Tensor-parallel head produces the same logits as replication."""
+        model, variables, _, _, x, _ = setup
+        repl = jax.device_put(variables, replicated_sharding(mesh8))
+        tp = shard_model_variables(variables, mesh8, tensor_parallel=True)
+
+        def fwd(v, x):
+            return model.apply(v, x)
+
+        out_repl = jax.jit(fwd)(repl, x)
+        out_tp = jax.jit(fwd)(tp, x)
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_repl),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestEngine:
+    def test_pad_and_unpad_roundtrip(self, mesh8):
+        from image_recognition_adversarial_example_attack_tpu.eval.engine import Engine
+
+        eng = Engine(mesh=mesh8)
+        x_np = np.random.RandomState(0).rand(6, 8, 8, 3).astype(np.float32)
+        batch = eng.batch_from_array(x_np)
+        assert batch.padded_size == 8  # padded to data-axis multiple (4 -> 8)
+        assert batch.n_valid == 6
+        out = eng.unpad(batch.x, batch)
+        np.testing.assert_allclose(out, x_np, atol=0)
+
+    def test_engine_no_mesh(self):
+        from image_recognition_adversarial_example_attack_tpu.eval.engine import Engine
+
+        eng = Engine(mesh=None, use_mesh=False)
+        x_np = np.random.RandomState(0).rand(3, 8, 8, 3).astype(np.float32)
+        batch = eng.batch_from_array(x_np)
+        assert batch.padded_size == 3 and batch.n_valid == 3
