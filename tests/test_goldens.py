@@ -1,0 +1,81 @@
+"""Golden-artifact tests (the reference's verification style, SURVEY.md §4):
+deterministic adversarial outputs regenerated and diffed against committed
+goldens within tolerance.
+
+Goldens are tiny-model adversarial PNGs produced with fixed seeds; they are
+regenerated via ``python tests/test_goldens.py --regen`` and committed.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+
+
+def _generate():
+    """Deterministic adversarial images from the tiny model."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        cw_l2_attack,
+        fgsm_attack,
+        make_logits_fn,
+        pgd_linf_attack,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.constants import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import make_tiny
+
+    model, variables = make_tiny(seed=0, image_size=16)
+    lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+
+    # deterministic input image (not random noise: structured gradient)
+    h = w = 16
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    x = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], axis=-1)[None]
+    x = jnp.asarray(x)
+    y = jnp.argmax(lf(x), -1)
+    key = jax.random.PRNGKey(0)
+
+    out = {
+        "adv_fgsm": fgsm_attack(lf, x, y, eps=8 / 255),
+        "adv_pgd": pgd_linf_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                                   steps=10, key=key),
+        "adv_cw": cw_l2_attack(lf, x, y, c=10.0, steps=50, lr=0.05).x_adv,
+    }
+    return {k: np.asarray(v)[0] for k, v in out.items()}
+
+
+def test_goldens_match():
+    assert GOLDEN_DIR.is_dir(), "goldens missing — run: python tests/test_goldens.py --regen"
+    generated = _generate()
+    for name, arr in generated.items():
+        golden_path = GOLDEN_DIR / f"{name}.png"
+        assert golden_path.is_file(), f"missing golden {golden_path}"
+        golden = np.asarray(Image.open(golden_path), np.float32) / 255.0
+        # one uint8 quantum of tolerance + tiny numeric drift allowance
+        assert np.abs(golden - arr).max() <= 2.0 / 255.0, name
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # goldens are CPU-generated
+
+        from image_recognition_adversarial_example_attack_tpu.core.images import (
+            save_image_01,
+        )
+
+        GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+        for name, arr in _generate().items():
+            save_image_01(arr, GOLDEN_DIR / f"{name}.png")
+            print("wrote", GOLDEN_DIR / f"{name}.png")
