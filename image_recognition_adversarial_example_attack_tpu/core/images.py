@@ -11,6 +11,7 @@ image while attacks/evaluation run as compiled XLA programs on device.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Iterable, Sequence
 
@@ -72,10 +73,16 @@ def load_image_batch(
 
     This replaces the reference's per-image Python loop (e.g.
     defense_experiments.py:816-832) with a single dense batch that one XLA
-    program processes at once.
+    program processes at once.  With ``ADV_TPU_NATIVE_LOADER=1`` the batch
+    is decoded by the threaded C++ loader (native/loader.cc; <=1/255 from
+    the PIL path, per-image PIL fallback on failure).
     """
     if not paths:
         raise ValueError("load_image_batch: empty path list")
+    if os.environ.get("ADV_TPU_NATIVE_LOADER", "") in ("1", "on", "true"):
+        from ..utils.native_loader import load_image_batch_native
+
+        return load_image_batch_native(paths, size=size)
     return np.concatenate([load_image(p, size=size) for p in paths], axis=0)
 
 

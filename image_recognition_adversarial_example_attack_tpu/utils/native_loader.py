@@ -1,0 +1,97 @@
+"""ctypes binding for the native threaded image loader (native/loader.cc).
+
+Builds the shared object on first use (g++ + libjpeg, both in the image)
+and degrades silently to the PIL path when unavailable.  Decode failures
+are per-image: the C side flags them and the wrapper re-decodes just those
+with PIL (error isolation, mirroring the reference's per-image try/except).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from ..core.constants import IMAGE_SIZE, RESIZE_SIZE
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libadvloader.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _load_library() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _SO_PATH.is_file():
+            if not (_NATIVE_DIR / "loader.cc").is_file():
+                _build_failed = True
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR), "libadvloader.so"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+            lib.load_batch.restype = ctypes.c_int
+            lib.load_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ]
+            assert lib.loader_abi_version() == 1
+            _lib = lib
+            return _lib
+        except Exception:
+            _build_failed = True
+            return None
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def load_image_batch_native(
+    paths: Sequence[str | Path],
+    size: int = IMAGE_SIZE,
+    resize_to: int = RESIZE_SIZE,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """[B, size, size, 3] float32 in [0,1]; PIL fallback per failed image."""
+    lib = _load_library()
+    n = len(paths)
+    if n == 0:
+        raise ValueError("empty path list")
+    out = np.empty((n, size, size, 3), np.float32)
+    ok = np.zeros((n,), np.int32)
+
+    if lib is not None:
+        c_paths = (ctypes.c_char_p * n)(
+            *[str(p).encode() for p in paths]
+        )
+        lib.load_batch(
+            c_paths, n, resize_to, size, n_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+
+    # per-image fallback for non-JPEGs / failures (or everything w/o lib)
+    if not np.all(ok == 1):
+        from ..core.images import load_image
+
+        for i in np.nonzero(ok == 0)[0]:
+            out[i] = load_image(paths[i], size=size)[0]
+    return out

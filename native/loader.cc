@@ -1,0 +1,234 @@
+// Native batch image loader: threaded JPEG decode -> antialiased bilinear
+// resize (shorter side -> 256, PIL-equivalent triangle filter) -> center
+// crop 224 -> float32 NHWC in [0,1].
+//
+// Role: the framework's data-plane runtime. The reference decodes with
+// PIL per image on the Python thread (defense_experiments.py:649-653);
+// at TPU attack throughput (hundreds-thousands img/s) single-threaded
+// Python decode becomes the pipeline bottleneck. This loader saturates
+// host cores and feeds batches directly into pinned numpy buffers.
+//
+// C ABI only (consumed via ctypes — no pybind11 in the image).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file into interleaved RGB u8. Returns false on failure.
+bool decode_jpeg(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  out->resize(static_cast<size_t>(*w) * (*h) * 3);
+  const int stride = (*w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// PIL-style separable resample with a triangle (bilinear) filter whose
+// support scales with the downscale ratio (antialiasing) — the same
+// algorithm Pillow uses for Image.resize(..., BILINEAR).
+struct FilterTap {
+  int first;
+  std::vector<double> weights;  // normalized
+};
+
+void build_taps(int in_size, int out_size, std::vector<FilterTap>* taps) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // bilinear support = 1
+  taps->resize(out_size);
+  for (int i = 0; i < out_size; ++i) {
+    const double center = (i + 0.5) * scale;
+    int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
+    int xmax = static_cast<int>(std::min(static_cast<double>(in_size),
+                                         std::ceil(center + support)));
+    auto& tap = (*taps)[i];
+    tap.first = xmin;
+    tap.weights.resize(xmax - xmin);
+    double total = 0.0;
+    for (int x = xmin; x < xmax; ++x) {
+      const double t = std::abs((x + 0.5 - center) / filterscale);
+      const double wgt = t < 1.0 ? 1.0 - t : 0.0;
+      tap.weights[x - xmin] = wgt;
+      total += wgt;
+    }
+    if (total > 0) {
+      for (auto& wv : tap.weights) wv /= total;
+    }
+  }
+}
+
+// Resize interleaved RGB u8 [h,w] -> float32 [out_h,out_w] (separable).
+void resize_rgb(const uint8_t* src, int w, int h, int out_w, int out_h,
+                std::vector<float>* dst) {
+  std::vector<FilterTap> htaps, vtaps;
+  build_taps(w, out_w, &htaps);
+  build_taps(h, out_h, &vtaps);
+
+  // horizontal pass: [h, out_w, 3]
+  std::vector<float> tmp(static_cast<size_t>(h) * out_w * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const auto& tap = htaps[x];
+      double acc[3] = {0, 0, 0};
+      for (size_t k = 0; k < tap.weights.size(); ++k) {
+        const uint8_t* px = row + (tap.first + k) * 3;
+        const double wgt = tap.weights[k];
+        acc[0] += wgt * px[0];
+        acc[1] += wgt * px[1];
+        acc[2] += wgt * px[2];
+      }
+      trow[x * 3 + 0] = static_cast<float>(acc[0]);
+      trow[x * 3 + 1] = static_cast<float>(acc[1]);
+      trow[x * 3 + 2] = static_cast<float>(acc[2]);
+    }
+  }
+
+  // vertical pass: [out_h, out_w, 3]
+  dst->resize(static_cast<size_t>(out_h) * out_w * 3);
+  for (int y = 0; y < out_h; ++y) {
+    const auto& tap = vtaps[y];
+    float* drow = dst->data() + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w * 3; ++x) {
+      double acc = 0;
+      for (size_t k = 0; k < tap.weights.size(); ++k) {
+        acc += tap.weights[k] *
+               tmp[static_cast<size_t>(tap.first + k) * out_w * 3 + x];
+      }
+      drow[x] = static_cast<float>(acc);
+    }
+  }
+}
+
+// Round half to even, matching Python's round() used by the PIL pipeline
+// (core/images.py); plain lround rounds half away and shifts odd crops by 1.
+int round_half_even(double v) {
+  const double fl = std::floor(v);
+  const double diff = v - fl;
+  if (diff > 0.5) return static_cast<int>(fl) + 1;
+  if (diff < 0.5) return static_cast<int>(fl);
+  const int lo = static_cast<int>(fl);
+  return (lo % 2 == 0) ? lo : lo + 1;
+}
+
+// One image: decode -> shorter-side resize -> center crop -> [0,1] floats.
+bool process_one(const char* path, int resize_to, int crop, float* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, &rgb, &w, &h)) return false;
+
+  int new_w, new_h;
+  if (w <= h) {
+    new_w = resize_to;
+    new_h = std::max(1, round_half_even(static_cast<double>(h) * resize_to / w));
+  } else {
+    new_h = resize_to;
+    new_w = std::max(1, round_half_even(static_cast<double>(w) * resize_to / h));
+  }
+  std::vector<float> resized;
+  resize_rgb(rgb.data(), w, h, new_w, new_h, &resized);
+
+  const int left = round_half_even((new_w - crop) / 2.0);
+  const int top = round_half_even((new_h - crop) / 2.0);
+  for (int y = 0; y < crop; ++y) {
+    const int sy = std::min(std::max(top + y, 0), new_h - 1);
+    for (int x = 0; x < crop; ++x) {
+      const int sx = std::min(std::max(left + x, 0), new_w - 1);
+      const float* px = resized.data() + (static_cast<size_t>(sy) * new_w + sx) * 3;
+      float* dst = out + (static_cast<size_t>(y) * crop + x) * 3;
+      // PIL stores the resized image as u8 before ToTensor's /255; match
+      // that quantization (round-half-even like Pillow's +0.5 floor ≈ round)
+      dst[0] = std::min(255.0f, std::max(0.0f, std::round(px[0]))) / 255.0f;
+      dst[1] = std::min(255.0f, std::max(0.0f, std::round(px[1]))) / 255.0f;
+      dst[2] = std::min(255.0f, std::max(0.0f, std::round(px[2]))) / 255.0f;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch API. paths: n null-terminated strings. out: [n, crop, crop, 3]
+// float32. ok: [n] int32 (1 = decoded, 0 = failure — caller falls back to
+// its Python decoder for those). Returns number of successes.
+int load_batch(const char** paths, int n, int resize_to, int crop,
+               int n_threads, float* out, int32_t* ok) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  n_threads = std::min(n_threads, n);
+  std::atomic<int> next{0};
+  std::atomic<int> n_ok{0};
+  const size_t img_elems = static_cast<size_t>(crop) * crop * 3;
+
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const bool good = process_one(paths[i], resize_to, crop, out + i * img_elems);
+      ok[i] = good ? 1 : 0;
+      if (good) n_ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return n_ok.load();
+}
+
+int loader_abi_version() { return 1; }
+
+}  // extern "C"
