@@ -137,8 +137,18 @@ def main(argv=None) -> int:
         bundle = load_bundle(args)
     logits_fn, features_fn = make_fns(bundle)
 
-    x = jnp.asarray(load_image_batch(image_paths))
-    n = x.shape[0]
+    # one padded batch on the device mesh (sharded over 'data' when the
+    # host sees multiple chips); counters are trimmed back to n_valid
+    from ..core.images import load_image_batch_tolerant
+    from ..eval.engine import Engine
+
+    engine = Engine()
+    x_np, image_paths = load_image_batch_tolerant(image_paths)
+    batch = engine.batch_from_array(x_np, paths=list(image_paths))
+    x = batch.x
+    n = batch.n_valid
+    if engine.mesh is not None:
+        print(f"Mesh: {dict(engine.mesh.shape)} (batch {batch.padded_size} sharded over 'data')")
 
     # --- detector threshold ---
     if args.calibrate_dir is not None:
@@ -159,7 +169,7 @@ def main(argv=None) -> int:
         print(f"Using specified threshold: {detector_threshold:.4f}")
     else:
         detector_threshold = calibrate_feature_threshold(
-            features_fn, x, n=min(100, n), quantile=args.calibrate_quantile,
+            features_fn, x[:n], n=min(100, n), quantile=args.calibrate_quantile,
         )
         print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
 

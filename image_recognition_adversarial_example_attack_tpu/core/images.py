@@ -86,6 +86,29 @@ def load_image_batch(
     return np.concatenate([load_image(p, size=size) for p in paths], axis=0)
 
 
+def load_image_batch_tolerant(
+    paths: Sequence[str | Path],
+    size: int = IMAGE_SIZE,
+) -> tuple[np.ndarray, list[Path]]:
+    """Like load_image_batch but skips unreadable files with a warning.
+
+    Per-image error isolation in the spirit of the reference's
+    try/except-continue loops (test.py:111-113, defense_experiments.py:318).
+    Returns (batch, list of successfully loaded paths).
+    """
+    arrays: list[np.ndarray] = []
+    good: list[Path] = []
+    for p in paths:
+        try:
+            arrays.append(load_image(p, size=size))
+            good.append(Path(p))
+        except Exception as e:  # noqa: BLE001 — isolate any decode failure
+            print(f"WARNING: skipping unreadable image {p}: {e}")
+    if not arrays:
+        raise ValueError("no readable images in batch")
+    return np.concatenate(arrays, axis=0), good
+
+
 def pad_batch(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad batch dim up to a multiple (for even sharding). Returns (padded, n_valid)."""
     n = x.shape[0]

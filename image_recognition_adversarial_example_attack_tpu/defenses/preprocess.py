@@ -38,7 +38,15 @@ def defense_smoothing(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def defense_quantization(x: jnp.ndarray, levels: int = QUANTIZATION_LEVELS) -> jnp.ndarray:
-    """Round pixels to ``levels`` uniform values in [0,1]. Idempotent."""
+    """Round pixels to ``levels`` uniform values in [0,1]. Idempotent.
+
+    Routes through the pallas kernel when ADV_TPU_USE_PALLAS=1 on TPU
+    (bit-identical semantics; see ops/pallas_ops.py).
+    """
+    from ..ops.pallas_ops import quantize_pallas, use_pallas
+
+    if use_pallas():
+        return quantize_pallas(x, levels)
     x = jnp.clip(x, 0.0, 1.0)
     scale = jnp.array(levels - 1, x.dtype)
     return jnp.round(x * scale) / scale
