@@ -142,7 +142,10 @@ def main(argv=None) -> int:
     from ..core.images import load_image_batch_tolerant
     from ..eval.engine import Engine
 
-    engine = Engine()
+    # JPEG is a host round-trip (io_callback); XLA aborts on host callbacks
+    # inside SPMD-sharded programs, and the data would funnel through the
+    # host anyway — so the JPEG arm runs single-device by design.
+    engine = Engine(use_mesh=not args.use_jpeg)
     x_np, image_paths = load_image_batch_tolerant(image_paths)
     batch = engine.batch_from_array(x_np, paths=list(image_paths))
     x = batch.x

@@ -6,6 +6,11 @@ this stays host-side — but wrapped in ``jax.experimental.io_callback`` it
 can live INSIDE a jitted evaluation program: the compiled graph pauses once,
 ships the batch to host, and resumes, instead of breaking the program into
 eager pieces.
+
+SPMD limitation: XLA host callbacks abort inside multi-device-sharded
+programs — run JPEG-bearing programs on a single device (the defense CLI
+does this automatically; the data must cross to the host either way, so
+sharding would buy nothing for this arm).
 """
 
 from __future__ import annotations

@@ -133,3 +133,30 @@ def test_dataset_check_cli(image_dir, capsys):
     out = capsys.readouterr().out
     assert "Total images: 3" in out
     assert "Low-confidence ratio" in out
+
+
+def test_defense_experiments_jpeg_and_robust(image_dir, tmp_path, capsys):
+    """--use_jpeg routes through the io_callback path; --model_type robust
+    falls back to random init (no weights here) with identity normalization."""
+    import pytest
+
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    out_dir = tmp_path / "jpegres"
+    with pytest.warns(UserWarning, match="no weights found"):
+        rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+                   "--eps_list", "0.03137", "--steps", "2",
+                   "--model_type", "robust", "--use_jpeg", "--jpeg_quality", "60",
+                   "--viz_samples", "0", "--output_dir", str(out_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "attack=fgsm" in out
+
+
+def test_classify_targeted_cw(image_dir, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.classify import main
+
+    rc = main([str(image_dir / "img_0.jpg"), "--attack", "cw", "--cw_steps", "5",
+               "--target", "3", "--model", "resnet_tiny"])
+    assert rc == 0
+    assert "Adversarial (cw):" in capsys.readouterr().out
