@@ -121,7 +121,6 @@ def main(argv=None) -> int:
         from ..viz.plots import plot_blackbox_pair
 
         out_dir = image_dir / "blackbox_vis"
-        writable = True
         try:
             out_dir.mkdir(parents=True, exist_ok=True)
         except OSError:

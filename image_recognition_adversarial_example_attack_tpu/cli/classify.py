@@ -77,8 +77,13 @@ def main(argv=None) -> int:
 
     x = jnp.asarray(load_image_batch(paths))
 
+    # one probs program reused for clean AND adversarial batches — a second
+    # jit lambda would recompile the identical forward (minutes on a remote
+    # TPU relay)
+    probs_fn = jax.jit(lambda x: jax.nn.softmax(logits_fn(x), -1))
+
     with maybe_profile(args.profile_dir):
-        probs_clean = np.asarray(jax.jit(lambda x: jax.nn.softmax(logits_fn(x), -1))(x))
+        probs_clean = np.asarray(probs_fn(x))
         pred_clean = probs_clean.argmax(axis=-1)
 
         x_adv = None
@@ -110,7 +115,7 @@ def main(argv=None) -> int:
                     lambda x, y, k: run_attack(args.attack, logits_fn, x, y, params, k)
                 )
                 x_adv = fn(x, y_true, key_from_seed(args.seed))
-            probs_adv = np.asarray(jax.jit(lambda x: jax.nn.softmax(logits_fn(x), -1))(x_adv))
+            probs_adv = np.asarray(probs_fn(x_adv))
 
     # Host-side reporting, per image, in the reference's format.
     vals_c, idx_c = topk_host(probs_clean, topk)

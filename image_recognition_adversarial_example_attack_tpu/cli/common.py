@@ -54,14 +54,24 @@ def resolve_dtype(name: str | None) -> Any:
 
 
 def load_bundle(args: argparse.Namespace, name: str | None = None):
+    """Load a zoo model honoring the CLI's dtype/weights flags.
+
+    An explicit ``--weights`` path applies ONLY when loading the model the
+    flag was written for (``args.model`` / the default) — in multi-model
+    CLIs, force-converting e.g. a resnet50 checkpoint into a vgg19 template
+    would abort the sweep.  Other models resolve via the weights directory.
+    """
     from ..models.zoo import load_model
 
     dtype = resolve_dtype(getattr(args, "model_dtype", None))
-    return load_model(name or args.model, dtype=dtype,
-                      weights=getattr(args, "weights", None))
+    target = name or args.model
+    explicit = getattr(args, "weights", None)
+    if name is not None and name != getattr(args, "model", None):
+        explicit = None
+    return load_model(target, dtype=dtype, weights=explicit)
 
 
-def make_fns(bundle, dtype=None):
+def make_fns(bundle):
     """(logits_fn, features_fn) for a bundle, with bf16 input cast when the
     module computes in bf16."""
     from ..attacks.api import make_logits_fn

@@ -130,6 +130,7 @@ def main(argv=None) -> int:
 
     # --- model + normalization (robust arm: identity normalize) ---
     if args.model_type == "robust":
+        args.model = "resnet50_robust"  # so an explicit --weights applies
         bundle = load_bundle(args, name="resnet50_robust")
         bundle.mean = np.zeros(3, np.float32)
         bundle.std = np.ones(3, np.float32)
@@ -191,6 +192,7 @@ def main(argv=None) -> int:
     print("=" * 60)
 
     key = key_from_seed(args.seed)
+    cw_cached_stats: dict | None = None  # CW never reads eps; compute once
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             for eps in args.eps_list:
@@ -199,6 +201,14 @@ def main(argv=None) -> int:
                 if cell_id in partial and partial[cell_id].get("count") == n:
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
+                    continue
+                if attack_name == "cw" and cw_cached_stats is not None:
+                    # cw_l2_attack is eps-independent (L2 attack); identical
+                    # cell — reuse instead of recompiling + re-optimizing
+                    print("  (cw is eps-independent: reusing the computed cell)")
+                    results[(attack_name, float(eps))] = dict(cw_cached_stats)
+                    partial[cell_id] = dict(cw_cached_stats)
+                    _save_partial(output_dir, partial)
                     continue
 
                 cfg = DefenseEvalConfig(
@@ -217,6 +227,8 @@ def main(argv=None) -> int:
                 stats = aggregate_stats(out, n_valid=n)
                 print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
                 results[(attack_name, float(eps))] = stats
+                if attack_name == "cw":
+                    cw_cached_stats = stats
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)
 

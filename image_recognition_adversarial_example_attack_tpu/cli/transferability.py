@@ -109,12 +109,17 @@ def main(argv=None) -> int:
     # all_results[attack][eps] = {"source_success": rate-relevant list,
     #                             "transfer_success": {model: list}}
     all_results: dict = {}
+    cw_cached_cell = None  # CW never reads eps; compute once per sweep
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             all_results[attack_name] = {}
             for eps in args.eps_list:
                 print(f"  Running {attack_name.upper()} with eps={eps:.5f} "
                       f"on a batch of {n}...")
+                if attack_name == "cw" and cw_cached_cell is not None:
+                    print("    (cw is eps-independent: reusing the computed cell)")
+                    all_results[attack_name][float(eps)] = cw_cached_cell
+                    continue
                 params = AttackParams(
                     eps=float(eps), alpha=float(args.alpha), steps=int(args.steps),
                     cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
@@ -128,13 +133,16 @@ def main(argv=None) -> int:
                     )
                 )(x, sub)
                 src_vec = np.asarray(cell.source_success)
-                all_results[attack_name][float(eps)] = {
+                cell_record = {
                     "source_success": src_vec.tolist(),
                     "transfer_success": {
                         name: np.asarray(v).tolist()
                         for name, v in cell.target_success.items()
                     },
                 }
+                all_results[attack_name][float(eps)] = cell_record
+                if attack_name == "cw":
+                    cw_cached_cell = cell_record
                 print(f"    Source model ASR: {src_vec.mean():.3f}")
                 for name, v in cell.target_success.items():
                     print(f"    Transfer to {name}: {np.asarray(v).mean():.3f}")

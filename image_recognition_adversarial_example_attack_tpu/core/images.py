@@ -35,10 +35,13 @@ def preprocess_pil(
     """
     img = img.convert("RGB")
     w, h = img.size
+    # torchvision computes the scaled long side with int() TRUNCATION
+    # (_compute_resized_output_size), not round(); matching it exactly keeps
+    # the resample grid and crop offsets identical to the reference pipeline.
     if w <= h:
-        new_w, new_h = resize, max(1, round(h * resize / w))
+        new_w, new_h = resize, max(1, int(h * resize / w))
     else:
-        new_w, new_h = max(1, round(w * resize / h)), resize
+        new_w, new_h = max(1, int(w * resize / h)), resize
     img = img.resize((new_w, new_h), Image.Resampling.BILINEAR)
 
     left = int(round((new_w - crop) / 2.0))

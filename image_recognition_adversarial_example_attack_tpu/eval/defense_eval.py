@@ -121,18 +121,24 @@ def make_defense_eval_fn(logits_fn: LogitsFn, features_fn: FeaturesFn, config: D
     return fn
 
 
+@partial(jax.jit, static_argnames=("n_valid",))
+def _sum_counters(vecs: dict, n_valid: int) -> dict:
+    return {k: jnp.sum(v[:n_valid]) for k, v in vecs.items()}
+
+
 def aggregate_stats(per_sample: dict[str, Any], n_valid: int | None = None) -> dict[str, int]:
     """Per-sample vectors -> summed counters (+ count), host-side ints.
 
-    ``n_valid`` trims sharding padding (see core.images.pad_batch).
+    ``n_valid`` trims sharding padding (see core.images.pad_batch).  The six
+    reductions run as ONE jitted program with ONE host transfer — eager
+    per-key slicing would cost a device round-trip per op (expensive on
+    remote-attached TPUs).
     """
-    out: dict[str, int] = {}
-    for k in STAT_KEYS:
-        v = jnp.asarray(per_sample[k])
-        if n_valid is not None:
-            v = v[:n_valid]
-        out[k] = int(jnp.sum(v))
-    out["count"] = int(n_valid if n_valid is not None else jnp.asarray(per_sample[STAT_KEYS[0]]).shape[0])
+    vecs = {k: jnp.asarray(per_sample[k]) for k in STAT_KEYS}
+    count = int(n_valid) if n_valid is not None else int(vecs[STAT_KEYS[0]].shape[0])
+    summed = jax.device_get(_sum_counters(vecs, count))
+    out = {k: int(v) for k, v in summed.items()}
+    out["count"] = count
     return out
 
 

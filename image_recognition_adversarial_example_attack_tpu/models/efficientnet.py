@@ -66,7 +66,7 @@ class MBConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
-        bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-3,
+        bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      momentum=0.9, dtype=self.dtype, param_dtype=jnp.float32)
         spec = self.spec
         mid = self.in_ch * spec.expand_ratio
@@ -104,7 +104,7 @@ class EfficientNet(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
-        bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-3,
+        bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      momentum=0.9, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         x = conv(self.stem_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),

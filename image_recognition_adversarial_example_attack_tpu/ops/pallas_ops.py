@@ -155,17 +155,22 @@ def quantize_pallas(
 # On-chip uniform noise in [-eps, eps] (PGD random start)
 # ---------------------------------------------------------------------------
 
-def _uniform_kernel(scalars_ref, out_ref):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _make_uniform_kernel(eps: float):
+    def _uniform_kernel(seed_ref, out_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    # per-block seed: base seed + program index keeps blocks decorrelated
-    pltpu.prng_seed(scalars_ref[1].astype(jnp.int32) + pl.program_id(0))
-    eps = scalars_ref[0]
-    bits = pltpu.prng_random_bits(out_ref.shape)
-    # uint32 -> [0,1): take 24 high bits for an exact float32 mantissa fill
-    u01 = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    out_ref[...] = (u01 * 2.0 - 1.0) * eps
+        # per-block seed: base seed + program index keeps blocks decorrelated
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # prng_random_bits yields int32 on TPU; bitcast to uint32 BEFORE the
+        # shift — an arithmetic >> on the signed view would land half the
+        # lanes in [-0.5, 0) instead of [0, 0.5).
+        bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
+        # uint32 -> [0,1): take 24 high bits for an exact float32 mantissa fill
+        u01 = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        out_ref[...] = (u01 * 2.0 - 1.0) * eps
+
+    return _uniform_kernel
 
 
 def uniform_noise_pallas(
@@ -192,9 +197,11 @@ def uniform_noise_pallas(
     rows = -(-n // _LANES)
     block_rows = min(_BLOCK_ROWS, rows)
     grid = (-(-rows // block_rows),)
-    scalars = jnp.asarray([eps, float(seed)], jnp.float32)
+    # eps closes over the kernel (compile-time constant); seed stays int32 —
+    # smuggling it through float32 would collapse seeds above 2^24.
+    seed_arr = jnp.asarray([seed], jnp.int32)
     out = pl.pallas_call(
-        _uniform_kernel,
+        _make_uniform_kernel(float(eps)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -205,5 +212,5 @@ def uniform_noise_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         interpret=interpret,
-    )(scalars)
+    )(seed_arr)
     return out.reshape(-1)[:n].reshape(shape)

@@ -64,7 +64,9 @@ def _is_head_kernel(path: tuple, leaf) -> bool:
     return (
         len(names) >= 2
         and names[-1] == "kernel"
-        and names[-2] in ("fc", "head", "classifier_6")
+        # fc: resnet; head: vit/swin; classifier: densenet/efficientnet;
+        # classifier_6: vgg
+        and names[-2] in ("fc", "head", "classifier", "classifier_6")
         and getattr(leaf, "ndim", 0) == 2
     )
 

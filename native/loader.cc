@@ -166,13 +166,14 @@ bool process_one(const char* path, int resize_to, int crop, float* out) {
   int w = 0, h = 0;
   if (!decode_jpeg(path, &rgb, &w, &h)) return false;
 
+  // long side TRUNCATES like torchvision's _compute_resized_output_size
   int new_w, new_h;
   if (w <= h) {
     new_w = resize_to;
-    new_h = std::max(1, round_half_even(static_cast<double>(h) * resize_to / w));
+    new_h = std::max(1, static_cast<int>(static_cast<double>(h) * resize_to / w));
   } else {
     new_h = resize_to;
-    new_w = std::max(1, round_half_even(static_cast<double>(w) * resize_to / h));
+    new_w = std::max(1, static_cast<int>(static_cast<double>(w) * resize_to / h));
   }
   std::vector<float> resized;
   resize_rgb(rgb.data(), w, h, new_w, new_h, &resized);
