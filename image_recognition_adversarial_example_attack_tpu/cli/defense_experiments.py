@@ -191,6 +191,9 @@ def main(argv=None) -> int:
     print("Running attack & defense experiments...")
     print("=" * 60)
 
+    from ..utils.profiling import PhaseTimer
+
+    timer = PhaseTimer(verbose=False)
     key = key_from_seed(args.seed)
     cw_cached_stats: dict | None = None  # CW never reads eps; compute once
     with maybe_profile(args.profile_dir):
@@ -221,8 +224,9 @@ def main(argv=None) -> int:
                 fn = make_defense_eval_fn(logits_fn, features_fn, cfg)
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
-                out = fn(x, y_true, detector_threshold, sub)
-                jax.block_until_ready(out)
+                with timer.phase(cell_id, examples=n):
+                    out = fn(x, y_true, detector_threshold, sub)
+                    jax.block_until_ready(out)
                 dt = time.perf_counter() - t0
                 stats = aggregate_stats(out, n_valid=n)
                 print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
@@ -260,6 +264,12 @@ def main(argv=None) -> int:
 
     plot_defense_heatmaps(results, output_dir, save_prefix="defense_results")
     print(f"Saved visualizations to: {output_dir}")
+
+    # per-phase wall-clock + examples/sec observability (SURVEY.md §5 —
+    # the reference has no timing at all)
+    timings_path = output_dir / "timings.json"
+    timings_path.write_text(json.dumps(timer.as_dict(), indent=2))
+    print(f"Phase timings: {timings_path}")
 
     print("\nAll experiments complete. Results saved to:", output_dir)
     return 0

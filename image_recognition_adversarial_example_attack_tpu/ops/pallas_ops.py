@@ -166,8 +166,11 @@ def _make_uniform_kernel(eps: float):
         # shift — an arithmetic >> on the signed view would land half the
         # lanes in [-0.5, 0) instead of [0, 0.5).
         bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
-        # uint32 -> [0,1): take 24 high bits for an exact float32 mantissa fill
-        u01 = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # take the 24 high bits for an exact float32 mantissa fill; after the
+        # logical shift the top byte is zero, so the int32 view is
+        # non-negative (Mosaic has no uint32->f32 cast)
+        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u01 = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
         out_ref[...] = (u01 * 2.0 - 1.0) * eps
 
     return _uniform_kernel
