@@ -89,6 +89,7 @@ class AttackParams:
     cw_steps: int = 100
     cw_lr: float = DEFAULT_CW_LR
     random_start: bool = True
+    mu: float = 1.0  # MI-FGSM momentum decay
 
 
 def run_attack(
@@ -99,13 +100,23 @@ def run_attack(
     params: AttackParams,
     key: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """String dispatch: 'fgsm' | 'pgd' | 'cw' -> x_adv in [0,1]."""
+    """String dispatch: 'fgsm' | 'pgd' | 'cw' | 'mifgsm' -> x_adv in [0,1].
+
+    'mifgsm' is a beyond-reference extension (momentum iterative FGSM) that
+    plugs into every harness accepting an attack name.
+    """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
+    from .mifgsm import mifgsm_attack
     from .pgd import pgd_linf_attack
 
     if attack_name == "fgsm":
         return fgsm_attack(logits_fn, x, y_true, eps=params.eps)
+    if attack_name == "mifgsm":
+        return mifgsm_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+        )
     if attack_name == "pgd":
         if key is None:
             key = jax.random.PRNGKey(0)

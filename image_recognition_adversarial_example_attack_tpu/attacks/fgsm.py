@@ -20,8 +20,17 @@ def fgsm_attack(
     y_true: jnp.ndarray,
     *,
     eps: float,
+    y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1]."""
-    grad = input_grad(logits_fn, x, y_true)
-    x_adv = x + eps * jnp.sign(grad).astype(x.dtype)
+    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1].
+
+    With ``y_target`` the step DESCENDS the target class's CE (targeted
+    mode, a beyond-reference extension; the reference only targets CW).
+    """
+    if y_target is not None:
+        grad = input_grad(logits_fn, x, y_target)
+        x_adv = x - eps * jnp.sign(grad).astype(x.dtype)
+    else:
+        grad = input_grad(logits_fn, x, y_true)
+        x_adv = x + eps * jnp.sign(grad).astype(x.dtype)
     return jnp.clip(x_adv, 0.0, 1.0)

@@ -38,8 +38,13 @@ def pgd_linf_attack(
     steps: int,
     key: jax.Array,
     random_start: bool = True,
+    y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1]."""
+    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1].
+
+    With ``y_target`` each step DESCENDS the target class's CE (targeted
+    mode, a beyond-reference extension; the reference only targets CW).
+    """
     x_orig = x
     if random_start:
         noise = jax.random.uniform(key, x.shape, x.dtype, minval=-eps, maxval=eps)
@@ -47,9 +52,12 @@ def pgd_linf_attack(
     else:
         x_adv = x_orig
 
+    y_grad = y_true if y_target is None else y_target
+    direction = 1.0 if y_target is None else -1.0
+
     def body(x_adv, _):
-        grad = input_grad(logits_fn, x_adv, y_true)
-        return pgd_step(x_adv, grad, x_orig, eps, alpha), None
+        grad = input_grad(logits_fn, x_adv, y_grad)
+        return pgd_step(x_adv, direction * grad, x_orig, eps, alpha), None
 
     x_adv, _ = lax.scan(body, x_adv, None, length=int(steps))
     return x_adv

@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("image", nargs="?", default="example.jpg")
     parser.add_argument("--topk", type=int, default=5)
-    parser.add_argument("--attack", choices=["none", "fgsm", "pgd", "cw"], default="none")
+    parser.add_argument("--attack", choices=["none", "fgsm", "pgd", "cw", "mifgsm"], default="none")
     parser.add_argument("--label", type=int, default=None)
     parser.add_argument("--eps", type=float, default=DEFAULT_EPS)
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -93,18 +93,37 @@ def main(argv=None) -> int:
             else:
                 y_true = jnp.asarray(pred_clean.astype(np.int32))
 
-            if args.attack == "cw" and args.target is not None:
-                from ..attacks.cw import cw_l2_attack
-
-                fn = jax.jit(
-                    lambda x, y, t: cw_l2_attack(
-                        logits_fn, x, y,
-                        c=args.cw_c, kappa=args.cw_kappa, steps=args.cw_steps,
-                        lr=args.cw_lr, targeted=True, y_target=t,
-                    ).x_adv
-                )
+            if args.target is not None and args.attack in ("cw", "fgsm", "pgd"):
+                # targeted modes (reference supports targeted CW only;
+                # targeted FGSM/PGD are beyond-reference extensions)
                 y_t = jnp.full((x.shape[0],), int(args.target), jnp.int32)
-                x_adv = fn(x, y_true, y_t)
+                if args.attack == "cw":
+                    from ..attacks.cw import cw_l2_attack
+
+                    fn = jax.jit(
+                        lambda x, y, t: cw_l2_attack(
+                            logits_fn, x, y,
+                            c=args.cw_c, kappa=args.cw_kappa, steps=args.cw_steps,
+                            lr=args.cw_lr, targeted=True, y_target=t,
+                        ).x_adv
+                    )
+                    x_adv = fn(x, y_true, y_t)
+                elif args.attack == "fgsm":
+                    from ..attacks.fgsm import fgsm_attack
+
+                    x_adv = jax.jit(
+                        lambda x, y, t: fgsm_attack(logits_fn, x, y, eps=args.eps,
+                                                    y_target=t)
+                    )(x, y_true, y_t)
+                else:
+                    from ..attacks.pgd import pgd_linf_attack
+
+                    x_adv = jax.jit(
+                        lambda x, y, t, k: pgd_linf_attack(
+                            logits_fn, x, y, eps=args.eps, alpha=args.alpha,
+                            steps=args.steps, key=k, y_target=t,
+                        )
+                    )(x, y_true, y_t, key_from_seed(args.seed))
             else:
                 params = AttackParams(
                     eps=args.eps, alpha=args.alpha, steps=args.steps,

@@ -167,3 +167,62 @@ class TestRunAttack:
         g = input_grad(tiny_logits_fn, x, y)
         assert g.shape == x.shape
         assert bool(jnp.any(g != 0))
+
+
+class TestMIFGSM:
+    def test_invariants(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import mifgsm_attack
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = mifgsm_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=10)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_mu_zero_equals_l1_normalized_pgd_sign(self, tiny_logits_fn, image_batch):
+        """mu=0: each step uses sign(grad/||grad||_1) == sign(grad) == PGD."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            mifgsm_attack,
+            pgd_linf_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        a = mifgsm_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, mu=0.0)
+        b = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5,
+                            key=jax.random.PRNGKey(0), random_start=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        params = AttackParams(eps=EPS, alpha=ALPHA, steps=3, mu=1.0)
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = run_attack("mifgsm", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+
+
+class TestTargetedModes:
+    def test_targeted_fgsm_increases_target_prob(self, tiny_logits_fn, image_batch):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        y_t = (y + 3) % 8
+        x_adv = fgsm_attack(tiny_logits_fn, x, y, eps=EPS, y_target=y_t)
+        p0 = jax.nn.softmax(tiny_logits_fn(x), -1)
+        p1 = jax.nn.softmax(tiny_logits_fn(x_adv), -1)
+        t0 = np.asarray(jnp.take_along_axis(p0, y_t[:, None], -1))[:, 0]
+        t1 = np.asarray(jnp.take_along_axis(p1, y_t[:, None], -1))[:, 0]
+        assert (t1 >= t0 - 1e-6).all()
+
+    def test_targeted_pgd_stays_in_ball(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        y_t = (y + 1) % 8
+        x_adv = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA,
+                                steps=10, key=rng_key, y_target=y_t)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        # target prob should increase vs clean
+        p0 = jax.nn.softmax(tiny_logits_fn(x), -1)
+        p1 = jax.nn.softmax(tiny_logits_fn(x_adv), -1)
+        t0 = np.asarray(jnp.take_along_axis(p0, y_t[:, None], -1)).mean()
+        t1 = np.asarray(jnp.take_along_axis(p1, y_t[:, None], -1)).mean()
+        assert t1 > t0
