@@ -117,7 +117,7 @@ class TestCW:
     def test_invariants_and_success_tracking(self, tiny_logits_fn, image_batch):
         x = jnp.asarray(image_batch)
         y = _labels(tiny_logits_fn, x)
-        res = cw_l2_attack(tiny_logits_fn, x, y, c=10.0, steps=200, lr=0.05)
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=10.0, steps=80, lr=0.05)
         assert res.x_adv.shape == x.shape
         assert res.success.dtype == jnp.bool_
         assert float(res.x_adv.min()) >= 0.0 and float(res.x_adv.max()) <= 1.0
@@ -130,7 +130,7 @@ class TestCW:
         """With a large c, CW should flip at least one tiny-model sample."""
         x = jnp.asarray(image_batch)
         y = _labels(tiny_logits_fn, x)
-        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=300, lr=0.1)
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=120, lr=0.1)
         assert bool(jnp.any(res.success))
 
     def test_targeted_requires_target(self, tiny_logits_fn, image_batch):
@@ -143,7 +143,7 @@ class TestCW:
         x = jnp.asarray(image_batch)
         y = _labels(tiny_logits_fn, x)
         y_t = (y + 1) % 8
-        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=300, lr=0.1,
+        res = cw_l2_attack(tiny_logits_fn, x, y, c=100.0, steps=120, lr=0.1,
                            targeted=True, y_target=y_t)
         pred = jnp.argmax(tiny_logits_fn(res.x_adv), axis=-1)
         hit = np.asarray(pred == y_t)

@@ -261,3 +261,28 @@ class TestRenameRules:
         assert efficientnet_rename("features.2.1.block.3.0") == "stage2_block1/project_conv"
         assert efficientnet_rename("features.8.1") == "head_bn"
         assert efficientnet_rename("classifier.1") == "classifier"
+
+
+def test_zoo_msgpack_cache_roundtrip(tmp_path, monkeypatch):
+    """save_variables -> load_model cache hit reproduces exact outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        load_model,
+        save_variables,
+    )
+
+    monkeypatch.setenv("ADV_TPU_WEIGHTS_DIR", str(tmp_path))
+    with pytest.warns(UserWarning):
+        b1 = load_model("resnet_tiny", input_size=32)
+    save_variables(b1.variables, tmp_path / "resnet_tiny.msgpack")
+
+    b2 = load_model("resnet_tiny", input_size=32)  # no warning: cache hit
+    assert b2.source == "cache"
+    x = jnp.ones((1, 32, 32, 3))
+    np.testing.assert_allclose(
+        np.asarray(b1.module.apply(b1.variables, x)),
+        np.asarray(b2.module.apply(b2.variables, x)),
+        atol=0,
+    )
