@@ -17,8 +17,13 @@ import numpy as np
 
 from ..utils.cache import enable_compilation_cache
 
-# Every CLI flows through this module; arm the persistent compile cache once.
+# Every CLI flows through this module; arm the persistent compile cache once
+# and join a multi-host pod when the launcher provides coordinates.
 enable_compilation_cache()
+
+from ..parallel.distributed import maybe_initialize_distributed  # noqa: E402
+
+maybe_initialize_distributed()
 
 # $ADV_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke tests and
 # air-gapped development; plain $JAX_PLATFORMS is overridden by the TPU
