@@ -61,3 +61,40 @@ def pgd_linf_attack(
 
     x_adv, _ = lax.scan(body, x_adv, None, length=int(steps))
     return x_adv
+
+
+def pgd_multi_restart(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    alpha: float,
+    steps: int,
+    key: jax.Array,
+    restarts: int = 5,
+) -> jnp.ndarray:
+    """Worst-case-over-restarts PGD (beyond-reference; standard for robust
+    evaluation).  TPU-native shape: the R restarts are ``vmap``-ed so the
+    device sees one [R*B, H, W, C] attack — R times the arithmetic intensity
+    of looping restarts from the host, zero extra compile.
+
+    Returns, per sample, the restart iterate with the highest CE loss.
+    """
+    from .api import cross_entropy_sum  # noqa: PLC0415 — avoid cycle at import
+
+    keys = jax.random.split(key, restarts)
+
+    def one(k):
+        x_adv = pgd_linf_attack(
+            logits_fn, x, y_true, eps=eps, alpha=alpha, steps=steps, key=k
+        )
+        logp = jax.nn.log_softmax(logits_fn(x_adv), axis=-1)
+        ce = -jnp.take_along_axis(logp, y_true[:, None], axis=-1)[:, 0]  # [B]
+        return x_adv, ce
+
+    advs, ces = jax.vmap(one)(keys)           # [R, B, ...], [R, B]
+    best = jnp.argmax(ces, axis=0)            # [B]
+    return jnp.take_along_axis(
+        advs, best[None, :, None, None, None], axis=0
+    )[0]

@@ -226,3 +226,40 @@ class TestTargetedModes:
         t0 = np.asarray(jnp.take_along_axis(p0, y_t[:, None], -1)).mean()
         t1 = np.asarray(jnp.take_along_axis(p1, y_t[:, None], -1)).mean()
         assert t1 > t0
+
+
+class TestMultiRestartPGD:
+    def test_ball_and_dominance(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks.pgd import (
+            pgd_linf_attack,
+            pgd_multi_restart,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_multi = pgd_multi_restart(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA,
+                                    steps=5, key=rng_key, restarts=4)
+        assert x_multi.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_multi - x))) <= EPS + 1e-6
+        assert float(x_multi.min()) >= 0.0 and float(x_multi.max()) <= 1.0
+
+        # per-sample CE of the multi-restart result >= a single restart's
+        def ce(xa):
+            logp = jax.nn.log_softmax(tiny_logits_fn(xa), -1)
+            return -np.asarray(jnp.take_along_axis(logp, y[:, None], -1))[:, 0]
+
+        single = pgd_linf_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA,
+                                 steps=5, key=jax.random.split(rng_key, 4)[0])
+        assert (ce(x_multi) >= ce(single) - 1e-5).all()
+
+    def test_jit(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks.pgd import (
+            pgd_multi_restart,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        fn = jax.jit(lambda x, y, k: pgd_multi_restart(
+            tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=3, key=k, restarts=3))
+        out = fn(x, y, rng_key)
+        assert out.shape == x.shape
