@@ -81,7 +81,6 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=5)
     args = parser.parse_args()
 
-    n_chips = max(1, len(jax.devices()))
     # batch 128 measured best on v5e (64: 374, 128: 517, 192: 444, 256: 473
     # ex/s); pinning it keeps the driver's run short and compile-count 1.
     if args.batch:
@@ -102,7 +101,13 @@ def main() -> None:
         if ex_s > best:
             best, best_batch = ex_s, b
 
-    per_chip = best / n_chips
+    if best <= 0.0:
+        print("bench failed: no batch size produced a measurement", file=sys.stderr)
+        sys.exit(1)
+
+    # the measured program is unsharded, i.e. it runs on exactly one chip —
+    # the per-chip number IS the measurement (do not divide by visible chips)
+    per_chip = best
     print(
         json.dumps(
             {
@@ -111,7 +116,8 @@ def main() -> None:
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(per_chip / 5000.0, 4),
                 "batch": best_batch,
-                "n_chips": n_chips,
+                "n_chips": 1,
+                "devices_visible": len(jax.devices()),
                 "device": str(jax.devices()[0]),
             }
         )

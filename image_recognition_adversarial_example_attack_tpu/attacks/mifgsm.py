@@ -30,14 +30,21 @@ def mifgsm_attack(
     alpha: float,
     steps: int,
     mu: float = 1.0,
+    y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1]."""
+    """[B,H,W,C] in [0,1] -> adversarial batch in [0,1].
+
+    With ``y_target`` the momentum accumulates the DESCENT direction of the
+    target class's CE (targeted MI-FGSM).
+    """
     x_orig = x
     g0 = jnp.zeros_like(x)
+    y_grad = y_true if y_target is None else y_target
+    direction = 1.0 if y_target is None else -1.0
 
     def body(carry, _):
         x_adv, g = carry
-        grad = input_grad(logits_fn, x_adv, y_true)
+        grad = direction * input_grad(logits_fn, x_adv, y_grad)
         # per-sample L1 normalization (batch dims decoupled)
         l1 = jnp.sum(jnp.abs(grad), axis=(1, 2, 3), keepdims=True)
         g = mu * g + grad / jnp.maximum(l1, 1e-12)

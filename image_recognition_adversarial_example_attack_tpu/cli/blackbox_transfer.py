@@ -85,12 +85,16 @@ def main(argv=None) -> int:
     n = x.shape[0]
     key = key_from_seed(args.seed)
 
-    # clean labels, each model's own (batched forwards)
-    y_src = np.asarray(jax.jit(lambda x: jnp.argmax(src_logits_fn(x), -1))(x))
-    y_clean = {
-        name: np.asarray(jax.jit(lambda x, f=fn: jnp.argmax(f(x), -1))(x))
+    # ONE jitted predict program per model, reused for the clean pass and
+    # every attack's adversarial pass (a fresh jit lambda per (attack,
+    # target) would recompile the identical forward each time — minutes per
+    # program on a remote TPU relay)
+    predict_fns = {
+        name: jax.jit(lambda x, f=fn: jnp.argmax(f(x), -1))
         for name, fn in target_fns.items()
     }
+    y_src = np.asarray(jax.jit(lambda x: jnp.argmax(src_logits_fn(x), -1))(x))
+    y_clean = {name: np.asarray(pf(x)) for name, pf in predict_fns.items()}
 
     stats: dict[str, dict[str, dict[str, int]]] = {}
     adv_cache: dict[str, np.ndarray] = {}
@@ -109,8 +113,8 @@ def main(argv=None) -> int:
             adv_cache[attack_name] = np.asarray(jax.device_get(x_adv))
 
             stats[attack_name] = {}
-            for name, fn in target_fns.items():
-                y_adv = np.asarray(jax.jit(lambda x, f=fn: jnp.argmax(f(x), -1))(x_adv))
+            for name in target_fns:
+                y_adv = np.asarray(predict_fns[name](x_adv))
                 success = int(np.sum(y_adv != y_clean[name]))
                 disp = TARGET_DISPLAY.get(name, name)
                 stats[attack_name][disp] = {"success": success, "total": n,

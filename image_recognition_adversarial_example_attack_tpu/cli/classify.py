@@ -93,7 +93,17 @@ def main(argv=None) -> int:
             else:
                 y_true = jnp.asarray(pred_clean.astype(np.int32))
 
-            if args.target is not None and args.attack in ("cw", "fgsm", "pgd"):
+            if args.target is not None and args.attack == "mifgsm":
+                from ..attacks.mifgsm import mifgsm_attack
+
+                y_t = jnp.full((x.shape[0],), int(args.target), jnp.int32)
+                x_adv = jax.jit(
+                    lambda x, y, t: mifgsm_attack(
+                        logits_fn, x, y, eps=args.eps, alpha=args.alpha,
+                        steps=args.steps, y_target=t,
+                    )
+                )(x, y_true, y_t)
+            elif args.target is not None and args.attack in ("cw", "fgsm", "pgd"):
                 # targeted modes (reference supports targeted CW only;
                 # targeted FGSM/PGD are beyond-reference extensions)
                 y_t = jnp.full((x.shape[0],), int(args.target), jnp.int32)

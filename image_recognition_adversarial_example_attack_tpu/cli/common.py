@@ -17,23 +17,26 @@ import numpy as np
 
 from ..utils.cache import enable_compilation_cache
 
-# Every CLI flows through this module; arm the persistent compile cache once
-# and join a multi-host pod when the launcher provides coordinates.
+# Every CLI flows through this module; arm the persistent compile cache once.
 enable_compilation_cache()
-
-from ..parallel.distributed import maybe_initialize_distributed  # noqa: E402
-
-maybe_initialize_distributed()
 
 # $ADV_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke tests and
 # air-gapped development; plain $JAX_PLATFORMS is overridden by the TPU
-# plugin's site customization on some hosts).
+# plugin's site customization on some hosts).  MUST run before distributed
+# init, which touches the backend.
 _platform = __import__("os").environ.get("ADV_TPU_PLATFORM")
 if _platform:
     try:
         jax.config.update("jax_platforms", _platform)
-    except Exception:
-        pass
+    except Exception as _e:  # pragma: no cover — config is set post-backend
+        import warnings as _warnings
+
+        _warnings.warn(f"ADV_TPU_PLATFORM={_platform} could not be applied: {_e}")
+
+# Join a multi-host pod when the launcher provides coordinates.
+from ..parallel.distributed import maybe_initialize_distributed  # noqa: E402
+
+maybe_initialize_distributed()
 
 
 def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet50") -> None:

@@ -97,8 +97,31 @@ def load_image_batch_tolerant(
 
     Per-image error isolation in the spirit of the reference's
     try/except-continue loops (test.py:111-113, defense_experiments.py:318).
-    Returns (batch, list of successfully loaded paths).
+    Returns (batch, list of successfully loaded paths).  Honors
+    ``ADV_TPU_NATIVE_LOADER=1`` (threaded C++ decode; PIL retries the rows
+    the native decoder flags, then unreadable files are dropped).
     """
+    paths = list(paths)
+    native = os.environ.get("ADV_TPU_NATIVE_LOADER", "") in ("1", "on", "true")
+    if native and paths:
+        from ..utils.native_loader import load_batch_native_with_status
+
+        out, ok = load_batch_native_with_status(paths, size=size)
+        arrays, good = [], []
+        for i, p in enumerate(paths):
+            if ok[i]:
+                arrays.append(out[i][None])
+                good.append(Path(p))
+                continue
+            try:
+                arrays.append(load_image(p, size=size))
+                good.append(Path(p))
+            except Exception as e:  # noqa: BLE001 — isolate any decode failure
+                print(f"WARNING: skipping unreadable image {p}: {e}")
+        if not arrays:
+            raise ValueError("no readable images in batch")
+        return np.concatenate(arrays, axis=0), good
+
     arrays: list[np.ndarray] = []
     good: list[Path] = []
     for p in paths:

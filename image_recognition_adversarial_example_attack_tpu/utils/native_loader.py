@@ -64,31 +64,46 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
-def load_image_batch_native(
+def load_batch_native_with_status(
     paths: Sequence[str | Path],
     size: int = IMAGE_SIZE,
-    resize_to: int = RESIZE_SIZE,
+    resize_to: int | None = None,
     n_threads: int = 0,
-) -> np.ndarray:
-    """[B, size, size, 3] float32 in [0,1]; PIL fallback per failed image."""
-    lib = _load_library()
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw native decode: ([B, size, size, 3] float32, ok[B] int32).
+
+    ``ok[i] == 0`` rows are undecoded (non-JPEG/corrupt/no library) and
+    contain garbage — callers must fall back or drop them.
+    """
     n = len(paths)
     if n == 0:
         raise ValueError("empty path list")
+    if resize_to is None:
+        # scale the resize edge with the crop, like core.images.load_image
+        resize_to = max(size, round(size * RESIZE_SIZE / IMAGE_SIZE))
     out = np.empty((n, size, size, 3), np.float32)
     ok = np.zeros((n,), np.int32)
-
+    lib = _load_library()
     if lib is not None:
-        c_paths = (ctypes.c_char_p * n)(
-            *[str(p).encode() for p in paths]
-        )
+        c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
         lib.load_batch(
-            c_paths, n, resize_to, size, n_threads,
+            c_paths, n, int(resize_to), size, n_threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
+    return out, ok
 
-    # per-image fallback for non-JPEGs / failures (or everything w/o lib)
+
+def load_image_batch_native(
+    paths: Sequence[str | Path],
+    size: int = IMAGE_SIZE,
+    resize_to: int | None = None,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """[B, size, size, 3] float32 in [0,1]; PIL fallback per failed image."""
+    out, ok = load_batch_native_with_status(paths, size=size,
+                                            resize_to=resize_to,
+                                            n_threads=n_threads)
     if not np.all(ok == 1):
         from ..core.images import load_image
 

@@ -250,7 +250,9 @@ def plot_attack_grid(
             ax.set_title(f"Perturbation ×{amp}", fontsize=11)
             ax.axis("off")
 
-        fig.text(0.5, 1 - (idx * (1 / n_attacks) - 0.02),
+        # banner at the top edge of THIS attack's row (rows span
+        # [1-(idx+1)/n, 1-idx/n] of figure height)
+        fig.text(0.5, 1 - idx / n_attacks - 0.005,
                  f"{attack_name.upper()} Attack - {success}",
                  ha="center", va="top", fontsize=14, fontweight="bold")
 

@@ -1,0 +1,141 @@
+"""Full converter round-trips for ViT and Swin on synthesized torch-style
+state dicts (miniature configs, real torchvision key patterns).
+
+The rename rules are string-tested in test_models.py; these tests prove the
+END-TO-END property that matters: a torchvision-keyed checkpoint converts
+into exactly the flax template structure AND reproduces the flax model's
+outputs after the layout transforms (qkv fusion, transposes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from image_recognition_adversarial_example_attack_tpu.models import convert
+from image_recognition_adversarial_example_attack_tpu.models.swin import SwinTransformer
+from image_recognition_adversarial_example_attack_tpu.models.vit import ViT
+
+
+def _fill_from_template(template_params: dict, template_stats: dict | None,
+                        entries: list) -> dict:
+    """Build a torch state dict whose values are the template's own arrays
+    (so converted output must equal the template bitwise)."""
+    sd = {}
+
+    def get(node, path):
+        for k in path.split("/"):
+            node = node[k]
+        return node
+
+    for torch_key, flax_path, kind in entries:
+        if kind == "conv":
+            kern = np.asarray(get(template_params, flax_path + "/kernel"))
+            sd[torch_key + ".weight"] = torch.tensor(kern.transpose(3, 2, 0, 1))
+            sd[torch_key + ".bias"] = torch.tensor(
+                np.asarray(get(template_params, flax_path + "/bias")))
+        elif kind == "dense":
+            kern = np.asarray(get(template_params, flax_path + "/kernel"))
+            sd[torch_key + ".weight"] = torch.tensor(kern.T)
+            node = get(template_params, flax_path)
+            if "bias" in node:
+                sd[torch_key + ".bias"] = torch.tensor(np.asarray(node["bias"]))
+        elif kind == "ln":
+            sd[torch_key + ".weight"] = torch.tensor(
+                np.asarray(get(template_params, flax_path + "/scale")))
+            sd[torch_key + ".bias"] = torch.tensor(
+                np.asarray(get(template_params, flax_path + "/bias")))
+        elif kind == "qkv":
+            kern = np.asarray(get(template_params, flax_path + "/qkv/kernel"))
+            sd[torch_key + ".in_proj_weight"] = torch.tensor(kern.T)
+            sd[torch_key + ".in_proj_bias"] = torch.tensor(
+                np.asarray(get(template_params, flax_path + "/qkv/bias")))
+        elif kind == "param":
+            sd[torch_key] = torch.tensor(np.asarray(get(template_params, flax_path)))
+        else:
+            raise ValueError(kind)
+    return sd
+
+
+def test_vit_converter_roundtrip():
+    model = ViT(patch_size=8, dim=16, depth=2, num_heads=2, mlp_dim=32,
+                num_classes=5, image_size=32)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    p = template["params"]
+
+    entries = [
+        ("conv_proj", "conv_proj", "conv"),
+        ("class_token", "class_token", "param"),
+        ("encoder.pos_embedding", "pos_embedding", "param"),
+        ("encoder.ln", "ln", "ln"),
+        ("heads.head", "head", "dense"),
+    ]
+    for i in range(2):
+        base_t = f"encoder.layers.encoder_layer_{i}"
+        base_f = f"encoder_layer_{i}"
+        entries += [
+            (f"{base_t}.ln_1", f"{base_f}/ln_1", "ln"),
+            (f"{base_t}.self_attention", f"{base_f}/self_attention", "qkv"),
+            (f"{base_t}.self_attention.out_proj", f"{base_f}/self_attention/out", "dense"),
+            (f"{base_t}.ln_2", f"{base_f}/ln_2", "ln"),
+            (f"{base_t}.mlp.0", f"{base_f}/mlp_linear_1", "dense"),
+            (f"{base_t}.mlp.3", f"{base_f}/mlp_linear_2", "dense"),
+        ]
+    sd = _fill_from_template(p, None, entries)
+
+    converted = convert.convert_state_dict(sd, convert.vit_rename)
+    convert.assert_tree_shapes_match(converted, template)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(converted, x)),
+        np.asarray(model.apply(template, x)),
+        atol=1e-6,
+    )
+
+
+def test_swin_converter_roundtrip():
+    model = SwinTransformer(patch_size=2, embed_dim=8, depths=(2, 2),
+                            num_heads=(2, 2), window=4, num_classes=5)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    p = template["params"]
+
+    entries = [
+        ("features.0.0", "patch_conv", "conv"),
+        ("features.0.2", "patch_norm", "ln"),
+        ("norm", "norm", "ln"),
+        ("head", "head", "dense"),
+        ("features.2.norm", "merge1/norm", "ln"),
+        ("features.2.reduction", "merge1/reduction", "dense"),
+    ]
+    for stage, feat_idx in ((1, "1"), (2, "3")):
+        for blk in range(2):
+            base_t = f"features.{feat_idx}.{blk}"
+            base_f = f"stage{stage}_block{blk}"
+            entries += [
+                (f"{base_t}.norm1", f"{base_f}/norm1", "ln"),
+                (f"{base_t}.attn.qkv", f"{base_f}/attn/qkv", "dense"),
+                (f"{base_t}.attn.proj", f"{base_f}/attn/proj", "dense"),
+                (f"{base_t}.attn.relative_position_bias_table",
+                 f"{base_f}/attn/relative_position_bias_table", "param"),
+                (f"{base_t}.norm2", f"{base_f}/norm2", "ln"),
+                (f"{base_t}.mlp.0", f"{base_f}/mlp_0", "dense"),
+                (f"{base_t}.mlp.3", f"{base_f}/mlp_3", "dense"),
+            ]
+    sd = _fill_from_template(p, None, entries)
+    # buffers that must be skipped by the converter
+    sd["features.1.0.attn.relative_position_index"] = torch.zeros(16 * 16, dtype=torch.long)
+
+    converted = convert.convert_state_dict(sd, convert.swin_rename)
+    convert.assert_tree_shapes_match(converted, template)
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(converted, x)),
+        np.asarray(model.apply(template, x)),
+        atol=1e-6,
+    )
