@@ -139,3 +139,121 @@ def test_swin_converter_roundtrip():
         np.asarray(model.apply(template, x)),
         atol=1e-6,
     )
+
+
+def _bn_entries(sd, template, torch_key, flax_path):
+    def get(node, path):
+        for k in path.split("/"):
+            node = node[k]
+        return node
+
+    p = get(template["params"], flax_path)
+    s = get(template["batch_stats"], flax_path)
+    sd[torch_key + ".weight"] = torch.tensor(np.asarray(p["scale"]))
+    sd[torch_key + ".bias"] = torch.tensor(np.asarray(p["bias"]))
+    sd[torch_key + ".running_mean"] = torch.tensor(np.asarray(s["mean"]))
+    sd[torch_key + ".running_var"] = torch.tensor(np.asarray(s["var"]))
+    sd[torch_key + ".num_batches_tracked"] = torch.tensor(0)
+
+
+def _conv_nobias(sd, template, torch_key, flax_path):
+    def get(node, path):
+        for k in path.split("/"):
+            node = node[k]
+        return node
+
+    kern = np.asarray(get(template["params"], flax_path + "/kernel"))
+    sd[torch_key + ".weight"] = torch.tensor(kern.transpose(3, 2, 0, 1))
+
+
+def test_densenet_converter_roundtrip():
+    from image_recognition_adversarial_example_attack_tpu.models.densenet import DenseNet
+
+    model = DenseNet(block_config=(2, 2), growth_rate=4, init_features=8,
+                     num_classes=5)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    sd = {}
+    _conv_nobias(sd, template, "features.conv0", "features_conv0")
+    _bn_entries(sd, template, "features.norm0", "features_norm0")
+    for b in (1, 2):
+        for l in (1, 2):
+            base_t = f"features.denseblock{b}.denselayer{l}"
+            base_f = f"denseblock{b}_denselayer{l}"
+            _bn_entries(sd, template, f"{base_t}.norm1", f"{base_f}/norm1")
+            _conv_nobias(sd, template, f"{base_t}.conv1", f"{base_f}/conv1")
+            _bn_entries(sd, template, f"{base_t}.norm2", f"{base_f}/norm2")
+            _conv_nobias(sd, template, f"{base_t}.conv2", f"{base_f}/conv2")
+    _bn_entries(sd, template, "features.transition1.norm", "transition1/norm")
+    _conv_nobias(sd, template, "features.transition1.conv", "transition1/conv")
+    _bn_entries(sd, template, "features.norm5", "features_norm5")
+    kern = np.asarray(template["params"]["classifier"]["kernel"])
+    sd["classifier.weight"] = torch.tensor(kern.T)
+    sd["classifier.bias"] = torch.tensor(np.asarray(template["params"]["classifier"]["bias"]))
+
+    converted = convert.convert_state_dict(sd, convert.densenet_rename)
+    convert.assert_tree_shapes_match(converted, template)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(converted, x)),
+        np.asarray(model.apply(template, x)), atol=1e-6)
+
+
+def test_efficientnet_converter_roundtrip():
+    from image_recognition_adversarial_example_attack_tpu.models.efficientnet import (
+        EfficientNet,
+        MBConvSpec,
+    )
+
+    plan = (
+        MBConvSpec(1, 3, 1, 8, 8, 1),   # stage 1: no expansion
+        MBConvSpec(6, 3, 2, 8, 16, 1),  # stage 2: expansion
+    )
+    model = EfficientNet(plan=plan, stem_ch=8, head_ch=16, num_classes=5)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    sd = {}
+    _conv_nobias(sd, template, "features.0.0", "stem_conv")
+    _bn_entries(sd, template, "features.0.1", "stem_bn")
+
+    def se(sd, torch_base, flax_base):
+        def get(node, path):
+            for k in path.split("/"):
+                node = node[k]
+            return node
+
+        for fc in ("fc1", "fc2"):
+            node = get(template["params"], f"{flax_base}/se/{fc}")
+            kern = np.asarray(node["kernel"])
+            sd[f"{torch_base}.{fc}.weight"] = torch.tensor(kern.transpose(3, 2, 0, 1))
+            sd[f"{torch_base}.{fc}.bias"] = torch.tensor(np.asarray(node["bias"]))
+
+    # stage 1 block 0 (no expand): block.0=dw, block.1=se, block.2=project
+    _conv_nobias(sd, template, "features.1.0.block.0.0", "stage1_block0/dw_conv")
+    _bn_entries(sd, template, "features.1.0.block.0.1", "stage1_block0/dw_bn")
+    se(sd, "features.1.0.block.1", "stage1_block0")
+    _conv_nobias(sd, template, "features.1.0.block.2.0", "stage1_block0/project_conv")
+    _bn_entries(sd, template, "features.1.0.block.2.1", "stage1_block0/project_bn")
+    # stage 2 block 0 (expand): 0=expand, 1=dw, 2=se, 3=project
+    _conv_nobias(sd, template, "features.2.0.block.0.0", "stage2_block0/expand_conv")
+    _bn_entries(sd, template, "features.2.0.block.0.1", "stage2_block0/expand_bn")
+    _conv_nobias(sd, template, "features.2.0.block.1.0", "stage2_block0/dw_conv")
+    _bn_entries(sd, template, "features.2.0.block.1.1", "stage2_block0/dw_bn")
+    se(sd, "features.2.0.block.2", "stage2_block0")
+    _conv_nobias(sd, template, "features.2.0.block.3.0", "stage2_block0/project_conv")
+    _bn_entries(sd, template, "features.2.0.block.3.1", "stage2_block0/project_bn")
+
+    _conv_nobias(sd, template, "features.8.0", "head_conv")
+    _bn_entries(sd, template, "features.8.1", "head_bn")
+    kern = np.asarray(template["params"]["classifier"]["kernel"])
+    sd["classifier.1.weight"] = torch.tensor(kern.T)
+    sd["classifier.1.bias"] = torch.tensor(np.asarray(template["params"]["classifier"]["bias"]))
+
+    converted = convert.convert_state_dict(sd, convert.efficientnet_rename)
+    convert.assert_tree_shapes_match(converted, template)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(converted, x)),
+        np.asarray(model.apply(template, x)), atol=1e-6)

@@ -236,3 +236,33 @@ class TestOpSemantics:
             training=False, eps=1e-5,
         )
         np.testing.assert_allclose(a, np.transpose(b.numpy(), (0, 2, 3, 1)), atol=1e-10)
+
+
+def test_vgg_flatten_ordering_matches_torch():
+    """VGG's classifier consumes a CHW-ordered flatten in torch; our NHWC
+    model transposes before flattening.  Same weights -> same logits."""
+    rng = np.random.RandomState(11)
+    w_conv = rng.randn(3, 3, 3, 4).astype(np.float64) * 0.3  # HWIO
+    b_conv = rng.randn(4).astype(np.float64) * 0.1
+    w_fc = rng.randn(6, 4 * 4 * 4).astype(np.float64) * 0.2  # [out, C*H*W]
+    b_fc = rng.randn(6).astype(np.float64) * 0.1
+    x = rng.rand(2, 8, 8, 3).astype(np.float64)
+
+    with jax.enable_x64():
+        # the VGG code path: conv -> relu -> 2x2 pool -> NCHW-flatten -> dense
+        h = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w_conv), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(b_conv)
+        h = jax.nn.relu(h)
+        h = h.reshape(2, 4, 2, 4, 2, 4).max(axis=(2, 4))  # 2x2 max pool
+        h = jnp.transpose(h, (0, 3, 1, 2)).reshape(2, -1)  # models/vgg.py flatten
+        ours = np.asarray(h @ jnp.asarray(w_fc.T) + jnp.asarray(b_fc))
+
+    ht = F.conv2d(torch.tensor(x.transpose(0, 3, 1, 2)),
+                  torch.tensor(w_conv.transpose(3, 2, 0, 1)),
+                  torch.tensor(b_conv), padding=1)
+    ht = F.relu(ht)
+    ht = F.max_pool2d(ht, 2)
+    ht = torch.flatten(ht, 1)  # torch's CHW flatten (what the weights expect)
+    theirs = (ht @ torch.tensor(w_fc).T + torch.tensor(b_fc)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-10)
