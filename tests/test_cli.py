@@ -160,3 +160,23 @@ def test_classify_targeted_cw(image_dir, capsys):
                "--target", "3", "--model", "resnet_tiny"])
     assert rc == 0
     assert "Adversarial (cw):" in capsys.readouterr().out
+
+
+def test_defense_experiments_calibrate_dir_and_threshold(image_dir, tmp_path, capsys):
+    """--calibrate_dir calibrates on a separate directory; --detector_threshold
+    bypasses calibration entirely."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--eps_list", "0.03137", "--steps", "2", "--model", "resnet_tiny",
+               "--calibrate_dir", str(image_dir), "--calibrate_n", "2",
+               "--viz_samples", "0", "--output_dir", str(tmp_path / "c1")])
+    assert rc == 0
+    assert "Using calibrated threshold:" in capsys.readouterr().out
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--eps_list", "0.03137", "--steps", "2", "--model", "resnet_tiny",
+               "--detector_threshold", "2.5",
+               "--viz_samples", "0", "--output_dir", str(tmp_path / "c2")])
+    assert rc == 0
+    assert "Using specified threshold: 2.5000" in capsys.readouterr().out
