@@ -39,19 +39,24 @@ def make_logits_fn(
     mean,
     std,
     input_dtype: Any = None,
+    method: Any = None,
 ) -> LogitsFn:
     """Builds ``x01 [B,H,W,C] in [0,1] -> logits [B,K] float32``.
 
     Normalization happens inside so attacks operate purely in pixel space
     (the reference's invariant, attack.py:30).  ``input_dtype`` lets the
     caller push the normalize+model compute to bfloat16 for the MXU while
-    attack state stays float32.
+    attack state stays float32.  ``method`` applies an alternative module
+    method (e.g. the detector's feature tap) through the same closure.
     """
 
     def logits_fn(x01: jnp.ndarray) -> jnp.ndarray:
         x = x01 if input_dtype is None else x01.astype(input_dtype)
         x = normalize_batch(x, mean, std)
-        out = module.apply(variables, x)
+        if method is None:
+            out = module.apply(variables, x)
+        else:
+            out = module.apply(variables, x, method=method)
         return out.astype(jnp.float32)
 
     return logits_fn
@@ -99,11 +104,13 @@ def run_attack(
     y_true: jnp.ndarray,
     params: AttackParams,
     key: jax.Array | None = None,
+    y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'cw' | 'mifgsm' -> x_adv in [0,1].
 
-    'mifgsm' is a beyond-reference extension (momentum iterative FGSM) that
-    plugs into every harness accepting an attack name.
+    'mifgsm' and the ``y_target`` targeted modes for fgsm/pgd/mifgsm are
+    beyond-reference extensions; they plug into every harness accepting an
+    attack name.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -111,11 +118,12 @@ def run_attack(
     from .pgd import pgd_linf_attack
 
     if attack_name == "fgsm":
-        return fgsm_attack(logits_fn, x, y_true, eps=params.eps)
+        return fgsm_attack(logits_fn, x, y_true, eps=params.eps, y_target=y_target)
     if attack_name == "mifgsm":
         return mifgsm_attack(
             logits_fn, x, y_true,
             eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+            y_target=y_target,
         )
     if attack_name == "pgd":
         if key is None:
@@ -129,6 +137,7 @@ def run_attack(
             steps=params.steps,
             random_start=params.random_start,
             key=key,
+            y_target=y_target,
         )
     if attack_name == "cw":
         res = cw_l2_attack(
@@ -139,6 +148,8 @@ def run_attack(
             kappa=params.cw_kappa,
             steps=params.cw_steps,
             lr=params.cw_lr,
+            targeted=y_target is not None,
+            y_target=y_target,
         )
         return res.x_adv
     raise ValueError(f"unknown attack '{attack_name}'")

@@ -93,57 +93,21 @@ def main(argv=None) -> int:
             else:
                 y_true = jnp.asarray(pred_clean.astype(np.int32))
 
-            if args.target is not None and args.attack == "mifgsm":
-                from ..attacks.mifgsm import mifgsm_attack
-
-                y_t = jnp.full((x.shape[0],), int(args.target), jnp.int32)
-                x_adv = jax.jit(
-                    lambda x, y, t: mifgsm_attack(
-                        logits_fn, x, y, eps=args.eps, alpha=args.alpha,
-                        steps=args.steps, y_target=t,
-                    )
-                )(x, y_true, y_t)
-            elif args.target is not None and args.attack in ("cw", "fgsm", "pgd"):
-                # targeted modes (reference supports targeted CW only;
-                # targeted FGSM/PGD are beyond-reference extensions)
-                y_t = jnp.full((x.shape[0],), int(args.target), jnp.int32)
-                if args.attack == "cw":
-                    from ..attacks.cw import cw_l2_attack
-
-                    fn = jax.jit(
-                        lambda x, y, t: cw_l2_attack(
-                            logits_fn, x, y,
-                            c=args.cw_c, kappa=args.cw_kappa, steps=args.cw_steps,
-                            lr=args.cw_lr, targeted=True, y_target=t,
-                        ).x_adv
-                    )
-                    x_adv = fn(x, y_true, y_t)
-                elif args.attack == "fgsm":
-                    from ..attacks.fgsm import fgsm_attack
-
-                    x_adv = jax.jit(
-                        lambda x, y, t: fgsm_attack(logits_fn, x, y, eps=args.eps,
-                                                    y_target=t)
-                    )(x, y_true, y_t)
-                else:
-                    from ..attacks.pgd import pgd_linf_attack
-
-                    x_adv = jax.jit(
-                        lambda x, y, t, k: pgd_linf_attack(
-                            logits_fn, x, y, eps=args.eps, alpha=args.alpha,
-                            steps=args.steps, key=k, y_target=t,
-                        )
-                    )(x, y_true, y_t, key_from_seed(args.seed))
-            else:
-                params = AttackParams(
-                    eps=args.eps, alpha=args.alpha, steps=args.steps,
-                    cw_c=args.cw_c, cw_kappa=args.cw_kappa,
-                    cw_steps=args.cw_steps, cw_lr=args.cw_lr,
-                )
-                fn = jax.jit(
-                    lambda x, y, k: run_attack(args.attack, logits_fn, x, y, params, k)
-                )
-                x_adv = fn(x, y_true, key_from_seed(args.seed))
+            # --target enables the targeted mode of any attack (the reference
+            # supports targeted CW only; fgsm/pgd/mifgsm targeting is a
+            # beyond-reference extension). run_attack owns the dispatch.
+            params = AttackParams(
+                eps=args.eps, alpha=args.alpha, steps=args.steps,
+                cw_c=args.cw_c, cw_kappa=args.cw_kappa,
+                cw_steps=args.cw_steps, cw_lr=args.cw_lr,
+            )
+            y_t = (jnp.full((x.shape[0],), int(args.target), jnp.int32)
+                   if args.target is not None else None)
+            fn = jax.jit(
+                lambda x, y, k, t: run_attack(args.attack, logits_fn, x, y,
+                                              params, k, y_target=t)
+            )
+            x_adv = fn(x, y_true, key_from_seed(args.seed), y_t)
             probs_adv = np.asarray(probs_fn(x_adv))
 
     # Host-side reporting, per image, in the reference's format.

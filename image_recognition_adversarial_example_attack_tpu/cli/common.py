@@ -24,7 +24,9 @@ enable_compilation_cache()
 # air-gapped development; plain $JAX_PLATFORMS is overridden by the TPU
 # plugin's site customization on some hosts).  MUST run before distributed
 # init, which touches the backend.
-_platform = __import__("os").environ.get("ADV_TPU_PLATFORM")
+import os as _os  # noqa: E402
+
+_platform = _os.environ.get("ADV_TPU_PLATFORM")
 if _platform:
     try:
         jax.config.update("jax_platforms", _platform)
@@ -106,6 +108,31 @@ def print_topk(title: str, prob_row: np.ndarray, idx_row: np.ndarray, labels) ->
     for rank, (p, idx) in enumerate(zip(prob_row, idx_row), start=1):
         label = labels[idx] if labels and idx < len(labels) else str(idx)
         print(f"Top {rank}: {label} (class {idx}), prob = {p:.4f}")
+
+
+def resolve_image_inputs(image_dir: str | None, image: str,
+                         skip_bmp: bool = True) -> list:
+    """The reference's shared --image_dir / --image resolution
+    (defense_experiments.py:749-762, transferability_attack.py:222-234):
+    directory -> sorted image list, else single file; fail fast on missing
+    inputs before any device work."""
+    from pathlib import Path
+
+    from ..core.images import list_images
+
+    if image_dir is not None:
+        d = Path(image_dir)
+        if not d.is_dir():
+            raise SystemExit(f"image_dir not found: {d}")
+        paths = [p for p in list_images(d)
+                 if not (skip_bmp and p.suffix.lower() == ".bmp")]
+        if not paths:
+            raise SystemExit(f"no images found in {d}")
+        return paths
+    p = Path(image)
+    if not p.is_file():
+        raise SystemExit(f"image not found: {p}")
+    return [p]
 
 
 def maybe_profile(profile_dir: str | None):

@@ -46,7 +46,8 @@ from ..eval.defense_eval import (
     make_defense_eval_fn,
     summary_line,
 )
-from .common import add_model_args, load_bundle, make_fns, maybe_profile
+from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
+                     resolve_image_inputs)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -111,20 +112,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     # --- image list first: fail fast before any device work ---
+    image_paths = resolve_image_inputs(args.image_dir, args.image)
     if args.image_dir is not None:
-        image_dir = Path(args.image_dir)
-        if not image_dir.is_dir():
-            raise SystemExit(f"image_dir not found: {image_dir}")
-        image_paths = [p for p in list_images(image_dir) if p.suffix.lower() != ".bmp"]
-        if not image_paths:
-            raise SystemExit(f"no images found in {image_dir}")
-        print(f"Loaded image directory: {image_dir} ({len(image_paths)} images)")
+        print(f"Loaded image directory: {args.image_dir} ({len(image_paths)} images)")
     else:
-        image_path = Path(args.image)
-        if not image_path.is_file():
-            raise SystemExit(f"image not found: {image_path}")
-        image_paths = [image_path]
-        print(f"Loaded single image: {image_path}")
+        print(f"Loaded single image: {image_paths[0]}")
 
     print(f"Using device: {jax.devices()[0]}")
 

@@ -29,10 +29,11 @@ from ..core.constants import (
     DEFAULT_CW_LR,
     DEFAULT_EPS_LIST,
 )
-from ..core.images import list_images, load_image_batch, save_image_01
+from ..core.images import load_image_batch, save_image_01
 from ..core.rng import key_from_seed
 from ..eval.transfer import transfer_attack_batch
-from .common import add_model_args, load_bundle, make_fns, maybe_profile
+from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
+                     resolve_image_inputs)
 
 MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
                  "efficientnet_b0", "swin_t",
@@ -69,20 +70,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
+    image_paths = resolve_image_inputs(args.image_dir, args.image)
     if args.image_dir is not None:
-        image_dir = Path(args.image_dir)
-        if not image_dir.is_dir():
-            raise SystemExit(f"image_dir not found: {image_dir}")
-        image_paths = [p for p in list_images(image_dir) if p.suffix.lower() != ".bmp"]
-        if not image_paths:
-            raise SystemExit(f"no images found in {image_dir}")
-        print(f"\n[3/4] Found {len(image_paths)} images in {image_dir}")
+        print(f"\n[3/4] Found {len(image_paths)} images in {args.image_dir}")
     else:
-        image_path = Path(args.image)
-        if not image_path.is_file():
-            raise SystemExit(f"Image not found: {image_path}")
-        image_paths = [image_path]
-        print(f"\n[3/4] Using single image: {image_path}")
+        print(f"\n[3/4] Using single image: {image_paths[0]}")
 
     print(f"\n[1/4] Loading source model: {args.source_model}")
     src_bundle = load_bundle(args, name=args.source_model)

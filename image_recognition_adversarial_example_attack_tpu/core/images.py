@@ -102,29 +102,20 @@ def load_image_batch_tolerant(
     the native decoder flags, then unreadable files are dropped).
     """
     paths = list(paths)
-    native = os.environ.get("ADV_TPU_NATIVE_LOADER", "") in ("1", "on", "true")
-    if native and paths:
+    native_out = None
+    ok = np.zeros((len(paths),), np.int32)  # rows the native decoder filled
+    if paths and os.environ.get("ADV_TPU_NATIVE_LOADER", "") in ("1", "on", "true"):
         from ..utils.native_loader import load_batch_native_with_status
 
-        out, ok = load_batch_native_with_status(paths, size=size)
-        arrays, good = [], []
-        for i, p in enumerate(paths):
-            if ok[i]:
-                arrays.append(out[i][None])
-                good.append(Path(p))
-                continue
-            try:
-                arrays.append(load_image(p, size=size))
-                good.append(Path(p))
-            except Exception as e:  # noqa: BLE001 — isolate any decode failure
-                print(f"WARNING: skipping unreadable image {p}: {e}")
-        if not arrays:
-            raise ValueError("no readable images in batch")
-        return np.concatenate(arrays, axis=0), good
+        native_out, ok = load_batch_native_with_status(paths, size=size)
 
     arrays: list[np.ndarray] = []
     good: list[Path] = []
-    for p in paths:
+    for i, p in enumerate(paths):
+        if ok[i]:
+            arrays.append(native_out[i][None])
+            good.append(Path(p))
+            continue
         try:
             arrays.append(load_image(p, size=size))
             good.append(Path(p))

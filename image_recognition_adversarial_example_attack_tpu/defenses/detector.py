@@ -34,22 +34,14 @@ def make_features_fn(module: Any, variables: dict, mean, std, input_dtype=None) 
 
     Falls back to the module's plain ``__call__`` when it has no
     ``features_stage3`` (reference fallback branches
-    defense_experiments.py:259-270 cover non-ResNet models the same way).
+    defense_experiments.py:259-270 cover non-ResNet models the same way;
+    score_from_features handles both output ranks).
     """
-    from ..core.normalize import normalize_batch
+    from ..attacks.api import make_logits_fn
 
     method = getattr(type(module), "features_stage3", None)
-
-    def features_fn(x01: jnp.ndarray) -> jnp.ndarray:
-        x = x01 if input_dtype is None else x01.astype(input_dtype)
-        x = normalize_batch(x, mean, std)
-        if method is not None:
-            out = module.apply(variables, x, method=method)
-        else:
-            out = module.apply(variables, x)
-        return out.astype(jnp.float32)
-
-    return features_fn
+    return make_logits_fn(module, variables, mean, std,
+                          input_dtype=input_dtype, method=method)
 
 
 def score_from_features(feats: jnp.ndarray) -> jnp.ndarray:

@@ -21,7 +21,6 @@ so blocks tile the VPU lanes with zero padding.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +51,42 @@ def _unpad(x2d: jnp.ndarray, n: int, shape, dtype) -> jnp.ndarray:
     return x2d.reshape(-1)[:n].reshape(shape).astype(dtype)
 
 
+def _elementwise_pallas_call(kernel, scalars: jnp.ndarray, arrays: tuple,
+                             interpret: bool | None):
+    """Shared harness for elementwise kernels: flatten each array to
+    [rows, 128], tile the grid, scalar-prefetch ``scalars``, unpad.
+
+    All arrays must share a shape; the output matches the first array's
+    shape/dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not pallas_available()
+
+    ref = arrays[0]
+    padded = [_pad_to_lanes(a.astype(jnp.float32).reshape(-1)) for a in arrays]
+    n = padded[0][1]
+    rows = padded[0][0].shape[0]
+    block_rows = min(_BLOCK_ROWS, rows)
+    tensor_spec = pl.BlockSpec(
+        (block_rows, _LANES), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(-(-rows // block_rows),),
+            in_specs=[tensor_spec] * len(arrays),
+            out_specs=tensor_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        interpret=interpret,
+    )(scalars, *(p[0] for p in padded))
+    return _unpad(out, n, ref.shape, ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Fused PGD update: x' = clip01( clip(x + alpha*sign(g), x0-eps, x0+eps) )
 # ---------------------------------------------------------------------------
@@ -76,36 +111,12 @@ def pgd_step_pallas(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Pallas version of attacks.pgd.pgd_step (identical semantics)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if interpret is None:
-        interpret = not pallas_available()
-
-    dtype = x_adv.dtype
-    x2d, n = _pad_to_lanes(x_adv.astype(jnp.float32).reshape(-1))
-    g2d, _ = _pad_to_lanes(grad.astype(jnp.float32).reshape(-1))
-    x02d, _ = _pad_to_lanes(x_orig.astype(jnp.float32).reshape(-1))
-    rows = x2d.shape[0]
-    block_rows = min(_BLOCK_ROWS, rows)
-    grid = (-(-rows // block_rows),)
-
-    scalars = jnp.asarray([alpha, eps], jnp.float32)
-    tensor_spec = pl.BlockSpec(
-        (block_rows, _LANES), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
+    return _elementwise_pallas_call(
         _pgd_step_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[tensor_spec] * 3,
-            out_specs=tensor_spec,
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-        interpret=interpret,
-    )(scalars, x2d, g2d, x02d)
-    return _unpad(out, n, x_adv.shape, dtype)
+        jnp.asarray([alpha, eps], jnp.float32),
+        (x_adv, grad, x_orig),
+        interpret,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -122,33 +133,12 @@ def quantize_pallas(
     x: jnp.ndarray, levels: int = 16, interpret: bool | None = None
 ) -> jnp.ndarray:
     """Pallas version of defenses.preprocess.defense_quantization."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if interpret is None:
-        interpret = not pallas_available()
-
-    dtype = x.dtype
-    x2d, n = _pad_to_lanes(x.astype(jnp.float32).reshape(-1))
-    rows = x2d.shape[0]
-    block_rows = min(_BLOCK_ROWS, rows)
-    grid = (-(-rows // block_rows),)
-    tensor_spec = pl.BlockSpec(
-        (block_rows, _LANES), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
-    )
-    scalars = jnp.asarray([float(levels - 1)], jnp.float32)
-    out = pl.pallas_call(
+    return _elementwise_pallas_call(
         _quantize_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[tensor_spec],
-            out_specs=tensor_spec,
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-        interpret=interpret,
-    )(scalars, x2d)
-    return _unpad(out, n, x.shape, dtype)
+        jnp.asarray([float(levels - 1)], jnp.float32),
+        (x,),
+        interpret,
+    )
 
 
 # ---------------------------------------------------------------------------
