@@ -2,6 +2,6 @@
 
 from .api import AttackParams, make_logits_fn, run_attack
 from .fgsm import fgsm_attack
-from .pgd import pgd_linf_attack
+from .pgd import pgd_l2_attack, pgd_linf_attack, pgd_multi_restart
 from .cw import CWResult, cw_l2_attack
 from .mifgsm import mifgsm_attack

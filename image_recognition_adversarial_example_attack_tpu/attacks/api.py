@@ -106,7 +106,7 @@ def run_attack(
     key: jax.Array | None = None,
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """String dispatch: 'fgsm' | 'pgd' | 'cw' | 'mifgsm' -> x_adv in [0,1].
+    """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' -> x_adv in [0,1].
 
     'mifgsm' and the ``y_target`` targeted modes for fgsm/pgd/mifgsm are
     beyond-reference extensions; they plug into every harness accepting an
@@ -125,10 +125,13 @@ def run_attack(
             eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
             y_target=y_target,
         )
-    if attack_name == "pgd":
+    if attack_name in ("pgd", "pgd_l2"):
         if key is None:
             key = jax.random.PRNGKey(0)
-        return pgd_linf_attack(
+        from .pgd import pgd_l2_attack
+
+        fn = pgd_linf_attack if attack_name == "pgd" else pgd_l2_attack
+        return fn(
             logits_fn,
             x,
             y_true,

@@ -63,6 +63,56 @@ def pgd_linf_attack(
     return x_adv
 
 
+def _l2_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2, 3), keepdims=True))
+    return v / jnp.maximum(norm, eps)
+
+
+def pgd_l2_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    alpha: float,
+    steps: int,
+    key: jax.Array,
+    random_start: bool = True,
+    y_target: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PGD in the L2 ball (beyond-reference; the reference covers L-inf PGD
+    and L2 via CW only).  Steps move along the L2-normalized gradient and
+    project back onto the eps-radius L2 ball around x, then clip to [0,1].
+    Same fused-scan structure as the L-inf attack.
+    """
+    x_orig = x
+    if random_start:
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = _l2_normalize(noise) * eps * jax.random.uniform(
+            jax.random.fold_in(key, 1), (x.shape[0], 1, 1, 1), x.dtype
+        )
+        x_adv = jnp.clip(x_orig + noise, 0.0, 1.0)
+    else:
+        x_adv = x_orig
+
+    y_grad = y_true if y_target is None else y_target
+    direction = 1.0 if y_target is None else -1.0
+
+    def project(x_new):
+        delta = x_new - x_orig
+        norm = jnp.sqrt(jnp.sum(jnp.square(delta), axis=(1, 2, 3), keepdims=True))
+        scale = jnp.minimum(1.0, eps / jnp.maximum(norm, 1e-12))
+        return jnp.clip(x_orig + delta * scale, 0.0, 1.0)
+
+    def body(x_adv, _):
+        grad = input_grad(logits_fn, x_adv, y_grad)
+        x_new = x_adv + alpha * direction * _l2_normalize(grad).astype(x_adv.dtype)
+        return project(x_new), None
+
+    x_adv, _ = lax.scan(body, x_adv, None, length=int(steps))
+    return x_adv
+
+
 def pgd_multi_restart(
     logits_fn: LogitsFn,
     x: jnp.ndarray,

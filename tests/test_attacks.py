@@ -263,3 +263,37 @@ class TestMultiRestartPGD:
             tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=3, key=k, restarts=3))
         out = fn(x, y, rng_key)
         assert out.shape == x.shape
+
+
+class TestPGDL2:
+    def test_l2_ball_and_range(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import pgd_l2_attack
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps_l2 = 1.0
+        x_adv = pgd_l2_attack(tiny_logits_fn, x, y, eps=eps_l2, alpha=0.2,
+                              steps=10, key=rng_key)
+        delta = np.asarray(x_adv - x).reshape(x.shape[0], -1)
+        assert (np.linalg.norm(delta, axis=1) <= eps_l2 + 1e-5).all()
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_loss_increases(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import pgd_l2_attack
+        from image_recognition_adversarial_example_attack_tpu.attacks.api import (
+            cross_entropy_sum,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = pgd_l2_attack(tiny_logits_fn, x, y, eps=2.0, alpha=0.3,
+                              steps=10, key=rng_key, random_start=False)
+        assert float(cross_entropy_sum(tiny_logits_fn(x_adv), y)) >= \
+            float(cross_entropy_sum(tiny_logits_fn(x), y))
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        params = AttackParams(eps=1.0, alpha=0.2, steps=3)
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = run_attack("pgd_l2", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
