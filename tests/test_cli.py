@@ -180,3 +180,14 @@ def test_defense_experiments_calibrate_dir_and_threshold(image_dir, tmp_path, ca
                "--viz_samples", "0", "--output_dir", str(tmp_path / "c2")])
     assert rc == 0
     assert "Using specified threshold: 2.5000" in capsys.readouterr().out
+
+
+def test_defense_experiments_mifgsm_grid(image_dir, tmp_path, capsys):
+    """The beyond-reference attack flows through the full defense grid."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "mifgsm",
+               "--eps_list", "0.03137", "--steps", "2", "--model", "resnet_tiny",
+               "--viz_samples", "0", "--output_dir", str(tmp_path / "mif")])
+    assert rc == 0
+    assert "attack=mifgsm" in capsys.readouterr().out
