@@ -27,7 +27,7 @@ from ..core.constants import (
     DEFAULT_EPS,
     DEFAULT_STEPS,
 )
-from ..core.images import list_images, load_image_batch, save_image_01
+from ..core.images import list_images, load_image_batch_tolerant, save_image_01
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from .common import add_model_args, load_bundle, make_fns, maybe_profile, print_topk, topk_host
@@ -75,7 +75,10 @@ def main(argv=None) -> int:
     labels = load_imagenet_labels()
     topk = max(1, int(args.topk))
 
-    x = jnp.asarray(load_image_batch(paths))
+    # tolerant load: unreadable files are skipped with a warning instead of
+    # aborting a directory run (the reference crashes mid-directory)
+    x_np, paths = load_image_batch_tolerant(paths)
+    x = jnp.asarray(x_np)
 
     # one probs program reused for clean AND adversarial batches — a second
     # jit lambda would recompile the identical forward (minutes on a remote

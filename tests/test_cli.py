@@ -191,3 +191,20 @@ def test_defense_experiments_mifgsm_grid(image_dir, tmp_path, capsys):
                "--viz_samples", "0", "--output_dir", str(tmp_path / "mif")])
     assert rc == 0
     assert "attack=mifgsm" in capsys.readouterr().out
+
+
+def test_classify_skips_corrupt_image(image_dir, tmp_path, capsys):
+    """Directory mode survives an unreadable file (the reference crashes)."""
+    import shutil
+
+    from image_recognition_adversarial_example_attack_tpu.cli.classify import main
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(image_dir / "img_0.jpg", d / "good.jpg")
+    (d / "corrupt.jpg").write_bytes(b"not a jpeg at all")
+    rc = main([str(d), "--model", "resnet_tiny"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "WARNING: skipping unreadable image" in out
+    assert out.count("Image: ") == 1
