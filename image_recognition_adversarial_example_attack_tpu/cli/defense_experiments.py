@@ -36,7 +36,7 @@ from ..core.constants import (
     DEFAULT_EPS_LIST,
     DEFAULT_STEPS,
 )
-from ..core.images import list_images, load_image_batch
+from ..core.images import list_images
 from ..core.rng import key_from_seed
 from ..defenses.detector import calibrate_feature_threshold
 from ..defenses.preprocess import DefenseConfig, defend_input
@@ -154,7 +154,8 @@ def main(argv=None) -> int:
         calib_paths = [p for p in list_images(calib_dir) if p.suffix.lower() != ".bmp"]
         if not calib_paths:
             raise SystemExit(f"no images found in calibrate_dir: {calib_dir}")
-        x_calib = jnp.asarray(load_image_batch(calib_paths[: args.calibrate_n]))
+        x_calib_np, _ = load_image_batch_tolerant(calib_paths[: args.calibrate_n])
+        x_calib = jnp.asarray(x_calib_np)
         detector_threshold = calibrate_feature_threshold(
             features_fn, x_calib, n=args.calibrate_n,
             quantile=args.calibrate_quantile,
