@@ -1,0 +1,165 @@
+"""End-to-end robust-checkpoint loading (VERDICT r1 missing #2 / weak #4).
+
+The reference swaps in a RobustBench ``Engstrom2019Robustness`` ResNet-50
+whose checkpoint keys carry ``model.`` / ``module.`` wrappers and is applied
+WITHOUT ImageNet normalization (reference defense_experiments.py:674-686,
+765-767).  These tests synthesize such a checkpoint with torch (no weights
+exist in this container), push it through the real load path
+(``zoo.load_model("resnet50_robust", weights=...)``) and through the defense
+CLI's robust arm, and assert the converted forward pass reproduces the
+source weights bitwise and that the CLI applies identity normalization.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from image_recognition_adversarial_example_attack_tpu.models import zoo
+from image_recognition_adversarial_example_attack_tpu.models.resnet import (
+    resnet50,
+    resnet_tiny,
+)
+
+
+def synth_resnet_state_dict(template: dict, prefix: str = "") -> dict:
+    """Build a torchvision/RobustBench-keyed state dict whose values are the
+    template's own arrays, so the converted result must match bitwise."""
+    p, s = template["params"], template["batch_stats"]
+    sd = {}
+
+    def conv(tk, node):
+        sd[prefix + tk + ".weight"] = torch.tensor(
+            np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+        )
+
+    def bn(tk, pnode, snode):
+        sd[prefix + tk + ".weight"] = torch.tensor(np.asarray(pnode["scale"]))
+        sd[prefix + tk + ".bias"] = torch.tensor(np.asarray(pnode["bias"]))
+        sd[prefix + tk + ".running_mean"] = torch.tensor(np.asarray(snode["mean"]))
+        sd[prefix + tk + ".running_var"] = torch.tensor(np.asarray(snode["var"]))
+        sd[prefix + tk + ".num_batches_tracked"] = torch.tensor(0)
+
+    conv("conv1", p["conv1"])
+    bn("bn1", p["bn1"], s["bn1"])
+    for name in p:
+        if not name.startswith("layer"):
+            continue
+        stage, block = name.split("_")
+        tbase = f"{stage}.{block}"
+        for sub in p[name]:
+            if sub.startswith("conv"):
+                conv(f"{tbase}.{sub}", p[name][sub])
+            elif sub.startswith("bn"):
+                bn(f"{tbase}.{sub}", p[name][sub], s[name][sub])
+            elif sub == "downsample_conv":
+                conv(f"{tbase}.downsample.0", p[name][sub])
+            elif sub == "downsample_bn":
+                bn(f"{tbase}.downsample.1", p[name][sub], s[name][sub])
+            else:
+                raise AssertionError(f"unexpected submodule {name}/{sub}")
+    sd[prefix + "fc.weight"] = torch.tensor(np.asarray(p["fc"]["kernel"]).T)
+    sd[prefix + "fc.bias"] = torch.tensor(np.asarray(p["fc"]["bias"]))
+    return sd
+
+
+def _trees_equal(a, b) -> bool:
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    return all(np.array_equal(np.asarray(v), np.asarray(flat_b[k]))
+               for k, v in flat_a)
+
+
+def test_robust_checkpoint_end_to_end(tmp_path):
+    """A module.model.-prefixed full ResNet-50 .pth loads through
+    zoo.load_model("resnet50_robust") and reproduces the source forward."""
+    model = resnet50()
+    template = jax.device_get(
+        jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    sd = synth_resnet_state_dict(template, prefix="module.model.")
+    pth = tmp_path / "robust.pth"
+    torch.save(sd, pth)
+
+    bundle = zoo.load_model(
+        "resnet50_robust", weights=pth, input_size=64, cache_converted=False
+    )
+    assert bundle.source == "converted"
+    assert _trees_equal(template, bundle.variables)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(model.apply)(bundle.variables, x)),
+        np.asarray(jax.jit(model.apply)(template, x)),
+    )
+
+
+def test_robust_checkpoint_nested_state_dict_key(tmp_path):
+    """RobustBench checkpoints often wrap weights under a 'state_dict' key."""
+    model = resnet_tiny()
+    template = jax.device_get(
+        jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    sd = synth_resnet_state_dict(template, prefix="model.")
+    pth = tmp_path / "wrapped.pth"
+    torch.save({"state_dict": sd, "epoch": 3}, pth)
+
+    from image_recognition_adversarial_example_attack_tpu.models import convert
+
+    loaded = convert.load_torch_checkpoint(pth)
+    converted = convert.convert_state_dict(loaded, convert.resnet_rename)
+    convert.assert_tree_shapes_match(converted, template)
+    assert _trees_equal(template, converted)
+
+
+def test_defense_cli_robust_arm_with_weights(tmp_path, monkeypatch, capsys):
+    """--model_type robust + --weights <robustbench .pth>: the CLI converts
+    the checkpoint and applies identity normalization (mean 0 / std 1)."""
+    from PIL import Image
+
+    from image_recognition_adversarial_example_attack_tpu.cli import (
+        common,
+        defense_experiments,
+    )
+
+    # keep the converted-weights cache out of the repo tree
+    monkeypatch.setenv("ADV_TPU_WEIGHTS_DIR", str(tmp_path / "wdir"))
+    # miniature robust arm: same load path, tiny architecture
+    monkeypatch.setitem(zoo._REGISTRY, "resnet50_robust",
+                        lambda dtype: resnet_tiny(dtype=dtype))
+
+    template = jax.device_get(
+        jax.jit(resnet_tiny().init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    pth = tmp_path / "robust_tiny.pth"
+    torch.save(synth_resnet_state_dict(template, prefix="model."), pth)
+
+    img = tmp_path / "img.jpg"
+    Image.fromarray(
+        (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    ).save(img)
+
+    seen = {}
+    orig_make_fns = common.make_fns
+
+    def spy(bundle):
+        seen["mean"] = np.asarray(bundle.mean).copy()
+        seen["std"] = np.asarray(bundle.std).copy()
+        seen["source"] = bundle.source
+        return orig_make_fns(bundle)
+
+    monkeypatch.setattr(defense_experiments, "make_fns", spy)
+
+    rc = defense_experiments.main([
+        "--image", str(img), "--model_type", "robust", "--weights", str(pth),
+        "--attacks", "fgsm", "--eps_list", "0.03137", "--steps", "2",
+        "--viz_samples", "0", "--output_dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert seen["source"] == "converted"
+    np.testing.assert_array_equal(seen["mean"], np.zeros(3, np.float32))
+    np.testing.assert_array_equal(seen["std"], np.ones(3, np.float32))
+    assert "attack=fgsm" in capsys.readouterr().out
+    # the conversion was cached for the next run
+    assert (tmp_path / "wdir" / "resnet50_robust.msgpack").is_file()
