@@ -32,8 +32,14 @@ def _load_library() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not _SO_PATH.is_file():
-            if not (_NATIVE_DIR / "loader.cc").is_file():
+        src = _NATIVE_DIR / "loader.cc"
+        stale = (
+            src.is_file()
+            and _SO_PATH.is_file()
+            and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+        )
+        if not _SO_PATH.is_file() or stale:
+            if not src.is_file():
                 _build_failed = True
                 return None
             try:
@@ -52,7 +58,7 @@ def _load_library() -> ctypes.CDLL | None:
                 ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ]
-            assert lib.loader_abi_version() == 1
+            assert lib.loader_abi_version() == 2  # v2 adds PNG/BMP decode
             _lib = lib
             return _lib
         except Exception:

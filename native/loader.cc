@@ -1,6 +1,6 @@
-// Native batch image loader: threaded JPEG decode -> antialiased bilinear
-// resize (shorter side -> 256, PIL-equivalent triangle filter) -> center
-// crop 224 -> float32 NHWC in [0,1].
+// Native batch image loader: threaded JPEG/PNG/BMP decode -> antialiased
+// bilinear resize (shorter side -> 256, PIL-equivalent triangle filter) ->
+// center crop 224 -> float32 NHWC in [0,1].
 //
 // Role: the framework's data-plane runtime. The reference decodes with
 // PIL per image on the Python thread (defense_experiments.py:649-653);
@@ -14,6 +14,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -70,6 +71,8 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   std::fclose(f);
   return true;
 }
+
+bool decode_image(const char* path, std::vector<uint8_t>* out, int* w, int* h);
 
 // PIL-style separable resample with a triangle (bilinear) filter whose
 // support scales with the downscale ratio (antialiasing) — the same
@@ -164,7 +167,7 @@ int round_half_even(double v) {
 bool process_one(const char* path, int resize_to, int crop, float* out) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, &rgb, &w, &h)) return false;
+  if (!decode_image(path, &rgb, &w, &h)) return false;
 
   // long side TRUNCATES like torchvision's _compute_resized_output_size
   int new_w, new_h;
@@ -194,6 +197,126 @@ bool process_one(const char* path, int resize_to, int crop, float* out) {
     }
   }
   return true;
+}
+
+// Decode a PNG file into interleaved RGB u8 (palette/gray/16-bit expanded,
+// alpha dropped — PIL's Image.convert("RGB") semantics). False on failure.
+bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  const png_byte color = png_get_color_type(png, info);
+  const png_byte depth = png_get_bit_depth(png, info);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);  // PIL convert("RGB") drops alpha
+  png_set_interlace_handling(png);
+  png_read_update_info(png, info);
+
+  *w = static_cast<int>(png_get_image_width(png, info));
+  *h = static_cast<int>(png_get_image_height(png, info));
+  if (png_get_rowbytes(png, info) != static_cast<size_t>(*w) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  out->resize(static_cast<size_t>(*w) * (*h) * 3);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y)
+    rows[y] = out->data() + static_cast<size_t>(y) * (*w) * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(f);
+  return true;
+}
+
+uint32_t read_u32le(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+
+// Decode an uncompressed (BI_RGB) 24/32-bit BMP into interleaved RGB u8.
+// Handles bottom-up (positive height) and top-down rows. False otherwise.
+bool decode_bmp(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize < 54) {
+    std::fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  const bool read_ok = std::fread(buf.data(), 1, buf.size(), f) == buf.size();
+  std::fclose(f);
+  if (!read_ok || buf[0] != 'B' || buf[1] != 'M') return false;
+
+  const uint32_t data_off = read_u32le(&buf[10]);
+  const uint32_t hdr_size = read_u32le(&buf[14]);
+  if (hdr_size < 40) return false;  // BITMAPINFOHEADER or later only
+  const int32_t bw = static_cast<int32_t>(read_u32le(&buf[18]));
+  const int32_t bh = static_cast<int32_t>(read_u32le(&buf[22]));
+  const uint16_t bpp = static_cast<uint16_t>(buf[28] | (buf[29] << 8));
+  const uint32_t compression = read_u32le(&buf[30]);
+  if (bw <= 0 || bh == 0 || compression != 0 || (bpp != 24 && bpp != 32))
+    return false;
+
+  const bool top_down = bh < 0;
+  const int height = top_down ? -bh : bh;
+  const size_t row_bytes = (static_cast<size_t>(bw) * (bpp / 8) + 3) & ~size_t{3};
+  if (data_off + row_bytes * height > buf.size()) return false;
+
+  *w = bw;
+  *h = height;
+  out->resize(static_cast<size_t>(bw) * height * 3);
+  for (int y = 0; y < height; ++y) {
+    const int sy = top_down ? y : (height - 1 - y);
+    const uint8_t* row = buf.data() + data_off + row_bytes * sy;
+    uint8_t* drow = out->data() + static_cast<size_t>(y) * bw * 3;
+    for (int x = 0; x < bw; ++x) {
+      const uint8_t* px = row + static_cast<size_t>(x) * (bpp / 8);
+      drow[x * 3 + 0] = px[2];  // BMP stores BGR(A)
+      drow[x * 3 + 1] = px[1];
+      drow[x * 3 + 2] = px[0];
+    }
+  }
+  return true;
+}
+
+// Dispatch on magic bytes so misleading extensions still decode.
+bool decode_image(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  uint8_t magic[8] = {0};
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  const size_t got = std::fread(magic, 1, sizeof(magic), f);
+  std::fclose(f);
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
+    return decode_jpeg(path, out, w, h);
+  if (got >= 8 && !std::memcmp(magic, "\x89PNG\r\n\x1a\n", 8))
+    return decode_png(path, out, w, h);
+  if (got >= 2 && magic[0] == 'B' && magic[1] == 'M')
+    return decode_bmp(path, out, w, h);
+  return false;
 }
 
 }  // namespace
@@ -230,6 +353,6 @@ int load_batch(const char** paths, int n, int resize_to, int crop,
   return n_ok.load();
 }
 
-int loader_abi_version() { return 1; }
+int loader_abi_version() { return 2; }  // v2: PNG + BMP decode
 
 }  // extern "C"
