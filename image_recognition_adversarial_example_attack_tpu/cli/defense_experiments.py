@@ -135,10 +135,10 @@ def main(argv=None) -> int:
     from ..core.images import load_image_batch_tolerant
     from ..eval.engine import Engine
 
-    # JPEG is a host round-trip (io_callback); XLA aborts on host callbacks
-    # inside SPMD-sharded programs, and the data would funnel through the
-    # host anyway — so the JPEG arm runs single-device by design.
-    engine = Engine(use_mesh=not args.use_jpeg)
+    # JPEG cells keep the mesh via the split-program path (two sharded
+    # programs around one host codec stage — eval/defense_eval.py::
+    # make_defense_eval_fn_split_jpeg); non-JPEG cells are one fused program.
+    engine = Engine(use_mesh=True)
     x_np, image_paths = load_image_batch_tolerant(image_paths)
     batch = engine.batch_from_array(x_np, paths=list(image_paths))
     x = batch.x
@@ -214,7 +214,12 @@ def main(argv=None) -> int:
                     cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
                     defense=defense_cfg,
                 )
-                fn = make_defense_eval_fn(logits_fn, features_fn, cfg)
+                if defense_cfg.use_jpeg and engine.mesh is not None:
+                    from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
+
+                    fn = make_defense_eval_fn_split_jpeg(logits_fn, features_fn, cfg)
+                else:
+                    fn = make_defense_eval_fn(logits_fn, features_fn, cfg)
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
                 with timer.phase(cell_id, examples=n):
@@ -245,8 +250,14 @@ def main(argv=None) -> int:
         print("=" * 60)
         viz_eps = float(args.eps_list[1]) if len(args.eps_list) > 1 else 8 / 255
         n_viz = min(int(args.viz_samples), n)
+        x_viz, y_viz = x[:n_viz], y_true[:n_viz]
+        if defense_cfg.use_jpeg and engine.mesh is not None:
+            # the viz program embeds the fused io_callback JPEG, which XLA
+            # forbids in SPMD programs — un-shard the (tiny) sample slice
+            x_viz = jnp.asarray(np.asarray(jax.device_get(x_viz)))
+            y_viz = jnp.asarray(np.asarray(jax.device_get(y_viz)))
         _visualize_samples(
-            logits_fn, x[:n_viz], y_true[:n_viz], viz_eps, defense_cfg,
+            logits_fn, x_viz, y_viz, viz_eps, defense_cfg,
             output_dir, key_from_seed(args.seed + 1),
         )
 

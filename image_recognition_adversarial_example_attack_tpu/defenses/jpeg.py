@@ -8,9 +8,14 @@ ships the batch to host, and resumes, instead of breaking the program into
 eager pieces.
 
 SPMD limitation: XLA host callbacks abort inside multi-device-sharded
-programs — run JPEG-bearing programs on a single device (the defense CLI
-does this automatically; the data must cross to the host either way, so
-sharding would buy nothing for this arm).
+programs.  Two strategies exist:
+- single-device: run the whole JPEG-bearing program on one device with the
+  fused ``io_callback`` below;
+- sharded: split the cell into two sharded programs around one explicit
+  host stage (``jpeg_roundtrip_host``) — gather, encode/decode, re-scatter
+  — so the attack loop and model forwards keep the mesh
+  (eval/defense_eval.py::make_defense_eval_fn_split_jpeg; the defense CLI
+  picks this automatically when a mesh is active).
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ from PIL import Image
 from ..core.constants import JPEG_QUALITY
 
 
-def _jpeg_roundtrip_host(x: np.ndarray, quality: np.ndarray) -> np.ndarray:
+def jpeg_roundtrip_host(x: np.ndarray, quality: np.ndarray) -> np.ndarray:
     """[B,H,W,C] float32 in [0,1] -> same, through PIL JPEG at ``quality``."""
     q = int(np.asarray(quality).reshape(()))
     x = np.clip(np.asarray(x, dtype=np.float32), 0.0, 1.0)
@@ -43,7 +48,7 @@ def _jpeg_roundtrip_host(x: np.ndarray, quality: np.ndarray) -> np.ndarray:
 def jpeg_compress_batch(x: jnp.ndarray, quality: int = JPEG_QUALITY) -> jnp.ndarray:
     """JPEG round-trip usable under jit (host callback, batched once)."""
     result = jax.experimental.io_callback(
-        _jpeg_roundtrip_host,
+        jpeg_roundtrip_host,
         jax.ShapeDtypeStruct(x.shape, jnp.float32),
         x.astype(jnp.float32),
         jnp.asarray(quality, jnp.int32),

@@ -121,6 +121,78 @@ def make_defense_eval_fn(logits_fn: LogitsFn, features_fn: FeaturesFn, config: D
     return fn
 
 
+def make_defense_eval_fn_split_jpeg(
+    logits_fn: LogitsFn, features_fn: FeaturesFn, config: DefenseEvalConfig
+):
+    """JPEG-bearing cell that KEEPS the data mesh.
+
+    XLA host callbacks abort inside SPMD-sharded programs, so the fused
+    ``io_callback`` path (defenses/jpeg.py) forces JPEG cells onto one
+    device.  This variant instead splits the cell into two sharded programs
+    around one explicit host stage:
+
+      program A (sharded): clean pred + attack loop + adv pred + detector
+                           + pre-JPEG defenses (clip -> smooth -> quantize)
+      host:                gather -> PIL JPEG round-trip -> re-scatter
+      program B (sharded): defended prediction
+
+    The codec bytes cross the host either way; everything compute-heavy
+    (the attack's fwd+bwd loop, four model forwards, the detector) stays on
+    the mesh.  Numerics are identical to the fused path — the same ops in
+    the same order (the pre-JPEG clip is idempotent on [0,1] data).
+    """
+    import numpy as np
+
+    from ..defenses.jpeg import jpeg_roundtrip_host
+    from dataclasses import replace as _replace
+
+    pre_defense = _replace(config.defense, use_jpeg=False)
+
+    @jax.jit
+    def stage_attack(x, y_true, threshold, key):
+        threshold = jnp.asarray(threshold, jnp.float32)
+        pred_clean = jnp.argmax(logits_fn(x), axis=-1)
+        clean_correct = (pred_clean == y_true).astype(jnp.int32)
+
+        x_adv = run_attack(config.attack_name, logits_fn, x, y_true,
+                           config.attack_params(), key)
+        pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
+        attack_success = (pred_adv != y_true).astype(jnp.int32)
+
+        x_pre = defend_input(x_adv, pre_defense)  # everything but JPEG
+
+        score_adv = score_from_features(features_fn(x_adv))
+        score_clean = score_from_features(features_fn(x))
+        detector_flags_adv = (score_adv > threshold).astype(jnp.int32)
+        detector_flags_clean = (score_clean > threshold).astype(jnp.int32)
+        out = {
+            "clean_correct": clean_correct,
+            "attack_success": attack_success,
+            "detector_flags_clean": detector_flags_clean,
+            "detector_flags_adv": detector_flags_adv,
+            "detector_attack_success": attack_success * (1 - detector_flags_adv),
+            "x_adv": x_adv,
+        }
+        return out, x_pre
+
+    @jax.jit
+    def stage_defended(x_def, y_true):
+        pred_def = jnp.argmax(logits_fn(jnp.clip(x_def, 0.0, 1.0)), axis=-1)
+        return (pred_def == y_true).astype(jnp.int32)
+
+    def fn(x, y_true, threshold, key):
+        out, x_pre = stage_attack(x, y_true, threshold, key)
+        sharding = x_pre.sharding  # re-scatter target (mesh or single device)
+        x_host = np.asarray(jax.device_get(x_pre), np.float32)
+        x_jpeg = jpeg_roundtrip_host(x_host, np.int32(config.defense.jpeg_quality))
+        x_def = jax.device_put(x_jpeg, sharding)
+        out = dict(out)
+        out["defense_preproc_success"] = stage_defended(x_def, y_true)
+        return out
+
+    return fn
+
+
 @partial(jax.jit, static_argnames=("n_valid",))
 def _sum_counters(vecs: dict, n_valid: int) -> dict:
     return {k: jnp.sum(v[:n_valid]) for k, v in vecs.items()}

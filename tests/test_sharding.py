@@ -118,6 +118,38 @@ class TestShardedEquality:
         for k2 in ref:
             assert int(ref[k2]) == int(got[k2]), k2
 
+    def test_split_jpeg_sharded_equals_fused_single_device(self, mesh8, setup):
+        """A JPEG-bearing cell on the mesh (two sharded programs around the
+        host codec stage) produces exactly the fused single-device counters
+        (eval/defense_eval.py::make_defense_eval_fn_split_jpeg)."""
+        from image_recognition_adversarial_example_attack_tpu.defenses.preprocess import (
+            DefenseConfig,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            make_defense_eval_fn,
+            make_defense_eval_fn_split_jpeg,
+        )
+
+        _, _, lf, ff, x, y = setup
+        cfg = DefenseEvalConfig(
+            attack_name="pgd", eps=8 / 255, alpha=2 / 255, steps=2, cw_steps=2,
+            defense=DefenseConfig(use_jpeg=True, jpeg_quality=60),
+        )
+        key = jax.random.PRNGKey(5)
+
+        fused = make_defense_eval_fn(lf, ff, cfg)
+        ref = fused(x, y, jnp.float32(1.0), key)
+
+        split = make_defense_eval_fn_split_jpeg(lf, ff, cfg)
+        xs = data_sharding(mesh8)
+        got = split(shard_batch(np.asarray(x), mesh8),
+                    jax.device_put(y, NamedSharding(mesh8, P("data"))),
+                    jnp.float32(1.0), key)
+
+        assert set(got) == set(ref)
+        for k2 in ref:
+            np.testing.assert_array_equal(np.asarray(got[k2]), np.asarray(ref[k2]), err_msg=k2)
+
     def test_tp_logits_match_replicated(self, mesh8, setup):
         """Tensor-parallel head produces the same logits as replication."""
         model, variables, _, _, x, _ = setup
