@@ -126,7 +126,6 @@ def run_pad4ch(batch: int) -> None:
     params = variables["params"]
     k = params["conv1"]["kernel"]
     k4 = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
-    variables = jax.tree_util.tree_map(lambda v: v, variables)
     variables = {
         **variables,
         "params": {**params, "conv1": {**params["conv1"], "kernel": k4}},

@@ -14,7 +14,15 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+
+// libpng is optional: without it the loader still builds and serves the
+// JPEG/BMP fast paths; PNG rows fall back to the caller's PIL decoder.
+#if defined(__has_include)
+#if __has_include(<png.h>)
+#define ADV_HAVE_PNG 1
 #include <png.h>
+#endif
+#endif
 
 #include <algorithm>
 #include <atomic>
@@ -199,8 +207,16 @@ bool process_one(const char* path, int resize_to, int crop, float* out) {
   return true;
 }
 
+// Headers can claim absurd dimensions before any pixel data is validated;
+// cap total pixels so a crafted file can't trigger a multi-GB allocation
+// (PIL's decompression-bomb limit has the same role; its default is ~89M).
+constexpr uint64_t kMaxPixels = 100000000;  // 100 MP ~ 300 MB RGB
+
 // Decode a PNG file into interleaved RGB u8 (palette/gray/16-bit expanded,
 // alpha dropped — PIL's Image.convert("RGB") semantics). False on failure.
+#if !defined(ADV_HAVE_PNG)
+bool decode_png(const char*, std::vector<uint8_t>*, int*, int*) { return false; }
+#else
 bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -211,6 +227,10 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
     return false;
   }
   png_infop info = png_create_info_struct(png);
+  // Constructed BEFORE setjmp: a libpng longjmp lands back here and we
+  // return through normal scope exit, so destructors still run (jumping
+  // over a live non-trivially-destructible object would be UB + a leak).
+  std::vector<png_bytep> rows;
   if (!info || setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
     std::fclose(f);
@@ -231,15 +251,18 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
-  *w = static_cast<int>(png_get_image_width(png, info));
-  *h = static_cast<int>(png_get_image_height(png, info));
-  if (png_get_rowbytes(png, info) != static_cast<size_t>(*w) * 3) {
+  const uint64_t pw = png_get_image_width(png, info);
+  const uint64_t ph = png_get_image_height(png, info);
+  if (pw == 0 || ph == 0 || pw * ph > kMaxPixels ||
+      png_get_rowbytes(png, info) != static_cast<size_t>(pw) * 3) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(f);
     return false;
   }
+  *w = static_cast<int>(pw);
+  *h = static_cast<int>(ph);
   out->resize(static_cast<size_t>(*w) * (*h) * 3);
-  std::vector<png_bytep> rows(*h);
+  rows.resize(*h);
   for (int y = 0; y < *h; ++y)
     rows[y] = out->data() + static_cast<size_t>(y) * (*w) * 3;
   png_read_image(png, rows.data());
@@ -248,6 +271,7 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
   std::fclose(f);
   return true;
 }
+#endif  // ADV_HAVE_PNG
 
 uint32_t read_u32le(const uint8_t* p) {
   return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
@@ -282,7 +306,9 @@ bool decode_bmp(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
     return false;
 
   const bool top_down = bh < 0;
+  if (bh == INT32_MIN) return false;  // -bh below would be signed overflow UB
   const int height = top_down ? -bh : bh;
+  if (static_cast<uint64_t>(bw) * height > kMaxPixels) return false;
   const size_t row_bytes = (static_cast<size_t>(bw) * (bpp / 8) + 3) & ~size_t{3};
   if (data_off + row_bytes * height > buf.size()) return false;
 
@@ -341,7 +367,15 @@ int load_batch(const char** paths, int n, int resize_to, int crop,
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
-      const bool good = process_one(paths[i], resize_to, crop, out + i * img_elems);
+      bool good = false;
+      try {
+        good = process_one(paths[i], resize_to, crop, out + i * img_elems);
+      } catch (...) {
+        // per-image isolation: an exception (e.g. bad_alloc on a crafted
+        // header) must mark THIS row failed, not escape the thread and
+        // std::terminate the host process
+        good = false;
+      }
       ok[i] = good ? 1 : 0;
       if (good) n_ok.fetch_add(1);
     }

@@ -34,8 +34,19 @@ REF_PICTURE = Path("/root/reference/picture")
 REF_TEST_SET = Path("/root/reference/test_set")
 
 
+_WEIGHTS_DIR = Path(__file__).parent.parent / "weights"  # cwd-independent
+
+
+def _weights_path(name: str) -> Path | None:
+    for ext in (".msgpack", ".pth"):
+        p = _WEIGHTS_DIR / f"{name}{ext}"
+        if p.is_file():
+            return p
+    return None
+
+
 def _weights(name: str) -> bool:
-    return any(Path(f"weights/{name}{ext}").is_file() for ext in (".msgpack", ".pth"))
+    return _weights_path(name) is not None
 
 
 def _resolve(image_name: str) -> Path | None:
@@ -52,7 +63,7 @@ def _bundle_and_logits(name: str, identity_norm: bool = False):
     from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
     from image_recognition_adversarial_example_attack_tpu.models.zoo import load_model
 
-    bundle = load_model(name)
+    bundle = load_model(name, weights=_weights_path(name))
     assert bundle.source in ("cache", "converted")
     if identity_norm:
         bundle.mean = np.zeros(3, np.float32)
@@ -196,7 +207,7 @@ def _run_defense_sweep(bundle, identity_norm: bool, rows, paths):
 def _load_oracle_bundle(name: str):
     from image_recognition_adversarial_example_attack_tpu.models.zoo import load_model
 
-    bundle = load_model(name)
+    bundle = load_model(name, weights=_weights_path(name))
     assert bundle.source in ("cache", "converted")
     return bundle
 

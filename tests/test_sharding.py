@@ -141,7 +141,6 @@ class TestShardedEquality:
         ref = fused(x, y, jnp.float32(1.0), key)
 
         split = make_defense_eval_fn_split_jpeg(lf, ff, cfg)
-        xs = data_sharding(mesh8)
         got = split(shard_batch(np.asarray(x), mesh8),
                     jax.device_put(y, NamedSharding(mesh8, P("data"))),
                     jnp.float32(1.0), key)
