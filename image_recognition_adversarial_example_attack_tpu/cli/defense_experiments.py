@@ -43,7 +43,6 @@ from ..defenses.preprocess import DefenseConfig, defend_input
 from ..eval.defense_eval import (
     DefenseEvalConfig,
     aggregate_stats,
-    make_defense_eval_fn,
     summary_line,
 )
 from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
@@ -189,6 +188,11 @@ def main(argv=None) -> int:
     timer = PhaseTimer(verbose=False)
     key = key_from_seed(args.seed)
     cw_cached_stats: dict | None = None  # CW never reads eps; compute once
+    # eps enters the attacks only arithmetically, so ONE compiled program
+    # per attack serves the whole eps sweep (remote TPU compiles run
+    # 20s-4min each — this drops an attacks x eps grid from
+    # len(attacks)*len(eps_list) compiles to len(attacks))
+    eval_fns: dict = {}
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             for eps in args.eps_list:
@@ -207,23 +211,30 @@ def main(argv=None) -> int:
                     _save_partial(output_dir, partial)
                     continue
 
-                cfg = DefenseEvalConfig(
-                    attack_name=attack_name, eps=float(eps),
-                    alpha=float(args.alpha), steps=int(args.steps),
-                    cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
-                    cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
-                    defense=defense_cfg,
-                )
-                if defense_cfg.use_jpeg and engine.mesh is not None:
-                    from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
+                if attack_name not in eval_fns:
+                    cfg = DefenseEvalConfig(
+                        attack_name=attack_name, eps=float(eps),  # eps overridden at call time
+                        alpha=float(args.alpha), steps=int(args.steps),
+                        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+                        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+                        defense=defense_cfg,
+                    )
+                    if defense_cfg.use_jpeg and engine.mesh is not None:
+                        from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
 
-                    fn = make_defense_eval_fn_split_jpeg(logits_fn, features_fn, cfg)
-                else:
-                    fn = make_defense_eval_fn(logits_fn, features_fn, cfg)
+                        eval_fns[attack_name] = make_defense_eval_fn_split_jpeg(
+                            logits_fn, features_fn, cfg)
+                    else:
+                        from ..eval.defense_eval import make_defense_eval_fn_dynamic_eps
+
+                        eval_fns[attack_name] = make_defense_eval_fn_dynamic_eps(
+                            logits_fn, features_fn, cfg)
+                fn = eval_fns[attack_name]
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
                 with timer.phase(cell_id, examples=n):
-                    out = fn(x, y_true, detector_threshold, sub)
+                    out = fn(x, y_true, detector_threshold, sub,
+                             jnp.float32(eps))
                     jax.block_until_ready(out)
                 dt = time.perf_counter() - t0
                 stats = aggregate_stats(out, n_valid=n)

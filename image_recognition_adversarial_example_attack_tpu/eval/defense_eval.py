@@ -71,20 +71,30 @@ def evaluate_defenses_batch(
     detector_threshold: jnp.ndarray | float,
     config: DefenseEvalConfig,
     key: jax.Array,
+    eps_override: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Returns per-sample int32 vectors for the six reference counters,
     plus the adversarial batch under key ``"x_adv"``.
 
     Fully traceable: wrap in jit with ``config`` static (see
-    ``make_defense_eval_fn``).
+    ``make_defense_eval_fn``).  ``eps_override`` may be a TRACED scalar —
+    eps only enters the attack arithmetic (step size bounds, ball
+    projection, random-start range), never a shape or loop count, so one
+    compiled program serves a whole eps sweep (see the dynamic_eps factories).
     """
     threshold = jnp.asarray(detector_threshold, jnp.float32)
+
+    params = config.attack_params()
+    if eps_override is not None:
+        from dataclasses import replace as _dc_replace
+
+        params = _dc_replace(params, eps=eps_override)
 
     logits_clean = logits_fn(x)
     pred_clean = jnp.argmax(logits_clean, axis=-1)
     clean_correct = (pred_clean == y_true).astype(jnp.int32)
 
-    x_adv = run_attack(config.attack_name, logits_fn, x, y_true, config.attack_params(), key)
+    x_adv = run_attack(config.attack_name, logits_fn, x, y_true, params, key)
 
     pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
     attack_success = (pred_adv != y_true).astype(jnp.int32)
@@ -121,6 +131,31 @@ def make_defense_eval_fn(logits_fn: LogitsFn, features_fn: FeaturesFn, config: D
     return fn
 
 
+def make_defense_eval_fn_dynamic_eps(
+    logits_fn: LogitsFn, features_fn: FeaturesFn, config: DefenseEvalConfig
+):
+    """Like ``make_defense_eval_fn`` but eps is a RUNTIME scalar:
+    ``fn(x, y_true, threshold, key, eps)``.
+
+    One compiled XLA program serves every eps in a sweep — remote TPU
+    compiles at 20s-4min per program dominate a grid run's wall clock, so
+    an (attacks x eps_list) grid drops from ``len(attacks)*len(eps_list)``
+    compiles to ``len(attacks)``.  ``config.eps`` is ignored; numerics are
+    identical to the static-eps program (eps participates only in
+    arithmetic, and a jnp.float32 scalar promotes exactly like the python
+    float the static version closes over).
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def fn(x, y_true, threshold, key, eps):
+        return evaluate_defenses_batch(
+            logits_fn, features_fn, x, y_true, threshold, config, key,
+            eps_override=jnp.asarray(eps, jnp.float32),
+        )
+
+    return fn
+
+
 def make_defense_eval_fn_split_jpeg(
     logits_fn: LogitsFn, features_fn: FeaturesFn, config: DefenseEvalConfig
 ):
@@ -149,13 +184,18 @@ def make_defense_eval_fn_split_jpeg(
     pre_defense = _replace(config.defense, use_jpeg=False)
 
     @jax.jit
-    def stage_attack(x, y_true, threshold, key):
+    def stage_attack(x, y_true, threshold, key, eps):
         threshold = jnp.asarray(threshold, jnp.float32)
+        params = config.attack_params()
+        if eps is not None:  # traced eps: one compile per attack (see
+            from dataclasses import replace as _dc_replace  # dynamic_eps factory)
+
+            params = _dc_replace(params, eps=jnp.asarray(eps, jnp.float32))
         pred_clean = jnp.argmax(logits_fn(x), axis=-1)
         clean_correct = (pred_clean == y_true).astype(jnp.int32)
 
         x_adv = run_attack(config.attack_name, logits_fn, x, y_true,
-                           config.attack_params(), key)
+                           params, key)
         pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
         attack_success = (pred_adv != y_true).astype(jnp.int32)
 
@@ -180,8 +220,8 @@ def make_defense_eval_fn_split_jpeg(
         pred_def = jnp.argmax(logits_fn(jnp.clip(x_def, 0.0, 1.0)), axis=-1)
         return (pred_def == y_true).astype(jnp.int32)
 
-    def fn(x, y_true, threshold, key):
-        out, x_pre = stage_attack(x, y_true, threshold, key)
+    def fn(x, y_true, threshold, key, eps=None):
+        out, x_pre = stage_attack(x, y_true, threshold, key, eps)
         sharding = x_pre.sharding  # re-scatter target (mesh or single device)
         x_host = np.asarray(jax.device_get(x_pre), np.float32)
         x_jpeg = jpeg_roundtrip_host(x_host, np.int32(config.defense.jpeg_quality))

@@ -57,6 +57,38 @@ class TestDefenseEval:
         linf = float(jnp.max(jnp.abs(out["x_adv"] - x)))
         assert linf <= 8 / 255 + 1e-6
 
+    def test_dynamic_eps_matches_static_with_one_compile(
+        self, tiny_logits_fn, tiny_resnet, image_batch, rng_key
+    ):
+        """The dynamic-eps program is bitwise-equal to per-eps static
+        programs for every attack, and one compile serves the whole sweep."""
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            make_defense_eval_fn_dynamic_eps,
+        )
+
+        model, variables = tiny_resnet
+        ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+        x = jnp.asarray(np.random.RandomState(2).rand(4, 32, 32, 3), np.float32)
+        y = jnp.argmax(lf(x), -1)
+        eps_list = [4 / 255, 8 / 255, 16 / 255]
+
+        for attack in ("fgsm", "pgd", "mifgsm"):
+            base = DefenseEvalConfig(attack_name=attack, eps=0.0,
+                                     alpha=2 / 255, steps=2, cw_steps=2)
+            dyn = make_defense_eval_fn_dynamic_eps(lf, ffn, base)
+            for eps in eps_list:
+                from dataclasses import replace
+
+                static_fn = make_defense_eval_fn(lf, ffn, replace(base, eps=eps))
+                want = static_fn(x, y, 1.0, rng_key)
+                got = dyn(x, y, 1.0, rng_key, jnp.float32(eps))
+                for k in (*STAT_KEYS, "x_adv"):
+                    np.testing.assert_array_equal(
+                        np.asarray(got[k]), np.asarray(want[k]),
+                        err_msg=f"{attack} eps={eps} {k}")
+            assert dyn._cache_size() == 1, attack  # one program for the sweep
+
     def test_aggregate_and_summary_format(self):
         per_sample = {k: jnp.asarray([1, 0, 1]) for k in STAT_KEYS}
         stats = aggregate_stats(per_sample)
