@@ -13,6 +13,7 @@ working equivalent.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 from pathlib import Path
@@ -102,6 +103,9 @@ def main(argv=None) -> int:
     #                             "transfer_success": {model: list}}
     all_results: dict = {}
     cw_cached_cell = None  # CW never reads eps; compute once per sweep
+    # eps is a traced runtime scalar: ONE compiled program per attack
+    # serves the whole eps sweep (same rationale as defense_experiments)
+    cell_fns: dict = {}
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             all_results[attack_name] = {}
@@ -112,18 +116,22 @@ def main(argv=None) -> int:
                     print("    (cw is eps-independent: reusing the computed cell)")
                     all_results[attack_name][float(eps)] = cw_cached_cell
                     continue
-                params = AttackParams(
-                    eps=float(eps), alpha=float(args.alpha), steps=int(args.steps),
-                    cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
-                    cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
-                )
-                key, sub = jax.random.split(key)
-                cell = jax.jit(
-                    lambda x, k, a=attack_name, p=params: transfer_attack_batch(
-                        src_logits_fn, target_fns, x, a, p, k,
-                        convention="source-label",
+                if attack_name not in cell_fns:
+                    base = AttackParams(
+                        eps=0.0,  # overridden by the traced eps at call time
+                        alpha=float(args.alpha), steps=int(args.steps),
+                        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+                        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
                     )
-                )(x, sub)
+                    cell_fns[attack_name] = jax.jit(
+                        lambda x, k, e, a=attack_name, p=base: transfer_attack_batch(
+                            src_logits_fn, target_fns, x, a,
+                            dataclasses.replace(p, eps=e), k,
+                            convention="source-label",
+                        )
+                    )
+                key, sub = jax.random.split(key)
+                cell = cell_fns[attack_name](x, sub, jnp.float32(eps))
                 src_vec = np.asarray(cell.source_success)
                 cell_record = {
                     "source_success": src_vec.tolist(),
