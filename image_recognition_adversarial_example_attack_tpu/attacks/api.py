@@ -106,11 +106,12 @@ def run_attack(
     key: jax.Array | None = None,
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' -> x_adv in [0,1].
+    """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
+    -> x_adv in [0,1].
 
-    'mifgsm' and the ``y_target`` targeted modes for fgsm/pgd/mifgsm are
-    beyond-reference extensions; they plug into every harness accepting an
-    attack name.
+    'mifgsm', 'dim', and the ``y_target`` targeted modes for
+    fgsm/pgd/mifgsm/dim are beyond-reference extensions; they plug into
+    every harness accepting an attack name.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -124,6 +125,16 @@ def run_attack(
             logits_fn, x, y_true,
             eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
             y_target=y_target,
+        )
+    if attack_name == "dim":
+        from .dim import dim_attack
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return dim_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+            key=key, y_target=y_target,
         )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:

@@ -201,6 +201,55 @@ class TestMIFGSM:
         assert x_adv.shape == x.shape
 
 
+class TestDIM:
+    def test_invariants_and_determinism(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import dim_attack
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        k = jax.random.PRNGKey(7)
+        x_adv = dim_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=k)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+        again = dim_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5, key=k)
+        np.testing.assert_array_equal(np.asarray(x_adv), np.asarray(again))
+
+    def test_diversity_prob_zero_recovers_mifgsm(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            dim_attack,
+            mifgsm_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        a = dim_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=4,
+                       key=jax.random.PRNGKey(0), diversity_prob=0.0)
+        b = mifgsm_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_diverse_input_transform(self, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import diverse_input
+
+        x = jnp.asarray(image_batch)
+        # p=1: always transformed — shape preserved, values stay in range,
+        # and the zero-padded canvas makes the mean drop
+        t = diverse_input(x, jax.random.PRNGKey(1), p=1.0)
+        assert t.shape == x.shape
+        assert float(t.min()) >= -1e-6 and float(t.max()) <= 1.0 + 1e-6
+        assert float(jnp.abs(t - x).max()) > 0
+        # p=0: identity
+        same = diverse_input(x, jax.random.PRNGKey(1), p=0.0)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        params = AttackParams(eps=EPS, alpha=ALPHA, steps=3)
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = run_attack("dim", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+
+
 class TestTargetedModes:
     def test_targeted_fgsm_increases_target_prob(self, tiny_logits_fn, image_batch):
         x = jnp.asarray(image_batch)
