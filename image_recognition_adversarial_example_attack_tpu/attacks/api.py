@@ -97,6 +97,46 @@ class AttackParams:
     mu: float = 1.0  # MI-FGSM momentum decay
 
 
+def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
+    """Weighted mean of member logits: attack N source models as ONE fused
+    program (the logit-fusion ensemble of Dong et al., CVPR 2018 —
+    beyond-reference; the reference attacks a single source).
+
+    All members' parameters live on the device (replicated on the mesh);
+    XLA compiles the N forwards and the fused backward into a single
+    program, so an ensemble attack costs one compile and zero host trips,
+    exactly like a single-model attack.
+    """
+    fns = list(logits_fns)
+    if not fns:
+        raise ValueError("ensemble needs at least one member")
+    if weights is None:
+        w = [1.0 / len(fns)] * len(fns)
+    else:
+        w = [float(v) for v in weights]
+        if len(w) != len(fns):
+            raise ValueError(f"{len(w)} weights for {len(fns)} members")
+        total = sum(w)
+        if total <= 0:
+            raise ValueError("ensemble weights must sum to a positive value")
+        w = [v / total for v in w]
+
+    def ensemble(x):
+        outs = [fn(x) for fn in fns]
+        shapes = {tuple(o.shape) for o in outs}
+        if len(shapes) != 1:
+            raise ValueError(
+                "ensemble members disagree on logits shape "
+                f"{sorted(shapes)} — members must share one class space"
+            )
+        out = w[0] * outs[0]
+        for wi, o in zip(w[1:], outs[1:]):
+            out = out + wi * o
+        return out
+
+    return ensemble
+
+
 def run_attack(
     attack_name: str,
     logits_fn: LogitsFn,

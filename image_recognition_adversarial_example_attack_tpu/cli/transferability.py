@@ -44,8 +44,10 @@ MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Black-box Transferability Attack")
-    parser.add_argument("--source_model", type=str, default="resnet50",
-                        choices=MODEL_CHOICES)
+    parser.add_argument("--source_model", type=str, nargs="+",
+                        default=["resnet50"], choices=MODEL_CHOICES,
+                        help="one model, or several to attack a logit-fusion "
+                             "ensemble (beyond-reference; one fused program)")
     parser.add_argument("--target_models", type=str, nargs="+",
                         default=["vgg19", "densenet121", "vit_b_16"],
                         choices=MODEL_CHOICES)
@@ -77,15 +79,23 @@ def main(argv=None) -> int:
     else:
         print(f"\n[3/4] Using single image: {image_paths[0]}")
 
-    print(f"\n[1/4] Loading source model: {args.source_model}")
-    src_bundle = load_bundle(args, name=args.source_model)
-    src_logits_fn, _ = make_fns(src_bundle)
+    src_names = list(args.source_model)
+    print(f"\n[1/4] Loading source model(s): {src_names}")
+    member_fns = [make_fns(load_bundle(args, name=nm))[0] for nm in src_names]
+    if len(member_fns) == 1:
+        src_logits_fn = member_fns[0]
+    else:
+        from ..attacks import make_ensemble_logits_fn
+
+        src_logits_fn = make_ensemble_logits_fn(member_fns)
+        print(f"  Attacking a logit-fusion ensemble of {len(member_fns)} sources"
+              " (one fused program)")
 
     print(f"\n[2/4] Loading target models: {args.target_models}")
     target_fns = {}
     for name in args.target_models:
-        if name == args.source_model:
-            print(f"  Skipping {name} (same as source model)")
+        if name in src_names:
+            print(f"  Skipping {name} (same as a source model)")
             continue
         target_fns[name] = make_fns(load_bundle(args, name=name))[0]
 
@@ -189,7 +199,7 @@ def main(argv=None) -> int:
                     matrix[i, j] = float(np.mean(v))
             plot_path = output_dir / f"transfer_heatmap_{attack_name}.png"
             plot_transfer_heatmap(matrix, args.eps_list, model_names,
-                                  args.source_model, attack_name, plot_path)
+                                  "+".join(src_names), attack_name, plot_path)
             print(f"Transferability heatmap saved: {plot_path}")
     return 0
 

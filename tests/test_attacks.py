@@ -250,6 +250,56 @@ class TestDIM:
         assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
 
 
+class TestEnsemble:
+    def test_single_member_is_identity(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_ensemble_logits_fn,
+        )
+
+        x = jnp.asarray(image_batch)
+        ens = make_ensemble_logits_fn([tiny_logits_fn])
+        np.testing.assert_allclose(np.asarray(ens(x)),
+                                   np.asarray(tiny_logits_fn(x)), atol=1e-6)
+
+    def test_weighted_mean_and_attack(self, tiny_logits_fn, tiny_resnet, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            fgsm_attack,
+            make_ensemble_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        model, variables = tiny_resnet
+        lf2 = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), np.float32)
+
+        # tiny_logits_fn expects 16x16; build a same-shape pair instead
+        ens = make_ensemble_logits_fn([lf2, lf2], weights=[1.0, 3.0])
+        np.testing.assert_allclose(np.asarray(ens(x)), np.asarray(lf2(x)),
+                                   rtol=1e-5, atol=1e-5)
+
+        y = jnp.argmax(ens(x), -1)
+        x_adv = jax.jit(lambda x, y: fgsm_attack(ens, x, y, eps=EPS))(x, y)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+
+    def test_validation(self, tiny_logits_fn):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_ensemble_logits_fn,
+        )
+
+        with pytest.raises(ValueError):
+            make_ensemble_logits_fn([])
+        with pytest.raises(ValueError):
+            make_ensemble_logits_fn([tiny_logits_fn], weights=[1.0, 2.0])
+        with pytest.raises(ValueError):
+            make_ensemble_logits_fn([tiny_logits_fn], weights=[0.0])
+
+
 class TestTargetedModes:
     def test_targeted_fgsm_increases_target_prob(self, tiny_logits_fn, image_batch):
         x = jnp.asarray(image_batch)
