@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
     parser.add_argument("--cw_steps", type=int, default=100)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
+    parser.add_argument("--convention", type=str, default="source-label",
+                        choices=["source-label", "blackbox"],
+                        help="success reference: the SOURCE model's clean "
+                             "pseudo-label (reference transferability_attack.py"
+                             ":110-120) or each target's OWN clean label "
+                             "(reference blackbox_transfer.py:244-251)")
     parser.add_argument("--save_adv_images", action="store_true")
     parser.add_argument("--output_dir", type=str, default="./transfer_results")
     add_model_args(parser)
@@ -137,7 +143,7 @@ def main(argv=None) -> int:
                         lambda x, k, e, a=attack_name, p=base: transfer_attack_batch(
                             src_logits_fn, target_fns, x, a,
                             dataclasses.replace(p, eps=e), k,
-                            convention="source-label",
+                            convention=args.convention,
                         )
                     )
                 key, sub = jax.random.split(key)
