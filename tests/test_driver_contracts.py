@@ -67,5 +67,6 @@ def test_bench_sharded_contract(monkeypatch, capsys):
     assert rec["sharded"] is True
     assert rec["n_chips"] == len(jax.devices())
     assert rec["value"] > 0
+    # value is rounded to 1 decimal in the JSON line
     assert rec["value"] == pytest.approx(rec["aggregate_ex_per_s"] / rec["n_chips"],
-                                         rel=1e-3)
+                                         abs=0.051)
