@@ -7,3 +7,4 @@ from .pgd import pgd_l2_attack, pgd_linf_attack, pgd_multi_restart
 from .cw import CWResult, cw_l2_attack
 from .mifgsm import mifgsm_attack
 from .dim import dim_attack, diverse_input
+from .tim import tim_attack

@@ -176,6 +176,14 @@ def run_attack(
             eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
             key=key, y_target=y_target,
         )
+    if attack_name == "tim":
+        from .tim import tim_attack
+
+        return tim_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+            y_target=y_target,
+        )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:
             key = jax.random.PRNGKey(0)

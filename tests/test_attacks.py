@@ -250,6 +250,59 @@ class TestDIM:
         assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
 
 
+class TestTIM:
+    def test_invariants(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import tim_attack
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = tim_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=5,
+                           kernel_size=3)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_kernel_and_smoothing(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks.tim import (
+            gaussian_kernel,
+            smooth_gradient,
+        )
+
+        k = gaussian_kernel(7)
+        assert k.shape == (7, 7)
+        np.testing.assert_allclose(k.sum(), 1.0, atol=1e-6)
+        np.testing.assert_allclose(k, k.T, atol=1e-7)  # symmetric
+        with pytest.raises(ValueError):
+            gaussian_kernel(4)  # even size
+
+        # SAME-padded smoothing preserves shape; a constant interior stays
+        # constant (kernel is normalized)
+        g = jnp.ones((2, 9, 9, 3), jnp.float32)
+        s = smooth_gradient(g, k)
+        assert s.shape == g.shape
+        np.testing.assert_allclose(np.asarray(s)[:, 4, 4, :], 1.0, atol=1e-5)
+
+    def test_kernel_size_1_recovers_mifgsm(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            mifgsm_attack,
+            tim_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        a = tim_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=4,
+                       kernel_size=1)
+        b = mifgsm_attack(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        params = AttackParams(eps=EPS, alpha=ALPHA, steps=3)
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = run_attack("tim", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+
+
 class TestEnsemble:
     def test_single_member_is_identity(self, tiny_logits_fn, image_batch):
         from image_recognition_adversarial_example_attack_tpu.attacks import (
