@@ -8,3 +8,4 @@ from .cw import CWResult, cw_l2_attack
 from .mifgsm import mifgsm_attack
 from .dim import dim_attack, diverse_input
 from .tim import tim_attack
+from .apgd import apgd_ce_attack

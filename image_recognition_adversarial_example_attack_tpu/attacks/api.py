@@ -184,6 +184,16 @@ def run_attack(
             eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
             y_target=y_target,
         )
+    if attack_name == "apgd":
+        from .apgd import apgd_ce_attack
+
+        if y_target is not None:
+            raise ValueError("apgd here is the untargeted CE variant")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return apgd_ce_attack(
+            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+        )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:
             key = jax.random.PRNGKey(0)

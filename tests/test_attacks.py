@@ -303,6 +303,70 @@ class TestTIM:
         assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
 
 
+class TestAPGD:
+    def test_invariants_and_determinism(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            apgd_ce_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        k = jax.random.PRNGKey(11)
+        x_adv = jax.jit(
+            lambda x, y, k: apgd_ce_attack(tiny_logits_fn, x, y, eps=EPS,
+                                           steps=20, key=k)
+        )(x, y, k)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+        again = apgd_ce_attack(tiny_logits_fn, x, y, eps=EPS, steps=20, key=k)
+        np.testing.assert_allclose(np.asarray(x_adv), np.asarray(again), atol=1e-6)
+
+    def test_returns_best_loss_iterate(self, tiny_logits_fn, image_batch):
+        """APGD's output CE is at least PGD-without-random-start's final CE
+        would be trivial to violate by a bad tracker; assert the weaker,
+        always-true property: the output strictly tracks the best loss, so
+        re-evaluating it must reproduce a CE no lower than the clean CE
+        whenever the attack moved the point at all."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            apgd_ce_attack,
+        )
+
+        def ce(z, y):
+            logp = jax.nn.log_softmax(tiny_logits_fn(z), -1)
+            return -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = apgd_ce_attack(tiny_logits_fn, x, y, eps=EPS, steps=30,
+                               key=jax.random.PRNGKey(0))
+        # ascent from a random start for 30 adaptive steps must beat the
+        # clean point on a differentiable CE surface
+        assert float(jnp.mean(ce(x_adv, y) - ce(x, y))) > 0.0
+
+    def test_checkpoint_schedule(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks.apgd import (
+            apgd_checkpoints,
+        )
+
+        flags = apgd_checkpoints(100)
+        assert flags.shape == (100,)
+        idx = np.nonzero(flags)[0]
+        assert idx[0] == 22          # ceil(0.22 * 100)
+        assert np.all(np.diff(idx) >= 6)  # min gap 0.06 * n
+        assert idx[-1] < 100
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        params = AttackParams(eps=EPS, steps=10)
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = run_attack("apgd", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        with pytest.raises(ValueError):
+            run_attack("apgd", tiny_logits_fn, x, y, params, rng_key,
+                       y_target=y)
+
+
 class TestEnsemble:
     def test_single_member_is_identity(self, tiny_logits_fn, image_batch):
         from image_recognition_adversarial_example_attack_tpu.attacks import (

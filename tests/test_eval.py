@@ -73,7 +73,7 @@ class TestDefenseEval:
         y = jnp.argmax(lf(x), -1)
         eps_list = [4 / 255, 8 / 255, 16 / 255]
 
-        for attack in ("fgsm", "pgd", "mifgsm"):
+        for attack in ("fgsm", "pgd", "mifgsm", "dim", "tim"):
             base = DefenseEvalConfig(attack_name=attack, eps=0.0,
                                      alpha=2 / 255, steps=2, cw_steps=2)
             dyn = make_defense_eval_fn_dynamic_eps(lf, ffn, base)
