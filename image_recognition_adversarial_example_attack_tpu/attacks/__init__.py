@@ -9,3 +9,4 @@ from .mifgsm import mifgsm_attack
 from .dim import dim_attack, diverse_input
 from .tim import tim_attack
 from .apgd import apgd_ce_attack
+from .square import square_attack

@@ -194,6 +194,16 @@ def run_attack(
         return apgd_ce_attack(
             logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
         )
+    if attack_name == "square":
+        from .square import square_attack
+
+        if y_target is not None:
+            raise ValueError("square is the untargeted margin-loss variant")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return square_attack(
+            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+        )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:
             key = jax.random.PRNGKey(0)

