@@ -100,10 +100,14 @@ def apgd_ce_attack(
         x_best=x_best, loss_best=loss_best,
         improved=better1.astype(jnp.int32),  # improvements since last ckpt
         since=jnp.ones((b,), jnp.int32),     # iterations since last ckpt
-        ckpt_eta=eta0, ckpt_best=loss_best,  # snapshots at the last ckpt
+        # AutoAttack's reduced_last_check / loss at the last checkpoint:
+        halved_prev=jnp.zeros((b,), bool), ckpt_best=loss_best,
     )
 
-    flags = jnp.asarray(apgd_checkpoints(int(steps)))
+    # the pre-scan plain step IS iteration 1 of the paper's budget, so the
+    # scan covers iterations 1..steps-1 — `steps` gradient evaluations
+    # total (+ the random-start probe), checkpoints at absolute w_j
+    flags = jnp.asarray(apgd_checkpoints(int(steps)))[1:]
 
     def body(c, is_ckpt):
         # momentum step (paper eq. 2-3) with the current per-sample eta
@@ -123,9 +127,10 @@ def apgd_ce_attack(
 
         # checkpoint: halve eta (and restart from the best iterate) when
         #   (1) too few improvements since the last checkpoint, or
-        #   (2) eta AND best loss both unchanged since the last checkpoint
+        #   (2) eta was NOT halved at the previous checkpoint AND the best
+        #       loss has not improved since (AutoAttack's ~reduced_last_check)
         cond1 = improved_cnt < jnp.ceil(rho * since).astype(jnp.int32)
-        cond2 = (c["ckpt_eta"] == c["eta"]) & (c["ckpt_best"] >= loss_best)
+        cond2 = (~c["halved_prev"]) & (c["ckpt_best"] >= loss_best)
         halve = is_ckpt & (cond1 | cond2)
 
         eta = jnp.where(halve, c["eta"] / 2.0, c["eta"])
@@ -143,7 +148,7 @@ def apgd_ce_attack(
             x_best=x_best, loss_best=loss_best,
             improved=jnp.where(is_ckpt, 0, improved_cnt),
             since=jnp.where(is_ckpt, 0, since),
-            ckpt_eta=jnp.where(is_ckpt, eta, c["ckpt_eta"]),
+            halved_prev=jnp.where(is_ckpt, halve, c["halved_prev"]),
             ckpt_best=jnp.where(is_ckpt, loss_best, c["ckpt_best"]),
         )
         return new_c, None

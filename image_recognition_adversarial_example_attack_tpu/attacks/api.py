@@ -95,6 +95,9 @@ class AttackParams:
     cw_lr: float = DEFAULT_CW_LR
     random_start: bool = True
     mu: float = 1.0  # MI-FGSM momentum decay
+    # Square is query-based: its budget is queries, not gradient steps —
+    # reusing `steps` (default 10) would silently cripple it
+    square_steps: int = 1000
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -147,11 +150,14 @@ def run_attack(
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
-    -> x_adv in [0,1].
+    | 'tim' | 'apgd' | 'square' -> x_adv in [0,1].
 
-    'mifgsm', 'dim', and the ``y_target`` targeted modes for
-    fgsm/pgd/mifgsm/dim are beyond-reference extensions; they plug into
-    every harness accepting an attack name.
+    'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
+    'square' (gradient-free black-box; budget = params.square_steps), and
+    the ``y_target`` targeted modes for fgsm/pgd/mifgsm/dim/tim are
+    beyond-reference extensions; they plug into every harness accepting an
+    attack name.  'apgd' and 'square' are untargeted-only and reject
+    ``y_target``.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -202,7 +208,8 @@ def run_attack(
         if key is None:
             key = jax.random.PRNGKey(0)
         return square_attack(
-            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+            logits_fn, x, y_true, eps=params.eps, steps=params.square_steps,
+            key=key,
         )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:

@@ -30,13 +30,15 @@ from .api import LogitsFn
 
 
 def square_schedule(steps: int, h: int, w: int, p_init: float = 0.1) -> np.ndarray:
-    """Per-step square side lengths (the paper's piecewise p-schedule)."""
-    # fractions of the budget at which p halves (paper's schedule)
-    breaks = np.array([0.0, 0.02, 0.1, 0.22, 0.5, 0.8, 1.0])
+    """Per-step square side lengths (the paper's piecewise p-schedule:
+    p halves at fractions 0.001/0.005/0.02/0.05/0.1/0.2/0.4/0.6/0.8 of the
+    query budget — the official implementation's i/n thresholds
+    10/50/200/500/1000/2000/4000/6000/8000 out of 10000)."""
+    breaks = np.array([0.001, 0.005, 0.02, 0.05, 0.1, 0.2, 0.4, 0.6, 0.8])
     sides = np.empty((steps,), np.int32)
     for i in range(steps):
         frac = i / max(1, steps)
-        n_halvings = int(np.searchsorted(breaks, frac, side="right")) - 1
+        n_halvings = int(np.searchsorted(breaks, frac, side="right"))
         p = p_init / (2**n_halvings)
         side = int(round(np.sqrt(p * h * w)))
         sides[i] = int(np.clip(side, 1, min(h, w)))

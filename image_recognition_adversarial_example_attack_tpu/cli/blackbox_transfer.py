@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
     parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
     parser.add_argument("--cw_steps", type=int, default=200)
+    parser.add_argument("--square_steps", type=int, default=1000,
+                        help="query budget for the square attack")
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--visualize_n", type=int, default=3)
     parser.add_argument("--source", type=str, default="resnet50",
@@ -103,7 +105,7 @@ def main(argv=None) -> int:
             params = AttackParams(
                 eps=args.eps, alpha=args.alpha, steps=args.steps,
                 cw_c=args.cw_c, cw_kappa=args.cw_kappa,
-                cw_steps=args.cw_steps, cw_lr=args.cw_lr,
+                cw_steps=args.cw_steps, cw_lr=args.cw_lr, square_steps=int(args.square_steps),
             )
             key, sub = jax.random.split(key)
             attack_fn = jax.jit(

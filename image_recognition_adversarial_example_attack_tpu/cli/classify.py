@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
     parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
     parser.add_argument("--cw_steps", type=int, default=DEFAULT_CW_STEPS)
+    parser.add_argument("--square_steps", type=int, default=1000,
+                        help="query budget for the square attack")
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--target", type=int, default=None)
     parser.add_argument("--save_adv", type=str, default=None)
@@ -102,7 +104,7 @@ def main(argv=None) -> int:
             params = AttackParams(
                 eps=args.eps, alpha=args.alpha, steps=args.steps,
                 cw_c=args.cw_c, cw_kappa=args.cw_kappa,
-                cw_steps=args.cw_steps, cw_lr=args.cw_lr,
+                cw_steps=args.cw_steps, cw_lr=args.cw_lr, square_steps=int(args.square_steps),
             )
             y_t = (jnp.full((x.shape[0],), int(args.target), jnp.int32)
                    if args.target is not None else None)

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
     parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
     parser.add_argument("--cw_steps", type=int, default=100)
+    parser.add_argument("--square_steps", type=int, default=1000,
+                        help="query budget for the square attack")
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
 
     parser.add_argument("--detector_threshold", type=float, default=None)
@@ -217,6 +219,7 @@ def main(argv=None) -> int:
                         alpha=float(args.alpha), steps=int(args.steps),
                         cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
                         cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+                        square_steps=int(args.square_steps),
                         defense=defense_cfg,
                     )
                     if defense_cfg.use_jpeg and engine.mesh is not None:

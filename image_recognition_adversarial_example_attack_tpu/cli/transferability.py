@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
     parser.add_argument("--cw_kappa", type=float, default=DEFAULT_CW_KAPPA)
     parser.add_argument("--cw_steps", type=int, default=100)
+    parser.add_argument("--square_steps", type=int, default=1000,
+                        help="query budget for the square attack")
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--convention", type=str, default="source-label",
                         choices=["source-label", "blackbox"],
@@ -137,7 +139,7 @@ def main(argv=None) -> int:
                         eps=0.0,  # overridden by the traced eps at call time
                         alpha=float(args.alpha), steps=int(args.steps),
                         cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
-                        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+                        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr), square_steps=int(args.square_steps),
                     )
                     cell_fns[attack_name] = jax.jit(
                         lambda x, k, e, a=attack_name, p=base: transfer_attack_batch(

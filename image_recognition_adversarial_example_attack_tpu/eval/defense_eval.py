@@ -49,6 +49,7 @@ class DefenseEvalConfig:
     cw_kappa: float = DEFAULT_CW_KAPPA
     cw_steps: int = 100
     cw_lr: float = 0.01
+    square_steps: int = 1000
     defense: DefenseConfig = DefenseConfig()
 
     def attack_params(self) -> AttackParams:
@@ -60,6 +61,7 @@ class DefenseEvalConfig:
             cw_kappa=self.cw_kappa,
             cw_steps=self.cw_steps,
             cw_lr=self.cw_lr,
+            square_steps=self.square_steps,
         )
 
 
