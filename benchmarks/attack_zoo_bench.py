@@ -1,0 +1,86 @@
+"""Throughput of every attack in the zoo on the real chip.
+
+One JSON line per attack: examples/sec at batch 128, ResNet-50 @224 bf16,
+10 gradient steps for the iterative attacks (so PGD-family numbers are
+comparable to bench.py's headline), CW 100 steps, Square 200 queries.
+
+Usage: python benchmarks/attack_zoo_bench.py [--batch 128] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--attacks", nargs="+",
+                    default=["fgsm", "pgd", "mifgsm", "dim", "tim", "apgd",
+                             "cw", "square"])
+    args = ap.parse_args()
+
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        AttackParams,
+        make_logits_fn,
+        run_attack,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.constants import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.resnet import resnet50
+
+    model = resnet50(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD,
+                        input_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 1000, size=(args.batch,)).astype(np.int32))
+    params = AttackParams(eps=8 / 255, alpha=2 / 255, steps=10,
+                          cw_steps=100, square_steps=200)
+
+    for name in args.attacks:
+        fn = jax.jit(
+            lambda x, y, k, a=name: run_attack(a, lf, x, y, params, k)
+        )
+        key = jax.random.PRNGKey(0)
+        try:
+            fn(x, y, key).block_until_ready()  # compile
+            t0 = time.perf_counter()
+            out = None
+            for i in range(args.iters):
+                out = fn(x, y, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "attack": name, "ex_per_s": round(args.batch * args.iters / dt, 1),
+                "batch": args.batch,
+                "budget": (200 if name == "square" else
+                           100 if name == "cw" else
+                           1 if name == "fgsm" else 10),
+            }))
+        except Exception as e:
+            print(json.dumps({"attack": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}))
+        sys.stdout.flush()
+        jax.clear_caches()
+
+
+if __name__ == "__main__":
+    main()

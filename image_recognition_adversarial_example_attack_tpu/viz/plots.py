@@ -46,10 +46,13 @@ warnings.filterwarnings("ignore", "Glyph.*missing from font", UserWarning)
 # Categorical palette (light-surface column of a CVD-validated 8-slot set:
 # adjacent-pair CVD dE 9.1, normal-vision dE 19.6 — both above the 8/15
 # floors).  Color follows the attack IDENTITY: a filtered run must not
-# repaint the survivors.
-_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4"]
-_ATTACK_SLOT = {"FGSM": 0, "PGD": 1, "CW": 2, "MIFGSM": 3}
-_ATTACK_MARKER = {"FGSM": "o", "PGD": "s", "CW": "^", "MIFGSM": "D"}
+# repaint the survivors.  Markers are the secondary (non-color) encoding.
+_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4",
+           "#008300", "#4a3aa7", "#e34948"]
+_ATTACK_SLOT = {"FGSM": 0, "PGD": 1, "CW": 2, "MIFGSM": 3,
+                "DIM": 4, "TIM": 5, "APGD": 6, "SQUARE": 7}
+_ATTACK_MARKER = {"FGSM": "o", "PGD": "s", "CW": "^", "MIFGSM": "D",
+                  "DIM": "v", "TIM": "P", "APGD": "X", "SQUARE": "*"}
 
 
 def _attack_style(attack_upper: str, fallback_idx: int = 0) -> dict:
