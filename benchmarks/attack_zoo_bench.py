@@ -61,7 +61,10 @@ def main() -> None:
         )
         key = jax.random.PRNGKey(0)
         try:
-            fn(x, y, key).block_until_ready()  # compile
+            # two blocked warmups like bench.measure: the first post-compile
+            # call over the relay is reliably slower than steady state
+            fn(x, y, key).block_until_ready()
+            fn(x, y, jax.random.fold_in(key, 999)).block_until_ready()
             t0 = time.perf_counter()
             out = None
             for i in range(args.iters):
