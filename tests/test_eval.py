@@ -161,3 +161,33 @@ class TestTrajectory:
         assert traj.probs.shape == (2, 2)
         assert float(traj.l2[0]) == 0.0
         assert float(traj.l2[1]) > 0.0
+
+
+class TestRobustEval:
+    def test_autoattack_lite(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
+            autoattack_lite,
+            robust_accuracy,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = jnp.argmax(tiny_logits_fn(x), -1)
+        res = jax.jit(
+            lambda x, y, k: autoattack_lite(tiny_logits_fn, x, y, eps=8 / 255,
+                                            key=k, apgd_steps=10, square_steps=20)
+        )(x, y, rng_key)
+
+        # worst-case iterate stays in the ball and [0,1]
+        assert float(jnp.max(jnp.abs(res.x_adv - x))) <= 8 / 255 + 1e-6
+        assert float(res.x_adv.min()) >= 0.0 and float(res.x_adv.max()) <= 1.0
+        # success mask is the union, and the returned iterate realizes it
+        np.testing.assert_array_equal(
+            np.asarray(res.success),
+            np.asarray(res.success_apgd | res.success_square))
+        pred = np.asarray(jnp.argmax(tiny_logits_fn(res.x_adv), -1))
+        np.testing.assert_array_equal(pred != np.asarray(y),
+                                      np.asarray(res.success))
+        acc = robust_accuracy(res, clean_correct=jnp.ones_like(y, bool))
+        assert 0.0 <= acc <= 1.0
+        np.testing.assert_allclose(acc, 1.0 - np.asarray(res.success).mean(),
+                                   atol=1e-6)
