@@ -27,8 +27,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--attacks", nargs="+",
-                    default=["fgsm", "pgd", "mifgsm", "dim", "tim", "apgd",
-                             "cw", "square"])
+                    default=["fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim",
+                             "apgd", "cw", "square"])
     args = ap.parse_args()
 
     from image_recognition_adversarial_example_attack_tpu.attacks import (
@@ -74,9 +74,9 @@ def main() -> None:
             print(json.dumps({
                 "attack": name, "ex_per_s": round(args.batch * args.iters / dt, 1),
                 "batch": args.batch,
-                "budget": (200 if name == "square" else
-                           100 if name == "cw" else
-                           1 if name == "fgsm" else 10),
+                "budget": (params.square_steps if name == "square" else
+                           params.cw_steps if name == "cw" else
+                           1 if name == "fgsm" else params.steps),
             }))
         except Exception as e:
             print(json.dumps({"attack": name,

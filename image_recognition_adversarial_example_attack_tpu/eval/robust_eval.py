@@ -70,7 +70,12 @@ def autoattack_lite(
 
 
 def robust_accuracy(result: RobustEvalResult, clean_correct: jnp.ndarray) -> float:
-    """Fraction of clean-correct samples that resist BOTH attacks."""
+    """Fraction of clean-correct samples that resist BOTH attacks.
+
+    NaN when no sample is clean-correct (0/0 is undefined — returning 0
+    would be indistinguishable from 'every clean-correct sample broke')."""
     cc = jnp.asarray(clean_correct, bool)
-    n = jnp.maximum(jnp.sum(cc), 1)
+    n = int(jnp.sum(cc))
+    if n == 0:
+        return float("nan")
     return float(jnp.sum(cc & ~result.success) / n)

@@ -53,13 +53,23 @@ _ATTACK_SLOT = {"FGSM": 0, "PGD": 1, "CW": 2, "MIFGSM": 3,
                 "DIM": 4, "TIM": 5, "APGD": 6, "SQUARE": 7}
 _ATTACK_MARKER = {"FGSM": "o", "PGD": "s", "CW": "^", "MIFGSM": "D",
                   "DIM": "v", "TIM": "P", "APGD": "X", "SQUARE": "*"}
+# Unslotted attacks (e.g. pgd_l2) get NEUTRAL gray — never a slot color,
+# which would repaint a named attack's identity — with markers as the
+# distinguishing encoding.
+_FALLBACK_COLOR = "#6e6d69"
+_FALLBACK_MARKERS = ["h", "p", "8", "d"]
 
 
 def _attack_style(attack_upper: str, fallback_idx: int = 0) -> dict:
-    slot = _ATTACK_SLOT.get(attack_upper, fallback_idx % len(_SERIES))
+    slot = _ATTACK_SLOT.get(attack_upper)
+    if slot is None:
+        return {
+            "color": _FALLBACK_COLOR,
+            "marker": _FALLBACK_MARKERS[fallback_idx % len(_FALLBACK_MARKERS)],
+        }
     return {
         "color": _SERIES[slot],
-        "marker": _ATTACK_MARKER.get(attack_upper, "o"),
+        "marker": _ATTACK_MARKER[attack_upper],
     }
 
 
