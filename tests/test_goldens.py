@@ -23,10 +23,15 @@ def _generate():
     import jax.numpy as jnp
 
     from image_recognition_adversarial_example_attack_tpu.attacks import (
+        apgd_ce_attack,
         cw_l2_attack,
+        dim_attack,
         fgsm_attack,
         make_logits_fn,
+        mifgsm_attack,
         pgd_linf_attack,
+        square_attack,
+        tim_attack,
     )
     from image_recognition_adversarial_example_attack_tpu.core.constants import (
         IMAGENET_MEAN,
@@ -50,6 +55,15 @@ def _generate():
         "adv_pgd": pgd_linf_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
                                    steps=10, key=key),
         "adv_cw": cw_l2_attack(lf, x, y, c=10.0, steps=50, lr=0.05).x_adv,
+        # beyond-reference attack family, same fixed seeds
+        "adv_mifgsm": mifgsm_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                                    steps=10),
+        "adv_dim": dim_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                              steps=10, key=key),
+        "adv_tim": tim_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                              steps=10, kernel_size=3),
+        "adv_apgd": apgd_ce_attack(lf, x, y, eps=8 / 255, steps=20, key=key),
+        "adv_square": square_attack(lf, x, y, eps=8 / 255, steps=40, key=key),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
