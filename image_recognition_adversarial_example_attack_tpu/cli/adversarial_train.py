@@ -1,0 +1,142 @@
+"""Adversarial fine-tuning CLI (PGD-AT) — produce robust checkpoints.
+
+The reference consumes a RobustBench checkpoint it cannot produce
+(defense_experiments.py:674-686); this CLI closes the loop:
+
+    python -m ...cli.adversarial_train --data_dir data/ --model resnet50 \\
+        --epochs 3 --eps 0.03137 --out weights/resnet50_robust.msgpack
+
+``--data_dir`` uses the universal subdirectory-per-class layout; classes
+map to label ids by sorted directory name.  The produced msgpack drops
+straight into the robust arm (``defense_experiments --model_type robust``)
+and the detector/eval stack.
+
+TPU execution: every optimization step is ONE compiled program (PGD
+attack on current params + param grads + optax update — see
+train/adversarial.py); the batch shards over the data mesh when more
+than one device is visible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.images import list_images, load_image_batch_tolerant
+from ..core.rng import key_from_seed
+from ..train.adversarial import (AdvTrainConfig, make_eval_step,
+                                 make_train_step, train_state_from_bundle)
+from .common import add_model_args, load_bundle, maybe_profile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="PGD adversarial fine-tuning (Madry et al.)")
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="root with one subdirectory per class")
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--eps", type=float, default=8 / 255)
+    parser.add_argument("--alpha", type=float, default=2 / 255)
+    parser.add_argument("--attack_steps", type=int, default=7)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--label_smoothing", type=float, default=0.0)
+    parser.add_argument("--clean_weight", type=float, default=0.0,
+                        help=">0 mixes clean CE into the objective")
+    parser.add_argument("--out", type=str, default=None,
+                        help="output .msgpack (default: weights/<model>_robust.msgpack)")
+    add_model_args(parser)
+    return parser
+
+
+def _load_dataset(data_dir: Path):
+    classes = sorted(d.name for d in data_dir.iterdir() if d.is_dir())
+    if not classes:
+        raise SystemExit(f"no class subdirectories under {data_dir}")
+    paths, labels = [], []
+    for label, cname in enumerate(classes):
+        for p in list_images(data_dir / cname):
+            paths.append(p)
+            labels.append(label)
+    if not paths:
+        raise SystemExit(f"no images under {data_dir}/<class>/")
+    x, kept = load_image_batch_tolerant(paths)
+    kept_set = {str(p) for p in kept}
+    y = np.asarray([l for p, l in zip(paths, labels) if str(p) in kept_set],
+                   np.int32)
+    return x, y, classes
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f"Using device: {jax.devices()[0]}")
+
+    data_dir = Path(args.data_dir)
+    x_np, y_np, classes = _load_dataset(data_dir)
+    n = len(y_np)
+    print(f"Dataset: {n} images, {len(classes)} classes {classes[:8]}"
+          f"{'...' if len(classes) > 8 else ''}")
+
+    bundle = load_bundle(args)
+    config = AdvTrainConfig(
+        eps=float(args.eps), alpha=float(args.alpha),
+        attack_steps=int(args.attack_steps), learning_rate=float(args.lr),
+        weight_decay=float(args.weight_decay),
+        label_smoothing=float(args.label_smoothing),
+        clean_weight=float(args.clean_weight),
+    )
+    state = train_state_from_bundle(bundle, config)
+    train_step = jax.jit(make_train_step(config, bundle.mean, bundle.std))
+    eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
+
+    key = key_from_seed(args.seed)
+    batch = min(int(args.batch_size), n)
+    steps_per_epoch = max(1, n // batch)
+    rng = np.random.RandomState(0)
+
+    with maybe_profile(args.profile_dir):
+        for epoch in range(int(args.epochs)):
+            order = rng.permutation(n)
+            t0 = time.perf_counter()
+            metrics = {}
+            for s in range(steps_per_epoch):
+                idx = order[s * batch:(s + 1) * batch]
+                if len(idx) < batch:  # keep one static batch shape
+                    idx = np.concatenate([idx, order[: batch - len(idx)]])
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(
+                    state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]), sub)
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+            ev = eval_step(state, jnp.asarray(x_np[:min(256, n)]),
+                           jnp.asarray(y_np[:min(256, n)]))
+            print(f"epoch {epoch + 1}/{args.epochs}: "
+                  f"loss={float(metrics['loss']):.4f} "
+                  f"adv_acc={float(metrics['adv_accuracy']):.3f} "
+                  f"clean_acc={float(ev['clean_accuracy']):.3f} "
+                  f"({steps_per_epoch * batch / dt:.1f} ex/s)")
+
+    out = Path(args.out) if args.out else (
+        Path("weights") / f"{args.model}_robust.msgpack")
+    from ..models.zoo import save_variables
+
+    variables = {"params": state.params, **state.extra_variables}
+    save_variables(variables, out)
+    print(f"Saved adversarially fine-tuned checkpoint: {out}")
+    # fine-tuning keeps the base model's ImageNet normalization, so the
+    # checkpoint belongs on the STANDARD arm (the robust arm applies
+    # identity normalization for RobustBench-style checkpoints)
+    print(f"Use it via: defense_experiments --model {args.model} "
+          f"--weights {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

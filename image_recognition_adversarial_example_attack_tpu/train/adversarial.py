@@ -1,0 +1,161 @@
+"""PGD adversarial training (Madry et al., ICLR 2018), TPU-native.
+
+Beyond-reference capability: the reference CONSUMES an adversarially
+trained checkpoint (RobustBench Engstrom2019Robustness,
+defense_experiments.py:674-686) but cannot produce one.  This module
+closes that loop: it fine-tunes any zoo model with on-the-fly PGD
+adversarial examples, producing checkpoints the robust arm and the
+converter round-trip natively (msgpack, same variable tree).
+
+TPU design — the WHOLE training step is ONE jitted program:
+
+    train_step(state, x, y, key) =
+      scan: PGD attack on the CURRENT params   (k fwd + k bwd-to-input)
+      stop_gradient(x_adv)                     (attack is data, not graph)
+      value_and_grad wrt params on x_adv       (1 fwd + 1 bwd-to-params)
+      optax update + apply                     (fused elementwise)
+
+Under a ('data','model') mesh the batch shards over 'data' and XLA
+inserts the gradient psum over ICI — no hand-written collectives (the
+same scale-out contract as the eval stack, parallel/mesh.py).
+
+BatchNorm note: zoo models run BN in inference mode (frozen running
+stats — models/resnet.py), so fine-tuning updates weights against the
+converged statistics, the standard setting for robust FINE-TUNING.
+Training from scratch with live BN statistics is out of scope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..attacks.pgd import pgd_linf_attack
+from ..core.constants import IMAGENET_MEAN, IMAGENET_STD
+from ..core.normalize import normalize_batch
+
+
+@dataclass(frozen=True)
+class AdvTrainConfig:
+    """Static (compile-time) training-step configuration."""
+
+    eps: float = 8 / 255
+    alpha: float = 2 / 255
+    attack_steps: int = 7          # Madry's PGD-7
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    label_smoothing: float = 0.0
+    clean_weight: float = 0.0      # >0: TRADES-style mix of clean CE
+
+
+class TrainState(struct.PyTreeNode):
+    """Parameters + optimizer state + step counter (a jit-able pytree)."""
+
+    params: Any
+    extra_variables: Any           # batch_stats etc., frozen during AT
+    opt_state: Any
+    step: jnp.ndarray
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def _make_optimizer(config: AdvTrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+
+
+def train_state_from_bundle(bundle, config: AdvTrainConfig) -> TrainState:
+    """Build a TrainState from a zoo ModelBundle (models/zoo.py)."""
+    variables = dict(bundle.variables)
+    params = variables.pop("params")
+    tx = _make_optimizer(config)
+    return TrainState(
+        params=params,
+        extra_variables=variables,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        tx=tx,
+        apply_fn=bundle.module.apply,
+    )
+
+
+def _ce_loss(logits: jnp.ndarray, y: jnp.ndarray, smoothing: float) -> jnp.ndarray:
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if smoothing > 0.0:
+        target = optax.smooth_labels(jax.nn.one_hot(y, n), smoothing)
+        return -jnp.mean(jnp.sum(target * logp, axis=-1))
+    return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+
+def make_train_step(config: AdvTrainConfig,
+                    mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """One fused PGD-AT step: (state, x01, y, key) -> (state, metrics).
+
+    ``x01``: [B,H,W,C] pixels in [0,1]; normalization happens inside (the
+    same closure convention as the attack stack).  Wrap in ``jax.jit`` (or
+    pjit with the batch sharded over 'data') — `config` is closed over as
+    a static.
+    """
+
+    def apply_logits(state: TrainState, params, x01):
+        variables = {"params": params, **state.extra_variables}
+        out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+        return out.astype(jnp.float32)
+
+    def loss_fn(params, state: TrainState, x01, y):
+        logits = apply_logits(state, params, x01)
+        return _ce_loss(logits, y, config.label_smoothing), logits
+
+    def step(state: TrainState, x01, y, key):
+        # 1) craft adversarial examples against the CURRENT parameters
+        def logits_fn(x01):
+            return apply_logits(state, state.params, x01)
+
+        x_adv = pgd_linf_attack(
+            logits_fn, x01, y, eps=config.eps, alpha=config.alpha,
+            steps=config.attack_steps, key=key,
+        )
+        x_adv = jax.lax.stop_gradient(x_adv)  # attack output is data
+
+        # 2) parameter gradients on the adversarial batch (+ optional clean)
+        def total_loss(params):
+            adv_loss, adv_logits = loss_fn(params, state, x_adv, y)
+            if config.clean_weight > 0.0:
+                clean_loss, _ = loss_fn(params, state, x01, y)
+                return ((1.0 - config.clean_weight) * adv_loss
+                        + config.clean_weight * clean_loss), adv_logits
+            return adv_loss, adv_logits
+
+        (loss, adv_logits), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(state.params)
+
+        # 3) optimizer update (XLA fuses; grads psum'd by pjit when sharded)
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "adv_accuracy": jnp.mean(jnp.argmax(adv_logits, -1) == y),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """(state, x01, y) -> {clean_accuracy} (jit/pjit-able)."""
+
+    def step(state: TrainState, x01, y):
+        variables = {"params": state.params, **state.extra_variables}
+        logits = state.apply_fn(variables, normalize_batch(x01, mean, std))
+        pred = jnp.argmax(logits.astype(jnp.float32), -1)
+        return {"clean_accuracy": jnp.mean(pred == y)}
+
+    return step

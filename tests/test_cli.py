@@ -208,3 +208,34 @@ def test_classify_skips_corrupt_image(image_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "WARNING: skipping unreadable image" in out
     assert out.count("Image: ") == 1
+
+
+def test_adversarial_train_cli(tmp_path, capsys):
+    """PGD-AT fine-tuning CLI: trains on a subdir-per-class dataset and
+    saves a zoo-loadable msgpack checkpoint."""
+    from image_recognition_adversarial_example_attack_tpu.cli.adversarial_train import (
+        main,
+    )
+
+    rng = np.random.RandomState(0)
+    for name, base in (("class_a", 0.25), ("class_b", 0.75)):
+        d = tmp_path / "data" / name
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = np.clip(base + rng.uniform(-0.08, 0.08, (32, 32, 3)), 0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(d / f"im{i}.jpg")
+
+    out = tmp_path / "at.msgpack"
+    rc = main(["--data_dir", str(tmp_path / "data"), "--model", "resnet_tiny",
+               "--epochs", "2", "--batch_size", "4", "--lr", "5e-3",
+               "--attack_steps", "2", "--out", str(out)])
+    assert rc == 0
+    assert out.is_file()
+    text = capsys.readouterr().out
+    assert "Dataset: 8 images, 2 classes" in text
+    assert "Saved adversarially fine-tuned checkpoint" in text
+
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import load_model
+
+    bundle = load_model("resnet_tiny", weights=out)
+    assert bundle.source == "cache"

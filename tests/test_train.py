@@ -1,0 +1,150 @@
+"""Adversarial training (PGD-AT): the full train step as one program.
+
+The reference consumes RobustBench checkpoints but cannot produce one
+(SURVEY.md C8); train/adversarial.py closes the loop.  These tests train
+the tiny model on a linearly separable toy task and assert the optimizer
+learns, robustifies, and shards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_recognition_adversarial_example_attack_tpu.train import (
+    AdvTrainConfig,
+    make_eval_step,
+    make_train_step,
+    train_state_from_bundle,
+)
+
+
+class _Bundle:
+    """Minimal stand-in for models/zoo.ModelBundle."""
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+
+
+def _toy_data(n=64, size=16, seed=0):
+    """Two classes separated by mean intensity (margin >> eps)."""
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 2, size=(n,)).astype(np.int32)
+    base = np.where(y[:, None, None, None] == 0, 0.25, 0.75)
+    x = np.clip(base + rng.uniform(-0.08, 0.08, (n, size, size, 3)), 0, 1)
+    return jnp.asarray(x, jnp.float32), jnp.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def trained_state():
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import make_tiny
+
+    model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+    config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=3,
+                            learning_rate=5e-3)
+    state0 = train_state_from_bundle(_Bundle(model, variables), config)
+    train_step = jax.jit(make_train_step(config))
+
+    x, y = _toy_data()
+    key = jax.random.PRNGKey(0)
+    state, first_metrics = train_step(state0, x, y, key)
+    metrics = first_metrics
+    for i in range(60):
+        state, metrics = train_step(state, x, y, jax.random.fold_in(key, i))
+    return state0, state, first_metrics, metrics, x, y, config
+
+
+def test_loss_decreases_and_step_counts(trained_state):
+    state0, state, first, last, *_ = trained_state
+    assert int(state.step) == 61
+    assert float(last["loss"]) < float(first["loss"])
+    assert np.isfinite(float(last["grad_norm"]))
+
+
+def test_adversarial_accuracy_learned(trained_state):
+    """After PGD-AT on a wide-margin task, PGD within eps no longer flips
+    predictions (the definition of having learned robustly)."""
+    from image_recognition_adversarial_example_attack_tpu.attacks.pgd import (
+        pgd_linf_attack,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.normalize import (
+        normalize_batch,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.constants import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    _, state, _, last, x, y, config = trained_state
+    assert float(last["adv_accuracy"]) > 0.9
+
+    def lf(x01):
+        variables = {"params": state.params, **state.extra_variables}
+        return state.apply_fn(
+            variables, normalize_batch(x01, IMAGENET_MEAN, IMAGENET_STD)
+        ).astype(jnp.float32)
+
+    x_adv = pgd_linf_attack(lf, x, y, eps=config.eps, alpha=config.alpha,
+                            steps=10, key=jax.random.PRNGKey(7))
+    robust_acc = float(jnp.mean(jnp.argmax(lf(x_adv), -1) == y))
+    assert robust_acc > 0.9
+
+
+def test_eval_step(trained_state):
+    _, state, _, _, x, y, _ = trained_state
+    out = jax.jit(make_eval_step())(state, x, y)
+    assert float(out["clean_accuracy"]) > 0.9
+
+
+def test_sharded_train_step_matches_single_device(trained_state):
+    """One PGD-AT step over the ('data','model') mesh equals the
+    single-device step (the gradient psum is XLA's, not ours)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_recognition_adversarial_example_attack_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    state0, *_ , x, y, config = trained_state
+    train_step = make_train_step(config)
+    key = jax.random.PRNGKey(3)
+
+    ref_state, ref_metrics = jax.jit(train_step)(state0, x, y, key)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    xs = data_sharding(mesh)
+    got_state, got_metrics = jax.jit(
+        train_step,
+        in_shardings=(None, xs, NamedSharding(mesh, P("data")), None),
+        out_shardings=(None, None),
+    )(state0, jax.device_put(x, xs),
+      jax.device_put(y, NamedSharding(mesh, P("data"))), key)
+
+    np.testing.assert_allclose(float(got_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, trained_state):
+    """Trained variables save/load through the zoo's msgpack cache and the
+    robust arm's identity-normalization path."""
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        save_variables,
+    )
+    from flax import serialization
+
+    _, state, _, _, x, _, _ = trained_state
+    variables = {"params": state.params, **state.extra_variables}
+    out = tmp_path / "at_tiny.msgpack"
+    save_variables(variables, out)
+    loaded = serialization.from_bytes(variables, out.read_bytes())
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
