@@ -10,3 +10,5 @@ from .dim import dim_attack, diverse_input
 from .tim import tim_attack
 from .apgd import apgd_ce_attack
 from .square import square_attack
+from .deepfool import deepfool_attack
+from .grad_est import nes_attack, spsa_attack

@@ -98,6 +98,14 @@ class AttackParams:
     # Square is query-based: its budget is queries, not gradient steps —
     # reusing `steps` (default 10) would silently cripple it
     square_steps: int = 1000
+    # DeepFool converges in few iterations but needs more than PGD's 10
+    deepfool_steps: int = 50
+    deepfool_classes: int = 10
+    deepfool_overshoot: float = 0.02
+    # NES/SPSA gradient-estimation budgets (probe pairs per step)
+    est_samples: int = 32
+    nes_sigma: float = 1e-3
+    spsa_delta: float = 1e-2
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -150,14 +158,16 @@ def run_attack(
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
-    | 'tim' | 'apgd' | 'square' -> x_adv in [0,1].
+    | 'tim' | 'apgd' | 'square' | 'deepfool' | 'nes' | 'spsa' -> x_adv in [0,1].
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
-    'square' (gradient-free black-box; budget = params.square_steps), and
-    the ``y_target`` targeted modes for fgsm/pgd/mifgsm/dim/tim are
+    'square' (gradient-free black-box; budget = params.square_steps),
+    'deepfool' (minimal-L2, attacks the model's own prediction),
+    'nes'/'spsa' (query-based gradient estimation), and the ``y_target``
+    targeted modes for fgsm/pgd/mifgsm/dim/tim/nes/spsa are
     beyond-reference extensions; they plug into every harness accepting an
-    attack name.  'apgd' and 'square' are untargeted-only and reject
-    ``y_target``.
+    attack name.  'apgd', 'square' and 'deepfool' are untargeted-only and
+    reject ``y_target``.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -210,6 +220,35 @@ def run_attack(
         return square_attack(
             logits_fn, x, y_true, eps=params.eps, steps=params.square_steps,
             key=key,
+        )
+    if attack_name == "deepfool":
+        from .deepfool import deepfool_attack
+
+        if y_target is not None:
+            raise ValueError("deepfool flips the model's own prediction; untargeted-only")
+        return deepfool_attack(
+            logits_fn, x, y_true,
+            steps=params.deepfool_steps,
+            num_classes=params.deepfool_classes,
+            overshoot=params.deepfool_overshoot,
+        )
+    if attack_name in ("nes", "spsa"):
+        from .grad_est import nes_attack, spsa_attack
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if attack_name == "nes":
+            return nes_attack(
+                logits_fn, x, y_true,
+                eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
+                n_samples=params.est_samples, sigma=params.nes_sigma,
+                y_target=y_target,
+            )
+        return spsa_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
+            n_samples=params.est_samples, delta=params.spsa_delta,
+            y_target=y_target,
         )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:

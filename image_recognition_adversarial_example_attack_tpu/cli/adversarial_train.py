@@ -1,4 +1,4 @@
-"""Adversarial fine-tuning CLI (PGD-AT) — produce robust checkpoints.
+"""Adversarial fine-tuning CLI (PGD-AT / TRADES) — produce robust checkpoints.
 
 The reference consumes a RobustBench checkpoint it cannot produce
 (defense_experiments.py:674-686); this CLI closes the loop:
@@ -31,13 +31,14 @@ import numpy as np
 from ..core.images import list_images, load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..train.adversarial import (AdvTrainConfig, make_eval_step,
-                                 make_train_step, train_state_from_bundle)
+                                 make_train_step, make_trades_step,
+                                 train_state_from_bundle)
 from .common import add_model_args, load_bundle, maybe_profile
 
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="PGD adversarial fine-tuning (Madry et al.)")
+        description="Adversarial fine-tuning: PGD-AT (Madry et al.) or TRADES")
     parser.add_argument("--data_dir", type=str, required=True,
                         help="root with one subdirectory per class")
     parser.add_argument("--epochs", type=int, default=3)
@@ -50,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--label_smoothing", type=float, default=0.0)
     parser.add_argument("--clean_weight", type=float, default=0.0,
                         help=">0 mixes clean CE into the objective")
+    parser.add_argument("--objective", type=str, default="pgd-at",
+                        choices=["pgd-at", "trades"],
+                        help="pgd-at: CE on PGD examples; trades: "
+                             "CE(clean) + beta*KL(clean||adv)")
+    parser.add_argument("--trades_beta", type=float, default=6.0,
+                        help="TRADES robustness/accuracy trade-off beta")
     parser.add_argument("--out", type=str, default=None,
                         help="output .msgpack (default: weights/<model>_robust.msgpack)")
     add_model_args(parser)
@@ -91,9 +98,11 @@ def main(argv=None) -> int:
         weight_decay=float(args.weight_decay),
         label_smoothing=float(args.label_smoothing),
         clean_weight=float(args.clean_weight),
+        trades_beta=float(args.trades_beta),
     )
     state = train_state_from_bundle(bundle, config)
-    train_step = jax.jit(make_train_step(config, bundle.mean, bundle.std))
+    make_step = make_trades_step if args.objective == "trades" else make_train_step
+    train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
 
     key = key_from_seed(args.seed)

@@ -33,7 +33,9 @@ from ..core.constants import (
 from ..core.images import list_images, load_image_batch
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
-from .common import add_model_args, load_bundle, make_fns, maybe_profile
+from .common import (add_extended_attack_args, add_model_args,
+                     extended_attack_kwargs, load_bundle, make_fns,
+                     maybe_profile)
 
 TARGET_DISPLAY = {"vgg19": "VGG19", "vit_b_16": "ViT", "swin_t": "Swin"}
 
@@ -45,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default="picture")
     parser.add_argument("--attacks", type=str, nargs="+",
                         default=["fgsm", "pgd", "cw"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa"])
     parser.add_argument("--eps", type=float, default=DEFAULT_EPS)
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
     parser.add_argument("--steps", type=int, default=DEFAULT_STEPS)
@@ -54,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_steps", type=int, default=200)
     parser.add_argument("--square_steps", type=int, default=1000,
                         help="query budget for the square attack")
+    add_extended_attack_args(parser)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--visualize_n", type=int, default=3)
     parser.add_argument("--source", type=str, default="resnet50",
@@ -106,6 +109,7 @@ def main(argv=None) -> int:
                 eps=args.eps, alpha=args.alpha, steps=args.steps,
                 cw_c=args.cw_c, cw_kappa=args.cw_kappa,
                 cw_steps=args.cw_steps, cw_lr=args.cw_lr, square_steps=int(args.square_steps),
+                **extended_attack_kwargs(args),
             )
             key, sub = jax.random.split(key)
             attack_fn = jax.jit(

@@ -1,0 +1,107 @@
+"""Randomized-smoothing certification CLI (Cohen et al., ICML 2019).
+
+Beyond-reference capability: the reference evaluates empirical defenses
+only (defense_experiments.py); this CLI produces *certified* L2 radii for
+the smoothed classifier g(x) = argmax_c P(f(x + N(0, sigma^2)) = c).
+
+    python -m ...cli.certify --image_dir picture --sigma 0.25 --n 1000
+
+Per image it prints the smoothed prediction (or ABSTAIN) and the certified
+radius, plus a JSON artifact.  The Monte-Carlo voting — the compute-heavy
+part — runs as chunked [chunk*B] batched forwards in one jitted scan per
+budget (defenses/smoothing.py); only the vote counts reach the host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..core.images import load_image_batch_tolerant
+from ..core.labels import load_imagenet_labels
+from ..core.rng import key_from_seed
+from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
+from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
+                     resolve_image_inputs)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Certified L2 robustness via randomized smoothing")
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--image", type=str, default="example.jpg")
+    parser.add_argument("--sigma", type=float, default=0.25,
+                        help="Gaussian noise scale in [0,1] pixel units")
+    parser.add_argument("--n0", type=int, default=32,
+                        help="selection samples (class guess)")
+    parser.add_argument("--n", type=int, default=512,
+                        help="estimation samples (certified bound)")
+    parser.add_argument("--chunk", type=int, default=32,
+                        help="noisy copies per compiled step")
+    parser.add_argument("--alpha", type=float, default=0.001,
+                        help="certificate failure probability")
+    parser.add_argument("--output", type=str, default="certify_results.json")
+    add_model_args(parser)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f"Using device: {jax.devices()[0]}")
+
+    paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
+    x_np, kept = load_image_batch_tolerant(paths)
+    if not kept:
+        raise SystemExit("no loadable images")
+
+    bundle = load_bundle(args)
+    logits_fn, _ = make_fns(bundle)
+    labels = load_imagenet_labels()
+
+    config = SmoothingConfig(
+        sigma=float(args.sigma), n0=int(args.n0), n=int(args.n),
+        chunk=int(args.chunk), alpha=float(args.alpha),
+    )
+    smoothed = SmoothedClassifier(logits_fn, config)
+
+    x = jnp.asarray(x_np)
+    key = key_from_seed(args.seed)
+    with maybe_profile(args.profile_dir):
+        t0 = time.perf_counter()
+        base_pred = jax.device_get(jnp.argmax(logits_fn(x), axis=-1))
+        classes, radii = smoothed.certify(x, key)
+        dt = time.perf_counter() - t0
+
+    results = []
+    print(f"sigma={config.sigma} n0={config.n0} n={config.n} "
+          f"alpha={config.alpha}  ({dt:.1f}s total)")
+    for i, p in enumerate(kept):
+        cls = int(classes[i])
+        name = ("ABSTAIN" if cls == ABSTAIN else
+                (labels[cls] if labels and cls < len(labels) else str(cls)))
+        print(f"{Path(p).name}: prediction={name} "
+              f"certified_radius={radii[i]:.4f} (base pred {int(base_pred[i])})")
+        results.append({
+            "image": str(p),
+            "base_prediction": int(base_pred[i]),
+            "smoothed_prediction": cls,
+            "certified_radius": float(radii[i]),
+        })
+
+    out = Path(args.output)
+    out.write_text(json.dumps({
+        "sigma": config.sigma, "n0": config.n0, "n": config.n,
+        "alpha": config.alpha, "results": results,
+    }, indent=2))
+    print(f"Wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

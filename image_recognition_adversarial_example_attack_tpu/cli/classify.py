@@ -30,7 +30,9 @@ from ..core.constants import (
 from ..core.images import list_images, load_image_batch_tolerant, save_image_01
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
-from .common import add_model_args, load_bundle, make_fns, maybe_profile, print_topk, topk_host
+from .common import (add_extended_attack_args, add_model_args,
+                     extended_attack_kwargs, load_bundle, make_fns,
+                     maybe_profile, print_topk, topk_host)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -39,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("image", nargs="?", default="example.jpg")
     parser.add_argument("--topk", type=int, default=5)
-    parser.add_argument("--attack", choices=["none", "fgsm", "pgd", "pgd_l2", "cw", "mifgsm", "dim", "tim", "apgd", "square"], default="none")
+    parser.add_argument("--attack", choices=["none", "fgsm", "pgd", "pgd_l2", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa"], default="none")
     parser.add_argument("--label", type=int, default=None)
     parser.add_argument("--eps", type=float, default=DEFAULT_EPS)
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -49,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_steps", type=int, default=DEFAULT_CW_STEPS)
     parser.add_argument("--square_steps", type=int, default=1000,
                         help="query budget for the square attack")
+    add_extended_attack_args(parser)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--target", type=int, default=None)
     parser.add_argument("--save_adv", type=str, default=None)
@@ -105,6 +108,7 @@ def main(argv=None) -> int:
                 eps=args.eps, alpha=args.alpha, steps=args.steps,
                 cw_c=args.cw_c, cw_kappa=args.cw_kappa,
                 cw_steps=args.cw_steps, cw_lr=args.cw_lr, square_steps=int(args.square_steps),
+                **extended_attack_kwargs(args),
             )
             y_t = (jnp.full((x.shape[0],), int(args.target), jnp.int32)
                    if args.target is not None else None)

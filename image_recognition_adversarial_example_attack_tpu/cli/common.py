@@ -54,6 +54,35 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
                         help="write a jax profiler trace here")
 
 
+def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
+    """Flags for the beyond-reference attack families every CLI dispatches to
+    (deepfool / nes / spsa); defaults match AttackParams."""
+    parser.add_argument("--deepfool_steps", type=int, default=50,
+                        help="deepfool max iterations")
+    parser.add_argument("--deepfool_classes", type=int, default=10,
+                        help="deepfool candidate classes (top-k by clean logits)")
+    parser.add_argument("--deepfool_overshoot", type=float, default=0.02,
+                        help="deepfool boundary overshoot factor")
+    parser.add_argument("--est_samples", type=int, default=32,
+                        help="nes/spsa antithetic probe pairs per step")
+    parser.add_argument("--nes_sigma", type=float, default=1e-3,
+                        help="nes Gaussian smoothing radius")
+    parser.add_argument("--spsa_delta", type=float, default=1e-2,
+                        help="spsa finite-difference perturbation size")
+
+
+def extended_attack_kwargs(args: argparse.Namespace) -> dict:
+    """kwargs for AttackParams/DefenseEvalConfig from the extended flags."""
+    return {
+        "deepfool_steps": int(args.deepfool_steps),
+        "deepfool_classes": int(args.deepfool_classes),
+        "deepfool_overshoot": float(args.deepfool_overshoot),
+        "est_samples": int(args.est_samples),
+        "nes_sigma": float(args.nes_sigma),
+        "spsa_delta": float(args.spsa_delta),
+    }
+
+
 def resolve_dtype(name: str | None) -> Any:
     if name == "float32":
         return jnp.float32

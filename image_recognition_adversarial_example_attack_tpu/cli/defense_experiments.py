@@ -38,15 +38,17 @@ from ..core.constants import (
 )
 from ..core.images import list_images
 from ..core.rng import key_from_seed
-from ..defenses.detector import calibrate_feature_threshold
+from ..defenses.detector import (calibrate_feature_threshold,
+                                 calibrate_squeezing_threshold)
 from ..defenses.preprocess import DefenseConfig, defend_input
 from ..eval.defense_eval import (
     DefenseEvalConfig,
     aggregate_stats,
     summary_line,
 )
-from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs)
+from .common import (add_extended_attack_args, add_model_args,
+                     extended_attack_kwargs, load_bundle, make_fns,
+                     maybe_profile, resolve_image_inputs)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -61,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--attacks", type=str, nargs="+",
                         default=["fgsm", "pgd", "cw"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -71,8 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000,
                         help="query budget for the square attack")
+    add_extended_attack_args(parser)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
 
+    parser.add_argument("--detector", type=str, default="feature",
+                        choices=["feature", "squeezing"],
+                        help="feature: reference stage-3 statistics detector; "
+                             "squeezing: prediction-inconsistency over the "
+                             "quantize/smooth squeezers (beyond-reference)")
     parser.add_argument("--detector_threshold", type=float, default=None)
     parser.add_argument("--calibrate_dir", type=str, default=None)
     parser.add_argument("--calibrate_n", type=int, default=100)
@@ -107,6 +115,18 @@ def _load_partial(output_dir: Path) -> dict:
 def _save_partial(output_dir: Path, partial: dict) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
     _partial_path(output_dir).write_text(json.dumps(partial, indent=2))
+
+
+def _calibrate(args, logits_fn, features_fn, x_clean, n):
+    """Quantile calibration for the selected detector (same rails as the
+    reference for 'feature'; plain quantile for 'squeezing')."""
+    if args.detector == "squeezing":
+        thr = calibrate_squeezing_threshold(
+            logits_fn, x_clean, n=n, quantile=args.calibrate_quantile)
+        print(f"Calibrating squeezing detector on {min(n, x_clean.shape[0])} clean images...")
+        return thr
+    return calibrate_feature_threshold(
+        features_fn, x_clean, n=n, quantile=args.calibrate_quantile)
 
 
 def main(argv=None) -> int:
@@ -157,18 +177,15 @@ def main(argv=None) -> int:
             raise SystemExit(f"no images found in calibrate_dir: {calib_dir}")
         x_calib_np, _ = load_image_batch_tolerant(calib_paths[: args.calibrate_n])
         x_calib = jnp.asarray(x_calib_np)
-        detector_threshold = calibrate_feature_threshold(
-            features_fn, x_calib, n=args.calibrate_n,
-            quantile=args.calibrate_quantile,
-        )
+        detector_threshold = _calibrate(args, logits_fn, features_fn,
+                                        x_calib, args.calibrate_n)
         print(f"Using calibrated threshold: {detector_threshold:.4f}")
     elif args.detector_threshold is not None:
         detector_threshold = float(args.detector_threshold)
         print(f"Using specified threshold: {detector_threshold:.4f}")
     else:
-        detector_threshold = calibrate_feature_threshold(
-            features_fn, x[:n], n=min(100, n), quantile=args.calibrate_quantile,
-        )
+        detector_threshold = _calibrate(args, logits_fn, features_fn,
+                                        x[:n], min(100, n))
         print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
 
     defense_cfg = DefenseConfig(use_jpeg=bool(args.use_jpeg),
@@ -189,7 +206,10 @@ def main(argv=None) -> int:
 
     timer = PhaseTimer(verbose=False)
     key = key_from_seed(args.seed)
-    cw_cached_stats: dict | None = None  # CW never reads eps; compute once
+    # CW and DeepFool never read eps (L2-minimal attacks) and take no
+    # random start, so their grid cells are identical across the eps sweep:
+    # compute once, reuse (cost-only optimization — see PARITY.md C17)
+    eps_independent_cache: dict[str, dict] = {}
     # eps enters the attacks only arithmetically, so ONE compiled program
     # per attack serves the whole eps sweep (remote TPU compiles run
     # 20s-4min each — this drops an attacks x eps grid from
@@ -204,12 +224,11 @@ def main(argv=None) -> int:
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
                     continue
-                if attack_name == "cw" and cw_cached_stats is not None:
-                    # cw_l2_attack is eps-independent (L2 attack); identical
-                    # cell — reuse instead of recompiling + re-optimizing
-                    print("  (cw is eps-independent: reusing the computed cell)")
-                    results[(attack_name, float(eps))] = dict(cw_cached_stats)
-                    partial[cell_id] = dict(cw_cached_stats)
+                if attack_name in eps_independent_cache:
+                    print(f"  ({attack_name} is eps-independent: reusing the computed cell)")
+                    cached = eps_independent_cache[attack_name]
+                    results[(attack_name, float(eps))] = dict(cached)
+                    partial[cell_id] = dict(cached)
                     _save_partial(output_dir, partial)
                     continue
 
@@ -220,6 +239,8 @@ def main(argv=None) -> int:
                         cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
                         cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
                         square_steps=int(args.square_steps),
+                        **extended_attack_kwargs(args),
+                        detector=str(args.detector),
                         defense=defense_cfg,
                     )
                     if defense_cfg.use_jpeg and engine.mesh is not None:
@@ -243,8 +264,8 @@ def main(argv=None) -> int:
                 stats = aggregate_stats(out, n_valid=n)
                 print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
                 results[(attack_name, float(eps))] = stats
-                if attack_name == "cw":
-                    cw_cached_stats = stats
+                if attack_name in ("cw", "deepfool"):
+                    eps_independent_cache[attack_name] = stats
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)
 

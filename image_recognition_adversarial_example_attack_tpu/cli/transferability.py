@@ -33,8 +33,9 @@ from ..core.constants import (
 from ..core.images import load_image_batch, save_image_01
 from ..core.rng import key_from_seed
 from ..eval.transfer import transfer_attack_batch
-from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs)
+from .common import (add_extended_attack_args, add_model_args,
+                     extended_attack_kwargs, load_bundle, make_fns,
+                     maybe_profile, resolve_image_inputs)
 
 MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
                  "efficientnet_b0", "swin_t",
@@ -54,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--attacks", type=str, nargs="+", default=["pgd"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -64,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000,
                         help="query budget for the square attack")
+    add_extended_attack_args(parser)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--convention", type=str, default="source-label",
                         choices=["source-label", "blackbox"],
@@ -120,7 +122,9 @@ def main(argv=None) -> int:
     # all_results[attack][eps] = {"source_success": rate-relevant list,
     #                             "transfer_success": {model: list}}
     all_results: dict = {}
-    cw_cached_cell = None  # CW never reads eps; compute once per sweep
+    # CW and DeepFool never read eps and take no random start: identical
+    # cells across the eps sweep — compute once, reuse
+    eps_independent_cache: dict = {}
     # eps is a traced runtime scalar: ONE compiled program per attack
     # serves the whole eps sweep (same rationale as defense_experiments)
     cell_fns: dict = {}
@@ -130,9 +134,9 @@ def main(argv=None) -> int:
             for eps in args.eps_list:
                 print(f"  Running {attack_name.upper()} with eps={eps:.5f} "
                       f"on a batch of {n}...")
-                if attack_name == "cw" and cw_cached_cell is not None:
-                    print("    (cw is eps-independent: reusing the computed cell)")
-                    all_results[attack_name][float(eps)] = cw_cached_cell
+                if attack_name in eps_independent_cache:
+                    print(f"    ({attack_name} is eps-independent: reusing the computed cell)")
+                    all_results[attack_name][float(eps)] = eps_independent_cache[attack_name]
                     continue
                 if attack_name not in cell_fns:
                     base = AttackParams(
@@ -140,6 +144,7 @@ def main(argv=None) -> int:
                         alpha=float(args.alpha), steps=int(args.steps),
                         cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
                         cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr), square_steps=int(args.square_steps),
+                        **extended_attack_kwargs(args),
                     )
                     cell_fns[attack_name] = jax.jit(
                         lambda x, k, e, a=attack_name, p=base: transfer_attack_batch(
@@ -159,8 +164,8 @@ def main(argv=None) -> int:
                     },
                 }
                 all_results[attack_name][float(eps)] = cell_record
-                if attack_name == "cw":
-                    cw_cached_cell = cell_record
+                if attack_name in ("cw", "deepfool"):
+                    eps_independent_cache[attack_name] = cell_record
                 print(f"    Source model ASR: {src_vec.mean():.3f}")
                 for name, v in cell.target_success.items():
                     print(f"    Transfer to {name}: {np.asarray(v).mean():.3f}")

@@ -1,4 +1,12 @@
-"""Input-preprocessing defenses + feature-statistics adversarial detector."""
+"""Input-preprocessing defenses + adversarial detectors + certified smoothing."""
 
 from .preprocess import defense_smoothing, defense_quantization, defend_input, DefenseConfig
-from .detector import feature_score, is_adversarial_by_feature, calibrate_feature_threshold
+from .detector import (
+    calibrate_feature_threshold,
+    calibrate_squeezing_threshold,
+    feature_score,
+    is_adversarial_by_feature,
+    is_adversarial_by_squeezing,
+    squeezing_score,
+)
+from .smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig

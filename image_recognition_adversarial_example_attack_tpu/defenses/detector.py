@@ -82,6 +82,61 @@ def threshold_from_scores(scores: jnp.ndarray, quantile: float = 0.95) -> float:
     return max(thr, 1.0)
 
 
+def squeezing_score(logits_fn, x: jnp.ndarray, quant_levels: int = 16) -> jnp.ndarray:
+    """Feature-squeezing detector score (Xu, Evans & Qi, NDSS 2018 —
+    beyond-reference extension; the reference ships the feature-statistics
+    detector above only).
+
+    Score = max over squeezers of the L1 distance between the model's
+    softmax on the raw input and on the squeezed input, squeezers being the
+    framework's own preprocessing defenses (bit-depth quantization and 3x3
+    mean smoothing, defenses/preprocess.py).  Adversarial inputs rely on
+    high-frequency / low-amplitude structure the squeezers destroy, so
+    their prediction moves much further than a clean input's.
+
+    One jitted program: three model forwards + two squeezers, no host trips.
+    """
+    from .preprocess import defense_quantization, defense_smoothing
+
+    p_raw = jax.nn.softmax(logits_fn(x), axis=-1)
+    p_quant = jax.nn.softmax(logits_fn(defense_quantization(x, quant_levels)), axis=-1)
+    p_smooth = jax.nn.softmax(logits_fn(defense_smoothing(x)), axis=-1)
+    d_quant = jnp.sum(jnp.abs(p_raw - p_quant), axis=-1)
+    d_smooth = jnp.sum(jnp.abs(p_raw - p_smooth), axis=-1)
+    return jnp.maximum(d_quant, d_smooth)
+
+
+def is_adversarial_by_squeezing(
+    logits_fn,
+    x: jnp.ndarray,
+    threshold,
+    quant_levels: int = 16,
+) -> jnp.ndarray:
+    """[B] bool — True means flagged as adversarial."""
+    return squeezing_score(logits_fn, x, quant_levels) > jnp.asarray(
+        threshold, jnp.float32
+    )
+
+
+def calibrate_squeezing_threshold(
+    logits_fn,
+    x_clean: jnp.ndarray,
+    n: int = 100,
+    quantile: float = 0.95,
+    quant_levels: int = 16,
+) -> float:
+    """q-quantile of clean squeezing scores (the paper picks the threshold
+    for a target clean false-positive rate the same way).  One batched
+    program, mirroring calibrate_feature_threshold."""
+    num = min(int(n), x_clean.shape[0])
+    if num <= 0:
+        raise ValueError("no calibration images available")
+    scores = jax.jit(
+        lambda xx: squeezing_score(logits_fn, xx, quant_levels)
+    )(x_clean[:num])
+    return float(jnp.quantile(scores, quantile))
+
+
 def calibrate_feature_threshold(
     features_fn: FeaturesFn,
     x_clean: jnp.ndarray,

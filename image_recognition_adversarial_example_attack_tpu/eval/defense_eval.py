@@ -50,6 +50,15 @@ class DefenseEvalConfig:
     cw_steps: int = 100
     cw_lr: float = 0.01
     square_steps: int = 1000
+    deepfool_steps: int = 50
+    deepfool_classes: int = 10
+    deepfool_overshoot: float = 0.02
+    est_samples: int = 32
+    nes_sigma: float = 1e-3
+    spsa_delta: float = 1e-2
+    # 'feature' = reference stage-3 statistics detector; 'squeezing' =
+    # feature-squeezing prediction-inconsistency (beyond-reference)
+    detector: str = "feature"
     defense: DefenseConfig = DefenseConfig()
 
     def attack_params(self) -> AttackParams:
@@ -62,7 +71,26 @@ class DefenseEvalConfig:
             cw_steps=self.cw_steps,
             cw_lr=self.cw_lr,
             square_steps=self.square_steps,
+            deepfool_steps=self.deepfool_steps,
+            deepfool_classes=self.deepfool_classes,
+            deepfool_overshoot=self.deepfool_overshoot,
+            est_samples=self.est_samples,
+            nes_sigma=self.nes_sigma,
+            spsa_delta=self.spsa_delta,
         )
+
+
+def make_detector_score_fn(logits_fn: LogitsFn, features_fn: FeaturesFn,
+                           config: "DefenseEvalConfig"):
+    """x -> [B] detector score, per config.detector ('feature'|'squeezing')."""
+    if config.detector == "squeezing":
+        from ..defenses.detector import squeezing_score
+
+        return lambda xx: squeezing_score(
+            logits_fn, xx, config.defense.quant_levels)
+    if config.detector != "feature":
+        raise ValueError(f"unknown detector '{config.detector}'")
+    return lambda xx: score_from_features(features_fn(xx))
 
 
 def evaluate_defenses_batch(
@@ -105,8 +133,9 @@ def evaluate_defenses_batch(
     pred_def = jnp.argmax(logits_fn(x_def), axis=-1)
     defense_preproc_success = (pred_def == y_true).astype(jnp.int32)
 
-    score_adv = score_from_features(features_fn(x_adv))
-    score_clean = score_from_features(features_fn(x))
+    score_fn = make_detector_score_fn(logits_fn, features_fn, config)
+    score_adv = score_fn(x_adv)
+    score_clean = score_fn(x)
     detector_flags_adv = (score_adv > threshold).astype(jnp.int32)
     detector_flags_clean = (score_clean > threshold).astype(jnp.int32)
 
@@ -203,8 +232,9 @@ def make_defense_eval_fn_split_jpeg(
 
         x_pre = defend_input(x_adv, pre_defense)  # everything but JPEG
 
-        score_adv = score_from_features(features_fn(x_adv))
-        score_clean = score_from_features(features_fn(x))
+        score_fn = make_detector_score_fn(logits_fn, features_fn, config)
+        score_adv = score_fn(x_adv)
+        score_clean = score_fn(x)
         detector_flags_adv = (score_adv > threshold).astype(jnp.int32)
         detector_flags_clean = (score_clean > threshold).astype(jnp.int32)
         out = {

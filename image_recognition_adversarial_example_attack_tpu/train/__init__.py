@@ -1,4 +1,5 @@
-"""Adversarial training (PGD-AT), TPU-native."""
+"""Adversarial training (PGD-AT, TRADES), TPU-native."""
 
 from .adversarial import (AdvTrainConfig, TrainState, make_eval_step,
-                          make_train_step, train_state_from_bundle)
+                          make_train_step, make_trades_step,
+                          train_state_from_bundle)

@@ -50,7 +50,8 @@ class AdvTrainConfig:
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
     label_smoothing: float = 0.0
-    clean_weight: float = 0.0      # >0: TRADES-style mix of clean CE
+    clean_weight: float = 0.0      # >0: mixes clean CE into the PGD-AT loss
+    trades_beta: float = 6.0       # robustness/accuracy trade-off (TRADES)
 
 
 class TrainState(struct.PyTreeNode):
@@ -141,6 +142,83 @@ def make_train_step(config: AdvTrainConfig,
                                   step=state.step + 1)
         metrics = {
             "loss": loss,
+            "adv_accuracy": jnp.mean(jnp.argmax(adv_logits, -1) == y),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_trades_step(config: AdvTrainConfig,
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """One fused TRADES step (Zhang et al., ICML 2019):
+    (state, x01, y, key) -> (state, metrics).
+
+    loss = CE(f(x), y) + beta * KL(f(x) || f(x_adv)), with x_adv maximizing
+    that KL inside the eps-ball (PGD on the KL with the clean distribution
+    frozen; iterate initialized at x + 0.001*N(0,I) as in the paper's code).
+
+    Same one-program contract as ``make_train_step``: the inner
+    maximization scan, both forwards, the parameter backward and the optax
+    update compile into a single XLA program; under a mesh the batch shards
+    over 'data' and gradients psum over ICI.
+    """
+
+    def apply_logits(state: TrainState, params, x01):
+        variables = {"params": params, **state.extra_variables}
+        out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+        return out.astype(jnp.float32)
+
+    def step(state: TrainState, x01, y, key):
+        # 1) inner maximization: PGD on KL(p_clean || p(x_adv)), p_clean frozen
+        p_clean = jax.lax.stop_gradient(
+            jax.nn.softmax(apply_logits(state, state.params, x01), axis=-1)
+        )
+        logp_clean = jnp.log(jnp.maximum(p_clean, 1e-12))
+
+        def kl_sum(xa):
+            logp_adv = jax.nn.log_softmax(
+                apply_logits(state, state.params, xa), axis=-1
+            )
+            return jnp.sum(p_clean * (logp_clean - logp_adv))
+
+        x_adv0 = jnp.clip(
+            x01 + 0.001 * jax.random.normal(key, x01.shape, x01.dtype), 0.0, 1.0
+        )
+
+        def body(x_adv, _):
+            g = jax.grad(kl_sum)(x_adv)
+            x_new = x_adv + config.alpha * jnp.sign(g).astype(x_adv.dtype)
+            x_new = jnp.clip(x_new, x01 - config.eps, x01 + config.eps)
+            return jnp.clip(x_new, 0.0, 1.0), None
+
+        x_adv, _ = jax.lax.scan(body, x_adv0, None, length=int(config.attack_steps))
+        x_adv = jax.lax.stop_gradient(x_adv)
+
+        # 2) parameter gradients on the TRADES objective
+        def total_loss(params):
+            logits_clean = apply_logits(state, params, x01)
+            logits_adv = apply_logits(state, params, x_adv)
+            natural = _ce_loss(logits_clean, y, config.label_smoothing)
+            p = jax.nn.softmax(logits_clean, axis=-1)
+            logp = jax.nn.log_softmax(logits_clean, axis=-1)
+            logq = jax.nn.log_softmax(logits_adv, axis=-1)
+            robust = jnp.mean(jnp.sum(p * (logp - logq), axis=-1))  # batchmean KL
+            return natural + config.trades_beta * robust, (natural, robust, logits_adv)
+
+        (loss, (natural, robust, adv_logits)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(state.params)
+
+        # 3) optimizer update
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "natural_loss": natural,
+            "robust_kl": robust,
             "adv_accuracy": jnp.mean(jnp.argmax(adv_logits, -1) == y),
             "grad_norm": optax.global_norm(grads),
         }

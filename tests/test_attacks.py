@@ -589,3 +589,163 @@ class TestPGDL2:
         y = _labels(tiny_logits_fn, x)
         x_adv = run_attack("pgd_l2", tiny_logits_fn, x, y, params, rng_key)
         assert x_adv.shape == x.shape
+
+
+class TestDeepFool:
+    def test_fools_all_with_small_l2(self, tiny_logits_fn, image_batch):
+        """DeepFool must flip every prediction on a smooth tiny model, with a
+        perturbation far below what a large-eps FGSM spends."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            deepfool_attack,
+            fgsm_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y0 = _labels(tiny_logits_fn, x)
+        x_adv = jax.jit(
+            lambda x: deepfool_attack(tiny_logits_fn, x, steps=30, num_classes=8)
+        )(x)
+        assert bool(jnp.all(_labels(tiny_logits_fn, x_adv) != y0))
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+        l2_df = jnp.sqrt(jnp.sum((x_adv - x) ** 2, axis=(1, 2, 3)))
+        x_fgsm = fgsm_attack(tiny_logits_fn, x, y0, eps=0.1)
+        l2_fgsm = jnp.sqrt(jnp.sum((x_fgsm - x) ** 2, axis=(1, 2, 3)))
+        # minimal-norm attack: median L2 well under the fixed-eps attack's
+        assert float(jnp.median(l2_df)) < float(jnp.median(l2_fgsm))
+
+    def test_deterministic_and_fooled_freeze(self, tiny_logits_fn, image_batch):
+        """No randomness: two runs agree bitwise. Extra steps after all
+        samples are fooled must not move the iterate (freeze mask)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            deepfool_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        a = deepfool_attack(tiny_logits_fn, x, steps=30, num_classes=8)
+        b = deepfool_attack(tiny_logits_fn, x, steps=30, num_classes=8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if bool(jnp.all(_labels(tiny_logits_fn, a) != _labels(tiny_logits_fn, x))):
+            c = deepfool_attack(tiny_logits_fn, x, steps=45, num_classes=8)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+    def test_dispatch_and_untargeted_only(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        params = AttackParams(deepfool_steps=10, deepfool_classes=8)
+        x_adv = run_attack("deepfool", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        with pytest.raises(ValueError):
+            run_attack("deepfool", tiny_logits_fn, x, y, params, rng_key,
+                       y_target=y)
+
+
+class TestGradEstimation:
+    def test_nes_estimator_aligns_with_true_grad(self, tiny_logits_fn, image_batch, rng_key):
+        """With many probes and a small radius the NES estimate points along
+        the true CE gradient (cosine similarity per sample)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks.grad_est import (
+            _estimated_grad,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        def cos_at(n):
+            g_hat = _estimated_grad(
+                tiny_logits_fn, x, y, rng_key, n_samples=n, c=1e-3,
+                sampler="gaussian",
+            )
+            g_true = input_grad(tiny_logits_fn, x, y)
+            dot = jnp.sum(g_hat * g_true, axis=(1, 2, 3))
+            return dot / (
+                jnp.linalg.norm(g_hat.reshape(len(x), -1), axis=-1)
+                * jnp.linalg.norm(g_true.reshape(len(x), -1), axis=-1)
+            )
+
+        # d=768 pixel dims: E[cos] ~ sqrt(n/(n+d)); n=256 probes puts every
+        # sample comfortably positive, and quadrupling n must improve it
+        cos256 = cos_at(256)
+        assert float(cos256.min()) > 0.35
+        assert float(jnp.mean(cos_at(1024))) > float(jnp.mean(cos256))
+
+    def test_spsa_estimator_aligns_with_true_grad(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks.grad_est import (
+            _estimated_grad,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        g_hat = _estimated_grad(
+            tiny_logits_fn, x, y, rng_key, n_samples=256, c=1e-3,
+            sampler="rademacher",
+        )
+        g_true = input_grad(tiny_logits_fn, x, y)
+        dot = jnp.sum(g_hat * g_true, axis=(1, 2, 3))
+        cos = dot / (
+            jnp.linalg.norm(g_hat.reshape(len(x), -1), axis=-1)
+            * jnp.linalg.norm(g_true.reshape(len(x), -1), axis=-1)
+        )
+        assert float(cos.min()) > 0.35
+
+    def test_invariants_and_determinism(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            nes_attack,
+            spsa_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        for fn in (nes_attack, spsa_attack):
+            a = fn(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=3,
+                   key=rng_key, n_samples=8)
+            b = fn(tiny_logits_fn, x, y, eps=EPS, alpha=ALPHA, steps=3,
+                   key=rng_key, n_samples=8)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(jnp.max(jnp.abs(a - x))) <= EPS + 1e-6
+            assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+
+    def test_no_gradient_access(self, image_batch, rng_key):
+        """NES/SPSA query forwards only: they must make progress on a model
+        whose gradient is severed (the black-box property)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            nes_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+
+        def blackbox_logits(z):
+            # scale keeps CE in a responsive regime (an un-scaled pixel sum
+            # saturates softmax and zeroes every loss difference)
+            zz = jax.lax.stop_gradient(z)
+            s = (jnp.mean(zz, axis=(1, 2, 3)) - 0.5) * 10.0
+            return jnp.stack([s, -s], -1)
+
+        y = jnp.argmax(blackbox_logits(x), -1)
+        x_adv = nes_attack(blackbox_logits, x, y, eps=EPS, alpha=EPS / 2,
+                           steps=4, key=rng_key, n_samples=16)
+        ce0 = float(cross_entropy_sum(blackbox_logits(x), y))
+        ce1 = float(cross_entropy_sum(blackbox_logits(x_adv), y))
+        assert ce1 > ce0
+
+    def test_targeted_mode(self, tiny_logits_fn, image_batch, rng_key):
+        """Targeted NES must decrease the target class's CE."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            nes_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        y_t = (y + 3) % 8
+        x_adv = nes_attack(tiny_logits_fn, x, y, eps=0.1, alpha=0.02, steps=8,
+                           key=rng_key, n_samples=64, y_target=y_t)
+        ce0 = float(cross_entropy_sum(tiny_logits_fn(x), y_t))
+        ce1 = float(cross_entropy_sum(tiny_logits_fn(x_adv), y_t))
+        assert ce1 < ce0
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        params = AttackParams(eps=EPS, alpha=ALPHA, steps=2, est_samples=4)
+        for name in ("nes", "spsa"):
+            x_adv = run_attack(name, tiny_logits_fn, x, y, params, rng_key)
+            assert x_adv.shape == x.shape
+            assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6

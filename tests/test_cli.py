@@ -239,3 +239,37 @@ def test_adversarial_train_cli(tmp_path, capsys):
 
     bundle = load_model("resnet_tiny", weights=out)
     assert bundle.source == "cache"
+
+
+def test_defense_experiments_new_attacks_and_squeezing_detector(image_dir, tmp_path, capsys):
+    """The extended attack family (deepfool/nes) + the squeezing detector
+    run through the full grid harness with the same summary-line format."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    out_dir = tmp_path / "defres_ext"
+    rc = main(["--image_dir", str(image_dir), "--attacks", "deepfool", "nes",
+               "--eps_list", "0.03137", "--steps", "2", "--est_samples", "2",
+               "--deepfool_steps", "3", "--model", "resnet_tiny",
+               "--detector", "squeezing", "--viz_samples", "0",
+               "--output_dir", str(out_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Calibrating squeezing detector" in out
+    for name in ("deepfool", "nes"):
+        assert re.search(
+            rf"attack={name}, eps=0\.03137, attack_success=\d\.\d{{3}}, "
+            rf"preproc_defense_acc=\d\.\d{{3}}, detector_clean_pass_rate=\d\.\d{{3}}, "
+            rf"detector_adv_flag_rate=\d\.\d{{3}}, detector_attack_success=\d\.\d{{3}}",
+            out,
+        )
+
+
+def test_certify_cli_single_image(image_dir, capsys, tmp_path):
+    from image_recognition_adversarial_example_attack_tpu.cli.certify import main
+
+    out = tmp_path / "cert.json"
+    rc = main(["--image", str(image_dir / "img_0.jpg"), "--model", "resnet_tiny",
+               "--n0", "8", "--n", "16", "--chunk", "8", "--output", str(out)])
+    assert rc == 0
+    assert "certified_radius=" in capsys.readouterr().out
+    assert out.is_file()

@@ -148,3 +148,89 @@ def test_checkpoint_roundtrip(tmp_path, trained_state):
     for a, b in zip(jax.tree_util.tree_leaves(loaded),
                     jax.tree_util.tree_leaves(variables)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrades:
+    @pytest.fixture(scope="class")
+    def trades_trained(self):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+        from image_recognition_adversarial_example_attack_tpu.train import (
+            make_trades_step,
+        )
+
+        model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+        config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=3,
+                                learning_rate=5e-3, trades_beta=6.0)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        step = jax.jit(make_trades_step(config))
+
+        x, y = _toy_data()
+        key = jax.random.PRNGKey(0)
+        state, first = step(state, x, y, key)
+        last = first
+        for i in range(60):
+            state, last = step(state, x, y, jax.random.fold_in(key, i))
+        return state, first, last, x, y, config
+
+    def test_loss_decomposition_and_decrease(self, trades_trained):
+        _, first, last, *_ = trades_trained
+        for m in (first, last):
+            np.testing.assert_allclose(
+                float(m["loss"]),
+                float(m["natural_loss"]) + 6.0 * float(m["robust_kl"]),
+                rtol=1e-5,
+            )
+            assert float(m["robust_kl"]) >= 0.0  # KL is nonnegative
+        assert float(last["loss"]) < float(first["loss"])
+
+    def test_learns_robustly(self, trades_trained):
+        """After TRADES on the wide-margin toy task, PGD within eps no
+        longer flips predictions."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.attacks.pgd import (
+            pgd_linf_attack,
+        )
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+
+        state, _, last, x, y, config = trades_trained
+        assert float(last["adv_accuracy"]) > 0.9
+        model, _ = make_tiny(seed=0, image_size=16, num_classes=2)
+        variables = {"params": state.params, **state.extra_variables}
+        lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        x_adv = pgd_linf_attack(lf, x, y, eps=config.eps, alpha=config.alpha,
+                                steps=10, key=jax.random.PRNGKey(7))
+        robust_acc = float(jnp.mean(jnp.argmax(lf(x_adv), -1) == y))
+        assert robust_acc > 0.9
+
+    def test_trades_cli_smoke(self, tmp_path, capsys):
+        from PIL import Image
+
+        from image_recognition_adversarial_example_attack_tpu.cli.adversarial_train import (
+            main,
+        )
+
+        rng = np.random.RandomState(0)
+        for cls in ("a", "b"):
+            d = tmp_path / "data" / cls
+            d.mkdir(parents=True)
+            level = 60 if cls == "a" else 190
+            for i in range(3):
+                arr = np.clip(level + rng.randint(-20, 20, (64, 64, 3)), 0, 255)
+                Image.fromarray(arr.astype(np.uint8)).save(d / f"{i}.jpg")
+        out = tmp_path / "trades_tiny.msgpack"
+        rc = main(["--data_dir", str(tmp_path / "data"), "--model", "resnet_tiny",
+                   "--objective", "trades", "--epochs", "1", "--batch_size", "4",
+                   "--attack_steps", "2", "--out", str(out)])
+        assert rc == 0
+        assert out.is_file()
+        assert "loss=" in capsys.readouterr().out
