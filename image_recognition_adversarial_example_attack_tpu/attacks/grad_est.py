@@ -27,6 +27,15 @@ O(nB)), and the outer step loop is a second scan — the entire
 ``steps x n x 2`` query schedule compiles to ONE XLA program with zero host
 round-trips, where eager implementations pay a Python round-trip per query
 batch.
+
+bf16 caveat (same mechanism as the DeepFool finding, docs/EXPERIMENTS.md):
+finite differences subtract two nearly-equal losses, so with a bfloat16
+model the per-probe deltas at the default radii (sigma=1e-3 / delta=1e-2)
+can fall below bf16 forward noise and the estimate degrades toward random
+search.  On bf16 models either run the target in float32 for these attacks
+or raise ``sigma``/``delta`` (1e-2 / 5e-2 are reasonable starting points);
+the antithetic pairing cancels shared noise only when both sides run in
+the same compiled program, which this implementation guarantees.
 """
 
 from __future__ import annotations

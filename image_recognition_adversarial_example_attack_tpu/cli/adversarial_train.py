@@ -101,6 +101,9 @@ def main(argv=None) -> int:
         trades_beta=float(args.trades_beta),
     )
     state = train_state_from_bundle(bundle, config)
+    if args.objective == "trades" and float(args.clean_weight) > 0.0:
+        print("WARNING: --clean_weight is a PGD-AT flag; TRADES already "
+              "contains the clean CE term (natural loss) and ignores it.")
     make_step = make_trades_step if args.objective == "trades" else make_train_step
     train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))

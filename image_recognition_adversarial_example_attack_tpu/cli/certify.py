@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="noisy copies per compiled step")
     parser.add_argument("--alpha", type=float, default=0.001,
                         help="certificate failure probability")
+    parser.add_argument("--max_batch", type=int, default=4,
+                        help="images per compiled program (device batch is "
+                             "chunk * max_batch)")
     parser.add_argument("--output", type=str, default="certify_results.json")
     add_model_args(parser)
     return parser
@@ -67,6 +70,7 @@ def main(argv=None) -> int:
     config = SmoothingConfig(
         sigma=float(args.sigma), n0=int(args.n0), n=int(args.n),
         chunk=int(args.chunk), alpha=float(args.alpha),
+        max_batch=int(args.max_batch),
     )
     smoothed = SmoothedClassifier(logits_fn, config)
 
@@ -74,7 +78,8 @@ def main(argv=None) -> int:
     key = key_from_seed(args.seed)
     with maybe_profile(args.profile_dir):
         t0 = time.perf_counter()
-        base_pred = jax.device_get(jnp.argmax(logits_fn(x), axis=-1))
+        base_pred = jax.device_get(
+            jax.jit(lambda xx: jnp.argmax(logits_fn(xx), axis=-1))(x))
         classes, radii = smoothed.certify(x, key)
         dt = time.perf_counter() - t0
 

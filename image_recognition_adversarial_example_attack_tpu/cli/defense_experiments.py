@@ -121,10 +121,9 @@ def _calibrate(args, logits_fn, features_fn, x_clean, n):
     """Quantile calibration for the selected detector (same rails as the
     reference for 'feature'; plain quantile for 'squeezing')."""
     if args.detector == "squeezing":
-        thr = calibrate_squeezing_threshold(
-            logits_fn, x_clean, n=n, quantile=args.calibrate_quantile)
         print(f"Calibrating squeezing detector on {min(n, x_clean.shape[0])} clean images...")
-        return thr
+        return calibrate_squeezing_threshold(
+            logits_fn, x_clean, n=n, quantile=args.calibrate_quantile)
     return calibrate_feature_threshold(
         features_fn, x_clean, n=n, quantile=args.calibrate_quantile)
 

@@ -52,6 +52,12 @@ class SmoothingConfig:
     chunk  — noisy copies per compiled step; n0 and n round UP to full
              chunks (more samples never weakens the bound).
     alpha  — failure probability of the certificate / abstention test.
+    max_batch — images per compiled program.  Each scan step evaluates a
+             [chunk * min(B, max_batch)] batch; without this cap a large
+             image directory would scale the device batch as chunk * B and
+             blow HBM (v5e roofline batch for ResNet-50 @224 is 128, see
+             benchmarks/ROOFLINE.md).  Larger inputs are processed in
+             padded max_batch slices through the SAME compiled program.
     """
 
     sigma: float = 0.25
@@ -59,6 +65,7 @@ class SmoothingConfig:
     n: int = 512
     chunk: int = 32
     alpha: float = 0.001
+    max_batch: int = 4
 
 
 def _n_chunks(n: int, chunk: int) -> int:
@@ -118,8 +125,22 @@ class SmoothedClassifier:
         self._counts = make_counts_fn(logits_fn, config.sigma, config.chunk)
 
     def _sample(self, x: jnp.ndarray, key: jax.Array, n: int) -> np.ndarray:
+        """Vote counts for every image, sliced to ``max_batch`` images per
+        device program (the tail slice is zero-padded so every call hits the
+        same compiled program; padded rows are dropped)."""
         n_chunks = _n_chunks(n, self.config.chunk)
-        return np.asarray(jax.device_get(self._counts(x, key, n_chunks)))
+        b = x.shape[0]
+        mb = max(1, min(int(self.config.max_batch), b))
+        out = []
+        for i in range(0, b, mb):
+            part = x[i:i + mb]
+            valid = part.shape[0]
+            if valid < mb:
+                pad = jnp.zeros((mb - valid,) + x.shape[1:], x.dtype)
+                part = jnp.concatenate([part, pad], axis=0)
+            counts = self._counts(part, jax.random.fold_in(key, i), n_chunks)
+            out.append(np.asarray(jax.device_get(counts))[:valid])
+        return np.concatenate(out, axis=0)
 
     def predict(self, x: jnp.ndarray, key: jax.Array) -> np.ndarray:
         """PREDICT (paper alg. 2): [B,H,W,C] -> [B] classes, ABSTAIN when the

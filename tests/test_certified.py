@@ -195,3 +195,32 @@ class TestCertifyCLI:
         for row in data["results"]:
             assert row["certified_radius"] >= 0.0
             assert row["smoothed_prediction"] >= -1
+
+
+class TestMaxBatchSlicing:
+    def test_counts_shape_and_sums_across_slicing(self):
+        """5 images through max_batch=2 (padded tail) must yield one count
+        row per image, each summing to the full sample budget."""
+        lf = _mean_intensity_logits()
+        cfg = SmoothingConfig(sigma=0.25, n0=8, n=64, chunk=8, alpha=0.01,
+                              max_batch=2)
+        sc = SmoothedClassifier(lf, cfg)
+        x = jnp.stack([jnp.full((4, 4, 3), v, jnp.float32)
+                       for v in (0.9, 0.8, 0.7, 0.2, 0.1)])
+        counts = sc._sample(x, jax.random.PRNGKey(0), cfg.n)
+        assert counts.shape == (5, 2)
+        np.testing.assert_array_equal(counts.sum(-1), 64)
+        # high-margin rows still vote unanimously through the sliced path
+        np.testing.assert_array_equal(np.argmax(counts, -1), [0, 0, 0, 1, 1])
+
+    def test_certify_unaffected_by_slicing_for_clear_inputs(self):
+        lf = _mean_intensity_logits()
+        x = jnp.stack([jnp.full((4, 4, 3), 0.9, jnp.float32)] * 3)
+        base = SmoothedClassifier(lf, SmoothingConfig(
+            sigma=0.25, n0=8, n=128, chunk=16, alpha=0.001, max_batch=8))
+        sliced = SmoothedClassifier(lf, SmoothingConfig(
+            sigma=0.25, n0=8, n=128, chunk=16, alpha=0.001, max_batch=1))
+        c1, r1 = base.certify(x, jax.random.PRNGKey(0))
+        c2, r2 = sliced.certify(x, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(r1, r2)  # all votes correct either way

@@ -25,11 +25,14 @@ def _generate():
     from image_recognition_adversarial_example_attack_tpu.attacks import (
         apgd_ce_attack,
         cw_l2_attack,
+        deepfool_attack,
         dim_attack,
         fgsm_attack,
         make_logits_fn,
         mifgsm_attack,
+        nes_attack,
         pgd_linf_attack,
+        spsa_attack,
         square_attack,
         tim_attack,
     )
@@ -64,6 +67,11 @@ def _generate():
                               steps=10, kernel_size=3),
         "adv_apgd": apgd_ce_attack(lf, x, y, eps=8 / 255, steps=20, key=key),
         "adv_square": square_attack(lf, x, y, eps=8 / 255, steps=40, key=key),
+        "adv_deepfool": deepfool_attack(lf, x, steps=20, num_classes=8),
+        "adv_nes": nes_attack(lf, x, y, eps=8 / 255, alpha=2 / 255, steps=5,
+                              key=key, n_samples=8),
+        "adv_spsa": spsa_attack(lf, x, y, eps=8 / 255, alpha=2 / 255, steps=5,
+                                key=key, n_samples=8),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
