@@ -12,3 +12,4 @@ from .apgd import apgd_ce_attack
 from .square import square_attack
 from .deepfool import deepfool_attack
 from .grad_est import nes_attack, spsa_attack
+from .hsja import hsja_attack

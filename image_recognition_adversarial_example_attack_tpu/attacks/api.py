@@ -106,6 +106,9 @@ class AttackParams:
     est_samples: int = 32
     nes_sigma: float = 1e-3
     spsa_delta: float = 1e-2
+    # HSJA decision-based budgets (outer iterations / probes per estimate)
+    hsja_steps: int = 10
+    hsja_probes: int = 32
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -158,16 +161,17 @@ def run_attack(
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
-    | 'tim' | 'apgd' | 'square' | 'deepfool' | 'nes' | 'spsa' -> x_adv in [0,1].
+    | 'tim' | 'apgd' | 'square' | 'deepfool' | 'nes' | 'spsa' | 'hsja'
+    -> x_adv in [0,1].
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
     'deepfool' (minimal-L2, attacks the model's own prediction),
-    'nes'/'spsa' (query-based gradient estimation), and the ``y_target``
-    targeted modes for fgsm/pgd/mifgsm/dim/tim/nes/spsa are
-    beyond-reference extensions; they plug into every harness accepting an
-    attack name.  'apgd', 'square' and 'deepfool' are untargeted-only and
-    reject ``y_target``.
+    'nes'/'spsa' (query-based gradient estimation), 'hsja' (decision-based:
+    hard labels only), and the ``y_target`` targeted modes for
+    fgsm/pgd/mifgsm/dim/tim/nes/spsa are beyond-reference extensions; they
+    plug into every harness accepting an attack name.  'apgd', 'square',
+    'deepfool' and 'hsja' are untargeted-only and reject ``y_target``.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -249,6 +253,17 @@ def run_attack(
             eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
             n_samples=params.est_samples, delta=params.spsa_delta,
             y_target=y_target,
+        )
+    if attack_name == "hsja":
+        from .hsja import hsja_attack
+
+        if y_target is not None:
+            raise ValueError("hsja here is the untargeted decision-based variant")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return hsja_attack(
+            logits_fn, x, y_true,
+            steps=params.hsja_steps, n_probes=params.hsja_probes, key=key,
         )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:

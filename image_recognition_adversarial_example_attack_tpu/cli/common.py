@@ -56,7 +56,7 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
 
 def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
     """Flags for the beyond-reference attack families every CLI dispatches to
-    (deepfool / nes / spsa); defaults match AttackParams."""
+    (deepfool / nes / spsa / hsja); defaults match AttackParams."""
     parser.add_argument("--deepfool_steps", type=int, default=50,
                         help="deepfool max iterations")
     parser.add_argument("--deepfool_classes", type=int, default=10,
@@ -69,6 +69,10 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
                         help="nes Gaussian smoothing radius")
     parser.add_argument("--spsa_delta", type=float, default=1e-2,
                         help="spsa finite-difference perturbation size")
+    parser.add_argument("--hsja_steps", type=int, default=10,
+                        help="hsja outer boundary-walk iterations")
+    parser.add_argument("--hsja_probes", type=int, default=32,
+                        help="hsja decision queries per normal estimate")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -80,6 +84,8 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "est_samples": int(args.est_samples),
         "nes_sigma": float(args.nes_sigma),
         "spsa_delta": float(args.spsa_delta),
+        "hsja_steps": int(args.hsja_steps),
+        "hsja_probes": int(args.hsja_probes),
     }
 
 

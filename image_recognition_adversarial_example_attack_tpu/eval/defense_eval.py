@@ -56,6 +56,8 @@ class DefenseEvalConfig:
     est_samples: int = 32
     nes_sigma: float = 1e-3
     spsa_delta: float = 1e-2
+    hsja_steps: int = 10
+    hsja_probes: int = 32
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency (beyond-reference)
     detector: str = "feature"
@@ -77,6 +79,8 @@ class DefenseEvalConfig:
             est_samples=self.est_samples,
             nes_sigma=self.nes_sigma,
             spsa_delta=self.spsa_delta,
+            hsja_steps=self.hsja_steps,
+            hsja_probes=self.hsja_probes,
         )
 
 

@@ -749,3 +749,88 @@ class TestGradEstimation:
             x_adv = run_attack(name, tiny_logits_fn, x, y, params, rng_key)
             assert x_adv.shape == x.shape
             assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
+
+
+class TestHSJA:
+    """Decision-based black-box: only hard labels reach the attack."""
+
+    @staticmethod
+    def _decision_only(logits_fn):
+        def fn(z):
+            zz = jax.lax.stop_gradient(z)
+            lg = logits_fn(zz)
+            return jax.nn.one_hot(jnp.argmax(lg, -1), lg.shape[-1])
+        return fn
+
+    def test_warm_start_converges_toward_x(self, tiny_logits_fn, image_batch, rng_key):
+        """From a far misclassified init, the boundary walk must return a
+        MUCH closer adversarial point — using hard labels only."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            hsja_attack,
+            pgd_linf_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_init = pgd_linf_attack(tiny_logits_fn, x, y, eps=0.15, alpha=0.03,
+                                 steps=20, key=jax.random.PRNGKey(1))
+        assert bool(jnp.all(_labels(tiny_logits_fn, x_init) != y))
+        d_init = jnp.sqrt(jnp.sum((x_init - x) ** 2, axis=(1, 2, 3)))
+
+        x_adv = hsja_attack(self._decision_only(tiny_logits_fn), x, y,
+                            steps=6, n_probes=24, key=rng_key, x_init=x_init)
+        assert bool(jnp.all(_labels(tiny_logits_fn, x_adv) != y))
+        d_adv = jnp.sqrt(jnp.sum((x_adv - x) ** 2, axis=(1, 2, 3)))
+        assert float(jnp.max(d_adv / d_init)) < 0.6  # at least ~2x closer
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+
+    def test_uninitialized_samples_return_unchanged(self, tiny_logits_fn, image_batch, rng_key):
+        """With zero-size init budget and no warm start, the attack must
+        hand back the input (a decision attack cannot start without a
+        misclassified point)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            hsja_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = hsja_attack(self._decision_only(tiny_logits_fn), x, y,
+                            steps=2, n_probes=4, init_trials=1, key=rng_key,
+                            x_init=x)  # x itself is NOT adversarial
+        np.testing.assert_array_equal(np.asarray(x_adv), np.asarray(x))
+
+    def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            hsja_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        fn = self._decision_only(tiny_logits_fn)
+        a = hsja_attack(fn, x, y, steps=3, n_probes=8, key=rng_key)
+        b = hsja_attack(fn, x, y, steps=3, n_probes=8, key=rng_key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dispatch_and_untargeted_only(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        params = AttackParams(hsja_steps=2, hsja_probes=4)
+        x_adv = run_attack("hsja", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
+        with pytest.raises(ValueError):
+            run_attack("hsja", tiny_logits_fn, x, y, params, rng_key, y_target=y)
+
+    def test_result_is_always_adversarial_or_unchanged(self, tiny_logits_fn, image_batch, rng_key):
+        """Every returned sample is either misclassified or exactly x."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            hsja_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = hsja_attack(self._decision_only(tiny_logits_fn), x, y,
+                            steps=4, n_probes=16, key=rng_key)
+        fooled = np.asarray(_labels(tiny_logits_fn, x_adv) != y)
+        unchanged = np.asarray(jnp.all(x_adv == x, axis=(1, 2, 3)))
+        assert np.all(fooled | unchanged)

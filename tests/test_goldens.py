@@ -28,6 +28,7 @@ def _generate():
         deepfool_attack,
         dim_attack,
         fgsm_attack,
+        hsja_attack,
         make_logits_fn,
         mifgsm_attack,
         nes_attack,
@@ -72,6 +73,8 @@ def _generate():
                               key=key, n_samples=8),
         "adv_spsa": spsa_attack(lf, x, y, eps=8 / 255, alpha=2 / 255, steps=5,
                                 key=key, n_samples=8),
+        "adv_hsja": hsja_attack(lf, x, y, steps=3, n_probes=8,
+                                init_trials=8, key=key),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 

@@ -266,3 +266,59 @@ def test_vgg_flatten_ordering_matches_torch():
     ht = torch.flatten(ht, 1)  # torch's CHW flatten (what the weights expect)
     theirs = (ht @ torch.tensor(w_fc).T + torch.tensor(b_fc)).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-10)
+
+
+def test_deepfool_cross_framework(data):
+    """DeepFool is deterministic, so an independent torch implementation of
+    the same linearization (per-class backward loop, the shape reference
+    -style code uses) must produce the SAME adversarial examples as the
+    fused vjp/scan program (attacks/deepfool.py)."""
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        deepfool_attack,
+    )
+
+    x, _ = data
+    x_jax = jnp.asarray(x)
+    steps, k, overshoot, eta = 12, 4, 0.02, 1e-4
+
+    got = np.asarray(
+        deepfool_attack(logits_jax, x_jax, steps=steps, num_classes=k,
+                        overshoot=overshoot, eta=eta)
+    )
+
+    # independent torch reference
+    x0 = _to_torch(x)
+    with torch.no_grad():
+        logits0 = logits_torch(x0)
+    idx = logits0.argsort(dim=1, descending=True)[:, :k]
+    k0 = idx[:, 0]
+    r_tot = torch.zeros_like(x0)
+    for _ in range(steps):
+        x_adv = (x0 + (1.0 + overshoot) * r_tot).clamp(0, 1).detach()
+        x_adv.requires_grad_(True)
+        f = logits_torch(x_adv)
+        fooled = f.argmax(dim=1) != k0
+        grads = []
+        for j in range(k):
+            g = torch.autograd.grad(
+                f.gather(1, idx[:, j:j + 1]).sum(), x_adv,
+                retain_graph=(j < k - 1),
+            )[0]
+            grads.append(g)
+        g = torch.stack(grads)                       # [k, B, C, H, W]
+        w = g[1:] - g[:1]                            # [k-1, B, C, H, W]
+        f_sel = f.gather(1, idx)
+        f_diff = (f_sel[:, 1:] - f_sel[:, :1]).T     # [k-1, B]
+        w_norm = w.flatten(2).norm(dim=2)
+        dist = f_diff.abs() / w_norm.clamp_min(1e-12)
+        l = dist.argmin(dim=0)
+        w_l = w.gather(0, l.view(1, -1, 1, 1, 1).expand(1, *w.shape[1:]))[0]
+        fd_l = f_diff.abs().gather(0, l.view(1, -1))[0]
+        wn_l = w_norm.gather(0, l.view(1, -1))[0]
+        step_v = (fd_l + eta).view(-1, 1, 1, 1) * w_l \
+            / wn_l.clamp_min(1e-12).view(-1, 1, 1, 1) ** 2
+        r_tot = torch.where(fooled.view(-1, 1, 1, 1), r_tot,
+                            (r_tot + step_v).detach())
+    expected = (x0 + (1.0 + overshoot) * r_tot).clamp(0, 1)
+
+    np.testing.assert_allclose(got, _to_nhwc(expected), atol=1e-9)
