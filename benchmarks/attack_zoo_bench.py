@@ -2,7 +2,9 @@
 
 One JSON line per attack: examples/sec at batch 128, ResNet-50 @224 bf16,
 10 gradient steps for the iterative attacks (so PGD-family numbers are
-comparable to bench.py's headline), CW 100 steps, Square 200 queries.
+comparable to bench.py's headline), CW 100 steps, Square 200 queries,
+DeepFool 10 steps x 10 classes, NES/SPSA 10 steps x 16 probe pairs,
+HSJA 5 iterations x 16 probes.
 
 Usage: python benchmarks/attack_zoo_bench.py [--batch 128] [--iters 3]
 """
@@ -28,7 +30,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--attacks", nargs="+",
                     default=["fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim",
-                             "apgd", "cw", "square"])
+                             "apgd", "cw", "square", "deepfool", "nes",
+                             "spsa", "hsja"])
     args = ap.parse_args()
 
     from image_recognition_adversarial_example_attack_tpu.attacks import (
@@ -53,7 +56,9 @@ def main() -> None:
     x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
     y = jnp.asarray(rng.randint(0, 1000, size=(args.batch,)).astype(np.int32))
     params = AttackParams(eps=8 / 255, alpha=2 / 255, steps=10,
-                          cw_steps=100, square_steps=200)
+                          cw_steps=100, square_steps=200,
+                          deepfool_steps=10, est_samples=16,
+                          hsja_steps=5, hsja_probes=16)
 
     for name in args.attacks:
         fn = jax.jit(
@@ -76,7 +81,10 @@ def main() -> None:
                 "batch": args.batch,
                 "budget": (params.square_steps if name == "square" else
                            params.cw_steps if name == "cw" else
-                           1 if name == "fgsm" else params.steps),
+                           1 if name == "fgsm" else
+                           params.deepfool_steps if name == "deepfool" else
+                           params.hsja_steps if name == "hsja" else
+                           params.steps),
             }))
         except Exception as e:
             print(json.dumps({"attack": name,

@@ -22,6 +22,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
@@ -49,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_batch", type=int, default=4,
                         help="images per compiled program (device batch is "
                              "chunk * max_batch)")
+    parser.add_argument("--sigmas", type=float, nargs="+", default=None,
+                        help="sweep several noise scales (overrides --sigma); "
+                             "sigma is a traced scalar, so the whole sweep "
+                             "shares ONE compiled voting program")
+    parser.add_argument("--plot", type=str, default=None,
+                        help="write the certified-accuracy-vs-radius figure "
+                             "here (accuracy vs the base model's clean "
+                             "pseudo-labels, the harness convention)")
     parser.add_argument("--output", type=str, default="certify_results.json")
     add_model_args(parser)
     return parser
@@ -67,44 +76,68 @@ def main(argv=None) -> int:
     logits_fn, _ = make_fns(bundle)
     labels = load_imagenet_labels()
 
-    config = SmoothingConfig(
-        sigma=float(args.sigma), n0=int(args.n0), n=int(args.n),
-        chunk=int(args.chunk), alpha=float(args.alpha),
-        max_batch=int(args.max_batch),
-    )
-    smoothed = SmoothedClassifier(logits_fn, config)
+    from ..defenses.smoothing import make_counts_fn
+
+    sigmas = ([float(s) for s in args.sigmas] if args.sigmas
+              else [float(args.sigma)])
+    # one jitted voting program serves every sigma (traced scalar)
+    counts_fn = make_counts_fn(logits_fn, int(args.chunk))
 
     x = jnp.asarray(x_np)
     key = key_from_seed(args.seed)
+    per_sigma, curves = [], []
     with maybe_profile(args.profile_dir):
-        t0 = time.perf_counter()
         base_pred = jax.device_get(
             jax.jit(lambda xx: jnp.argmax(logits_fn(xx), axis=-1))(x))
-        classes, radii = smoothed.certify(x, key)
-        dt = time.perf_counter() - t0
+        for si, sigma in enumerate(sigmas):
+            config = SmoothingConfig(
+                sigma=sigma, n0=int(args.n0), n=int(args.n),
+                chunk=int(args.chunk), alpha=float(args.alpha),
+                max_batch=int(args.max_batch),
+            )
+            smoothed = SmoothedClassifier(logits_fn, config,
+                                          counts_fn=counts_fn)
+            t0 = time.perf_counter()
+            classes, radii = smoothed.certify(x, jax.random.fold_in(key, si))
+            dt = time.perf_counter() - t0
 
-    results = []
-    print(f"sigma={config.sigma} n0={config.n0} n={config.n} "
-          f"alpha={config.alpha}  ({dt:.1f}s total)")
-    for i, p in enumerate(kept):
-        cls = int(classes[i])
-        name = ("ABSTAIN" if cls == ABSTAIN else
-                (labels[cls] if labels and cls < len(labels) else str(cls)))
-        print(f"{Path(p).name}: prediction={name} "
-              f"certified_radius={radii[i]:.4f} (base pred {int(base_pred[i])})")
-        results.append({
-            "image": str(p),
-            "base_prediction": int(base_pred[i]),
-            "smoothed_prediction": cls,
-            "certified_radius": float(radii[i]),
-        })
+            results = []
+            print(f"sigma={sigma} n0={config.n0} n={config.n} "
+                  f"alpha={config.alpha}  ({dt:.1f}s total)")
+            for i, p in enumerate(kept):
+                cls = int(classes[i])
+                name = ("ABSTAIN" if cls == ABSTAIN else
+                        (labels[cls] if labels and cls < len(labels) else str(cls)))
+                print(f"{Path(p).name}: prediction={name} "
+                      f"certified_radius={radii[i]:.4f} "
+                      f"(base pred {int(base_pred[i])})")
+                results.append({
+                    "image": str(p),
+                    "base_prediction": int(base_pred[i]),
+                    "smoothed_prediction": cls,
+                    "certified_radius": float(radii[i]),
+                })
+            per_sigma.append({"sigma": sigma, "results": results})
+            curves.append({
+                "sigma": sigma,
+                "radii": np.asarray(radii),
+                # harness convention: the base model's clean predictions
+                # serve as pseudo-labels (defense_experiments.py does the same)
+                "correct": np.asarray(classes) == np.asarray(base_pred),
+            })
 
     out = Path(args.output)
     out.write_text(json.dumps({
-        "sigma": config.sigma, "n0": config.n0, "n": config.n,
-        "alpha": config.alpha, "results": results,
+        "n0": int(args.n0), "n": int(args.n), "alpha": float(args.alpha),
+        "sweeps": per_sigma,
     }, indent=2))
     print(f"Wrote {out}")
+
+    if args.plot:
+        from ..viz.plots import plot_certified_accuracy
+
+        plot_certified_accuracy(curves, Path(args.plot))
+        print(f"Wrote {args.plot}")
     return 0
 
 

@@ -72,19 +72,25 @@ def _n_chunks(n: int, chunk: int) -> int:
     return max(1, -(-int(n) // int(chunk)))
 
 
-def make_counts_fn(logits_fn: LogitsFn, sigma: float, chunk: int):
-    """Returns ``counts(x, key, n_chunks) -> [B, K] int32`` vote histogram.
+def make_counts_fn(logits_fn: LogitsFn, chunk: int):
+    """Returns ``counts(x, key, sigma, n_chunks) -> [B, K] int32`` votes.
 
     One jitted program; ``n_chunks`` is static (one compile per distinct
-    sample budget).  Each scan step draws [chunk, B, H, W, C] Gaussian
-    noise on-device, evaluates the base classifier on the flattened
-    [chunk*B] batch, and scatter-adds one-hot argmax votes.
+    sample budget) while ``sigma`` is a TRACED scalar — it only scales the
+    noise arithmetic, so ONE compiled program serves a whole sigma sweep
+    (the same dynamic-eps trick as eval/defense_eval.py; remote TPU
+    compiles dominate sweep wall-clock).  Each scan step draws
+    [chunk, B, H, W, C] Gaussian noise on-device, evaluates the base
+    classifier on the flattened [chunk*B] batch, and scatter-adds one-hot
+    argmax votes.
     """
 
     @partial(jax.jit, static_argnames=("n_chunks",))
-    def counts(x: jnp.ndarray, key: jax.Array, n_chunks: int) -> jnp.ndarray:
+    def counts(x: jnp.ndarray, key: jax.Array, sigma: jnp.ndarray,
+               n_chunks: int) -> jnp.ndarray:
         b = x.shape[0]
         k_cls = logits_fn(x[:1]).shape[-1]
+        sigma = jnp.asarray(sigma, x.dtype)
 
         def body(acc, k):
             noise = sigma * jax.random.normal(k, (chunk,) + x.shape, x.dtype)
@@ -120,9 +126,12 @@ def _binom_two_sided_p(k: int, n: int) -> float:
 class SmoothedClassifier:
     """Cohen et al.'s PREDICT / CERTIFY over a jitted Monte-Carlo core."""
 
-    def __init__(self, logits_fn: LogitsFn, config: SmoothingConfig = SmoothingConfig()):
+    def __init__(self, logits_fn: LogitsFn, config: SmoothingConfig = SmoothingConfig(),
+                 counts_fn=None):
+        """``counts_fn`` lets several classifiers (e.g. a sigma sweep) share
+        ONE compiled voting program — build it with ``make_counts_fn``."""
         self.config = config
-        self._counts = make_counts_fn(logits_fn, config.sigma, config.chunk)
+        self._counts = counts_fn or make_counts_fn(logits_fn, config.chunk)
 
     def _sample(self, x: jnp.ndarray, key: jax.Array, n: int) -> np.ndarray:
         """Vote counts for every image, sliced to ``max_batch`` images per
@@ -138,7 +147,8 @@ class SmoothedClassifier:
             if valid < mb:
                 pad = jnp.zeros((mb - valid,) + x.shape[1:], x.dtype)
                 part = jnp.concatenate([part, pad], axis=0)
-            counts = self._counts(part, jax.random.fold_in(key, i), n_chunks)
+            counts = self._counts(part, jax.random.fold_in(key, i),
+                                  jnp.float32(self.config.sigma), n_chunks)
             out.append(np.asarray(jax.device_get(counts))[:valid])
         return np.concatenate(out, axis=0)
 

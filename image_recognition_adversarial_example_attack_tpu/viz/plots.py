@@ -388,3 +388,61 @@ def plot_perturbation_analysis(
     plt.tight_layout()
     plt.savefig(save_path, dpi=_DPI)
     plt.close()
+
+
+# ---------------------------------------------------------------------------
+# Certified robustness (randomized smoothing) — beyond-reference artifact
+# ---------------------------------------------------------------------------
+
+def plot_certified_accuracy(curves: Sequence[Mapping], out_path: Path) -> None:
+    """Certified accuracy vs L2 radius — the standard randomized-smoothing
+    figure (Cohen et al., ICML 2019, Fig. 6 family).
+
+    ``curves``: one entry per noise level, each a mapping with
+      - "sigma":   float noise scale,
+      - "radii":   [N] certified radii (0 where abstained),
+      - "correct": [N] bool — whether the certificate counts (certified
+                   class matches the evaluation label; abstentions False).
+
+    acc(r) = mean(correct & radii >= r): a monotone step-down survival
+    curve.  Sigma is an ordered magnitude, so series colors are SEQUENTIAL
+    steps of one hue (house rule: never cycled categorical hues for ordered
+    series) with direct sigma labels at each curve's head — identity is
+    never color-alone.
+    """
+    out_path = Path(out_path)
+    _ensure_dir(out_path)
+
+    curves = sorted(curves, key=lambda c: float(c["sigma"]))
+    r_max = max((float(np.max(c["radii"])) for c in curves if len(c["radii"])),
+                default=1.0)
+    r_grid = np.linspace(0.0, max(r_max, 1e-6) * 1.05, 256)
+
+    # sequential single-hue steps, dark enough for a white surface
+    cmap = plt.get_cmap(_CMAP_DETECT)
+    shades = [cmap(v) for v in np.linspace(0.45, 0.95, max(2, len(curves)))]
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for c, color in zip(curves, shades):
+        radii = np.asarray(c["radii"], np.float64)
+        correct = np.asarray(c["correct"], bool)
+        acc = [(correct & (radii >= r)).mean() if len(radii) else 0.0
+               for r in r_grid]
+        label = f"σ={float(c['sigma']):g}"
+        ax.plot(r_grid, acc, color=color, linewidth=2, label=label)
+        # direct label at the curve head (left edge, staggered by value)
+        ax.annotate(label, (r_grid[0], acc[0]), xytext=(4, 4),
+                    textcoords="offset points", fontsize=9, color="#3a3a3a")
+
+    ax.set_xlabel("L2 radius", **_LABEL)
+    ax.set_ylabel("certified accuracy", **_LABEL)
+    ax.set_title("Certified accuracy vs radius (randomized smoothing)",
+                 **_TITLE)
+    ax.set_ylim(0.0, 1.02)
+    ax.set_xlim(left=0.0)
+    ax.grid(**_GRID)
+    if len(curves) >= 2:
+        ax.legend(frameon=False, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=_DPI)
+    plt.close(fig)

@@ -44,11 +44,11 @@ def _mean_intensity_logits(scale=200.0):
 class TestCountsCore:
     def test_votes_sum_and_determinism(self):
         lf = _mean_intensity_logits()
-        counts_fn = make_counts_fn(lf, sigma=0.25, chunk=8)
+        counts_fn = make_counts_fn(lf, chunk=8)
         x = jnp.full((3, 4, 4, 3), 0.7, jnp.float32)
         k = jax.random.PRNGKey(0)
-        c1 = np.asarray(counts_fn(x, k, 4))
-        c2 = np.asarray(counts_fn(x, k, 4))
+        c1 = np.asarray(counts_fn(x, k, jnp.float32(0.25), 4))
+        c2 = np.asarray(counts_fn(x, k, jnp.float32(0.25), 4))
         np.testing.assert_array_equal(c1, c2)
         assert c1.shape == (3, 2)
         np.testing.assert_array_equal(c1.sum(-1), 32)  # 4 chunks x 8
@@ -57,13 +57,13 @@ class TestCountsCore:
         """Far from the boundary all votes go to the true class; at the
         boundary they split roughly half/half."""
         lf = _mean_intensity_logits()
-        counts_fn = make_counts_fn(lf, sigma=0.25, chunk=16)
+        counts_fn = make_counts_fn(lf, chunk=16)
         x = jnp.stack([
             jnp.full((4, 4, 3), 0.9, jnp.float32),   # strong class 0
             jnp.full((4, 4, 3), 0.1, jnp.float32),   # strong class 1
             jnp.full((4, 4, 3), 0.5, jnp.float32),   # exactly on boundary
         ])
-        c = np.asarray(counts_fn(x, jax.random.PRNGKey(1), 16))  # 256 votes
+        c = np.asarray(counts_fn(x, jax.random.PRNGKey(1), jnp.float32(0.25), 16))  # 256 votes
         assert c[0, 0] == 256 and c[1, 1] == 256
         assert 64 < c[2, 0] < 192  # ~Binomial(256, 0.5)
 
@@ -191,8 +191,10 @@ class TestCertifyCLI:
         text = capsys.readouterr().out
         assert "certified_radius=" in text
         data = json.loads(out.read_text())
-        assert len(data["results"]) == 2
-        for row in data["results"]:
+        assert len(data["sweeps"]) == 1
+        rows = data["sweeps"][0]["results"]
+        assert len(rows) == 2
+        for row in rows:
             assert row["certified_radius"] >= 0.0
             assert row["smoothed_prediction"] >= -1
 

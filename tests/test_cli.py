@@ -264,12 +264,18 @@ def test_defense_experiments_new_attacks_and_squeezing_detector(image_dir, tmp_p
         )
 
 
-def test_certify_cli_single_image(image_dir, capsys, tmp_path):
+def test_certify_cli_sigma_sweep_and_plot(image_dir, capsys, tmp_path):
     from image_recognition_adversarial_example_attack_tpu.cli.certify import main
 
     out = tmp_path / "cert.json"
+    fig = tmp_path / "cert_acc.png"
     rc = main(["--image", str(image_dir / "img_0.jpg"), "--model", "resnet_tiny",
-               "--n0", "8", "--n", "16", "--chunk", "8", "--output", str(out)])
+               "--n0", "8", "--n", "16", "--chunk", "8",
+               "--sigmas", "0.12", "0.25", "--plot", str(fig),
+               "--output", str(out)])
     assert rc == 0
-    assert "certified_radius=" in capsys.readouterr().out
-    assert out.is_file()
+    text = capsys.readouterr().out
+    assert text.count("certified_radius=") == 2  # one line per sigma
+    assert out.is_file() and fig.is_file()
+    data = json.loads(out.read_text())
+    assert [s["sigma"] for s in data["sweeps"]] == [0.12, 0.25]
