@@ -834,3 +834,82 @@ class TestHSJA:
         fooled = np.asarray(_labels(tiny_logits_fn, x_adv) != y)
         unchanged = np.asarray(jnp.all(x_adv == x, axis=(1, 2, 3)))
         assert np.all(fooled | unchanged)
+
+
+class TestEOT:
+    def test_wrapper_is_log_mean_softmax_and_deterministic(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_eot_logits_fn,
+        )
+
+        x = jnp.asarray(image_batch)
+        eot = make_eot_logits_fn(tiny_logits_fn, jax.random.PRNGKey(5),
+                                 n_samples=8, sigma=0.05)
+        a, b = eot(x), eot(x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # log-probabilities: each row exp-sums to 1
+        np.testing.assert_allclose(np.exp(np.asarray(a)).sum(-1), 1.0, rtol=1e-5)
+        # sigma -> 0 recovers the plain model's distribution
+        eot0 = make_eot_logits_fn(tiny_logits_fn, jax.random.PRNGKey(5),
+                                  n_samples=4, sigma=0.0)
+        np.testing.assert_allclose(
+            np.asarray(eot0(x)),
+            np.asarray(jax.nn.log_softmax(tiny_logits_fn(x), axis=-1)),
+            atol=1e-5,
+        )
+
+    def test_pgd_through_eot_attacks_the_smoothed_model(self, tiny_logits_fn, image_batch, rng_key):
+        """SmoothAdv setting: PGD on the EOT wrapper must flip the SMOOTHED
+        prediction, inside one jitted program."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_eot_logits_fn,
+            pgd_linf_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        eot = make_eot_logits_fn(tiny_logits_fn, jax.random.PRNGKey(5),
+                                 n_samples=8, sigma=0.05)
+        y_s = jnp.argmax(eot(x), -1)
+        x_adv = jax.jit(
+            lambda x, k: pgd_linf_attack(eot, x, y_s, eps=0.1, alpha=0.02,
+                                         steps=10, key=k)
+        )(x, rng_key)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= 0.1 + 1e-6
+        fooled = jnp.mean(jnp.argmax(eot(x_adv), -1) != y_s)
+        assert float(fooled) >= 0.75
+
+
+class TestUniversalPerturbation:
+    def test_single_delta_fools_batch_above_random(self, tiny_logits_fn, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            universal_perturbation,
+        )
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.uniform(0.2, 0.8, (8, 16, 16, 3)).astype(np.float32))
+        y = _labels(tiny_logits_fn, x)
+        delta = universal_perturbation(tiny_logits_fn, x, y, eps=0.1,
+                                       alpha=0.02, steps=20, key=rng_key)
+        assert delta.shape == x.shape[1:]
+        assert float(jnp.max(jnp.abs(delta))) <= 0.1 + 1e-6
+        fooled = float(jnp.mean(
+            _labels(tiny_logits_fn, jnp.clip(x + delta[None], 0, 1)) != y))
+        d_rand = jax.random.uniform(jax.random.fold_in(rng_key, 1),
+                                    delta.shape, minval=-0.1, maxval=0.1)
+        fooled_rand = float(jnp.mean(
+            _labels(tiny_logits_fn, jnp.clip(x + d_rand[None], 0, 1)) != y))
+        assert fooled > fooled_rand
+        assert fooled >= 0.5
+
+    def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            universal_perturbation,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        a = universal_perturbation(tiny_logits_fn, x, y, eps=0.05, alpha=0.01,
+                                   steps=5, key=rng_key)
+        b = universal_perturbation(tiny_logits_fn, x, y, eps=0.05, alpha=0.01,
+                                   steps=5, key=rng_key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
