@@ -174,7 +174,8 @@ class TestRobustEval:
         y = jnp.argmax(tiny_logits_fn(x), -1)
         res = jax.jit(
             lambda x, y, k: autoattack_lite(tiny_logits_fn, x, y, eps=8 / 255,
-                                            key=k, apgd_steps=10, square_steps=20)
+                                            key=k, apgd_steps=10,
+                                            square_steps=20, deepfool_steps=10)
         )(x, y, rng_key)
 
         # worst-case iterate stays in the ball and [0,1]
@@ -183,7 +184,10 @@ class TestRobustEval:
         # success mask is the union, and the returned iterate realizes it
         np.testing.assert_array_equal(
             np.asarray(res.success),
-            np.asarray(res.success_apgd | res.success_square))
+            np.asarray(res.success_apgd | res.success_square
+                       | res.success_deepfool))
+        # deepfool successes only count inside the eps ball, so the
+        # worst-case iterate never leaves it (asserted above)
         pred = np.asarray(jnp.argmax(tiny_logits_fn(res.x_adv), -1))
         np.testing.assert_array_equal(pred != np.asarray(y),
                                       np.asarray(res.success))
