@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "CE(clean) + beta*KL(clean||adv)")
     parser.add_argument("--trades_beta", type=float, default=6.0,
                         help="TRADES robustness/accuracy trade-off beta")
+    parser.add_argument("--noise_sigma", type=float, default=0.0,
+                        help=">0: Gaussian-noise training for randomized "
+                             "smoothing (SmoothAdv inner attack + noisy CE; "
+                             "with --attack_steps 0, plain Cohen "
+                             "augmentation). pgd-at objective only.")
+    parser.add_argument("--noise_samples", type=int, default=4,
+                        help="EOT noise draws for the SmoothAdv inner attack")
     parser.add_argument("--out", type=str, default=None,
                         help="output .msgpack (default: weights/<model>_robust.msgpack)")
     add_model_args(parser)
@@ -99,8 +106,13 @@ def main(argv=None) -> int:
         label_smoothing=float(args.label_smoothing),
         clean_weight=float(args.clean_weight),
         trades_beta=float(args.trades_beta),
+        noise_sigma=float(args.noise_sigma),
+        noise_samples=int(args.noise_samples),
     )
     state = train_state_from_bundle(bundle, config)
+    if args.objective == "trades" and float(args.noise_sigma) > 0.0:
+        print("WARNING: --noise_sigma applies to the pgd-at objective only "
+              "(TRADES ignores it).")
     if args.objective == "trades" and float(args.clean_weight) > 0.0:
         print("WARNING: --clean_weight is a PGD-AT flag; TRADES already "
               "contains the clean CE term (natural loss) and ignores it.")

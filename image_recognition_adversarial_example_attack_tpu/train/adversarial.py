@@ -52,6 +52,13 @@ class AdvTrainConfig:
     label_smoothing: float = 0.0
     clean_weight: float = 0.0      # >0: mixes clean CE into the PGD-AT loss
     trades_beta: float = 6.0       # robustness/accuracy trade-off (TRADES)
+    # >0: Gaussian-noise training for randomized smoothing.  The PGD inner
+    # maximization attacks the EOT-smoothed model (noise_samples draws —
+    # SmoothAdv, Salman et al. 2019) and the outer CE is evaluated on
+    # noisy inputs (Cohen et al.'s augmentation); attack_steps=0 recovers
+    # plain Gaussian augmentation.
+    noise_sigma: float = 0.0
+    noise_samples: int = 4
 
 
 class TrainState(struct.PyTreeNode):
@@ -113,19 +120,41 @@ def make_train_step(config: AdvTrainConfig,
         return _ce_loss(logits, y, config.label_smoothing), logits
 
     def step(state: TrainState, x01, y, key):
+        k_attack, k_eot, k_noise = jax.random.split(key, 3)
+
         # 1) craft adversarial examples against the CURRENT parameters
         def logits_fn(x01):
             return apply_logits(state, state.params, x01)
 
+        if config.noise_sigma > 0.0:
+            # SmoothAdv: the inner maximization attacks the EOT-smoothed
+            # model, so the adversarial example targets the classifier
+            # randomized smoothing will actually deploy
+            from ..attacks.eot import make_eot_logits_fn
+
+            attack_fn = make_eot_logits_fn(
+                logits_fn, k_eot, n_samples=config.noise_samples,
+                sigma=config.noise_sigma)
+        else:
+            attack_fn = logits_fn
+
         x_adv = pgd_linf_attack(
-            logits_fn, x01, y, eps=config.eps, alpha=config.alpha,
-            steps=config.attack_steps, key=key,
+            attack_fn, x01, y, eps=config.eps, alpha=config.alpha,
+            steps=config.attack_steps, key=k_attack,
         )
         x_adv = jax.lax.stop_gradient(x_adv)  # attack output is data
 
+        if config.noise_sigma > 0.0:
+            # Cohen-style augmentation: the base classifier trains on a
+            # noisy draw of the (adversarial) input
+            x_train = x_adv + config.noise_sigma * jax.random.normal(
+                k_noise, x_adv.shape, x_adv.dtype)
+        else:
+            x_train = x_adv
+
         # 2) parameter gradients on the adversarial batch (+ optional clean)
         def total_loss(params):
-            adv_loss, adv_logits = loss_fn(params, state, x_adv, y)
+            adv_loss, adv_logits = loss_fn(params, state, x_train, y)
             if config.clean_weight > 0.0:
                 clean_loss, _ = loss_fn(params, state, x01, y)
                 return ((1.0 - config.clean_weight) * adv_loss

@@ -279,3 +279,21 @@ def test_certify_cli_sigma_sweep_and_plot(image_dir, capsys, tmp_path):
     assert out.is_file() and fig.is_file()
     data = json.loads(out.read_text())
     assert [s["sigma"] for s in data["sweeps"]] == [0.12, 0.25]
+
+
+def test_robust_eval_cli(image_dir, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import main
+
+    out = tmp_path / "robust.json"
+    rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+               "--eps_list", "0.01569", "0.03137", "--apgd_steps", "3",
+               "--square_steps", "5", "--deepfool_steps", "3",
+               "--output", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert text.count("robust_acc=") == 2
+    data = json.loads(out.read_text())
+    assert len(data["results"]) == 2
+    for row in data["results"]:
+        assert 0.0 <= row["robust_accuracy"] <= 1.0
+        assert row["count"] == 3

@@ -234,3 +234,77 @@ class TestTrades:
         assert rc == 0
         assert out.is_file()
         assert "loss=" in capsys.readouterr().out
+
+
+class TestNoiseTraining:
+    """Gaussian-noise training for randomized smoothing (SmoothAdv/Cohen)."""
+
+    def test_smoothadv_step_descends_and_differs_from_plain(self):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+
+        model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+        x, y = _toy_data()
+        key = jax.random.PRNGKey(0)
+
+        def run(noise_sigma):
+            config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=2,
+                                    learning_rate=5e-3,
+                                    noise_sigma=noise_sigma, noise_samples=4)
+            state = train_state_from_bundle(_Bundle(model, variables), config)
+            step = jax.jit(make_train_step(config))
+            state, first = step(state, x, y, key)
+            last = first
+            for i in range(20):
+                state, last = step(state, x, y, jax.random.fold_in(key, i))
+            return state, float(first["loss"]), float(last["loss"])
+
+        state_n, first_n, last_n = run(0.25)
+        assert last_n < first_n  # the noisy objective is being optimized
+        state_p, _, _ = run(0.0)
+        # the noise path must actually change the training trajectory
+        diffs = [
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(state_n.params),
+                            jax.tree_util.tree_leaves(state_p.params))
+        ]
+        assert max(diffs) > 1e-6
+
+    def test_noise_trained_model_still_certifies(self):
+        """End-to-end train -> certify: after SmoothAdv fine-tuning on the
+        wide-margin toy task, randomized smoothing certifies every sample
+        at the all-votes-correct radius."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from image_recognition_adversarial_example_attack_tpu.defenses import (
+            SmoothedClassifier,
+            SmoothingConfig,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+
+        model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+        x, y = _toy_data()
+        config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=2,
+                                learning_rate=5e-3,
+                                noise_sigma=0.25, noise_samples=4)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        step = jax.jit(make_train_step(config))
+        key = jax.random.PRNGKey(0)
+        for i in range(30):
+            state, _ = step(state, x, y, jax.random.fold_in(key, i))
+
+        trained = {"params": state.params, **state.extra_variables}
+        lf = make_logits_fn(model, trained, IMAGENET_MEAN, IMAGENET_STD)
+        sc = SmoothedClassifier(lf, SmoothingConfig(
+            sigma=0.25, n0=16, n=128, chunk=16, alpha=0.01, max_batch=16))
+        cls, rad = sc.certify(x[:16], jax.random.PRNGKey(3))
+        ok = (cls == np.asarray(y[:16])) & (rad > 0)
+        assert ok.mean() >= 0.9
