@@ -69,8 +69,12 @@ def make_eot_logits_fn(
     def eot_fn(x01: jnp.ndarray) -> jnp.ndarray:
         b = x01.shape[0]
         # fresh-but-traceable draws: mix the data into the key so each
-        # attack iterate (a different x) sees different transforms
-        mix = jnp.sum(x01.astype(jnp.float32) * 1e4).astype(jnp.int32)
+        # attack iterate (a different x) sees different transforms.  The
+        # mix is a wrapping int32 sum of the float BITS — sensitive to any
+        # pixel change at any input scale (a scaled float sum saturates
+        # int32 for realistic 224^2 batches and froze the draws)
+        bits = jax.lax.bitcast_convert_type(x01.astype(jnp.float32), jnp.int32)
+        mix = jnp.sum(bits)  # int32 addition wraps (two's complement)
         k = jax.random.fold_in(key, jax.lax.stop_gradient(mix))
         keys = jax.random.split(k, n_samples)
         stacked = jnp.concatenate(

@@ -60,9 +60,9 @@ def hsja_attack(
     ``steps`` outer iterations; ``n_probes`` decision queries per gradient
     estimate; ``bs_steps`` bisections per boundary projection; ``halvings``
     geometric step trials.  Initialization tries ``init_trials`` fresh
-    uniform-noise images at cycling blend weights (pure noise, 2/3, 1/3 —
-    blends rescue models whose decision regions swallow the noise
-    distribution); ``x_init`` (same shape as x) seeds the search with
+    uniform-noise images at cycling blend weights (pure noise, then 1/2,
+    1/4, 1/10 blends — the smaller blends rescue models whose decision
+    regions swallow the noise distribution); ``x_init`` (same shape as x) seeds the search with
     known-misclassified points instead (the standard warm start).  Samples
     with no adversarial initialization are returned unchanged — a
     decision-based attack needs SOME misclassified point to walk from.
@@ -152,9 +152,13 @@ def hsja_attack(
         x_new = step_search(x_b, v, d, t)
         # never adopt a non-adversarial iterate (estimator can misfire)
         x_adv = jnp.where(is_adv(x_new)[:, None, None, None], x_new, x_b)
-        # best-so-far tracking (closest adversarial point)
+        # best-so-far tracking (closest adversarial point).  x_adv is
+        # adversarial by construction for every initialized sample (x_b
+        # keeps the binary search's adversarial endpoint and x_new is
+        # adopted only when adversarial), so no extra decision query is
+        # spent here; uninitialized samples are masked out at return.
         d_now = _l2(x_adv - x)
-        better = (d_now < best_d) & is_adv(x_adv)
+        better = d_now < best_d
         best = jnp.where(better[:, None, None, None], x_adv, best)
         best_d = jnp.where(better, d_now, best_d)
         return (x_adv, best, best_d), None

@@ -104,6 +104,7 @@ def make_counts_fn(logits_fn: LogitsFn, chunk: int):
         acc, _ = lax.scan(body, acc0, keys)
         return acc
 
+    counts.chunk = int(chunk)  # consumers verify against their config
     return counts
 
 
@@ -129,8 +130,19 @@ class SmoothedClassifier:
     def __init__(self, logits_fn: LogitsFn, config: SmoothingConfig = SmoothingConfig(),
                  counts_fn=None):
         """``counts_fn`` lets several classifiers (e.g. a sigma sweep) share
-        ONE compiled voting program — build it with ``make_counts_fn``."""
+        ONE compiled voting program — build it with ``make_counts_fn``.  Its
+        chunk must equal ``config.chunk``: the sample-count statistics
+        (n_chunks * chunk votes) are computed from the config, and a
+        mismatched program would silently draw a different number of votes
+        than the binomial bounds assume."""
         self.config = config
+        if counts_fn is not None:
+            fn_chunk = getattr(counts_fn, "chunk", None)
+            if fn_chunk is not None and int(fn_chunk) != int(config.chunk):
+                raise ValueError(
+                    f"counts_fn was built with chunk={fn_chunk} but the "
+                    f"config says chunk={config.chunk}; the certificate's "
+                    "vote count would be wrong")
         self._counts = counts_fn or make_counts_fn(logits_fn, config.chunk)
 
     def _sample(self, x: jnp.ndarray, key: jax.Array, n: int) -> np.ndarray:

@@ -138,11 +138,17 @@ def make_train_step(config: AdvTrainConfig,
         else:
             attack_fn = logits_fn
 
-        x_adv = pgd_linf_attack(
-            attack_fn, x01, y, eps=config.eps, alpha=config.alpha,
-            steps=config.attack_steps, key=k_attack,
-        )
-        x_adv = jax.lax.stop_gradient(x_adv)  # attack output is data
+        if config.attack_steps > 0:
+            x_adv = pgd_linf_attack(
+                attack_fn, x01, y, eps=config.eps, alpha=config.alpha,
+                steps=config.attack_steps, key=k_attack,
+            )
+            x_adv = jax.lax.stop_gradient(x_adv)  # attack output is data
+        else:
+            # attack_steps=0 means NO attack at all (not even PGD's random
+            # start) — with noise_sigma>0 this is exactly Cohen-style
+            # Gaussian augmentation, as the CLI documents
+            x_adv = x01
 
         if config.noise_sigma > 0.0:
             # Cohen-style augmentation: the base classifier trains on a

@@ -913,3 +913,42 @@ class TestUniversalPerturbation:
         b = universal_perturbation(tiny_logits_fn, x, y, eps=0.05, alpha=0.01,
                                    steps=5, key=rng_key)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEOTKeyMixing:
+    def test_fresh_draws_survive_saturating_batches(self, tiny_logits_fn):
+        """Regression: the per-iterate key mix must not saturate on large
+        bright batches (a scaled float sum clamps to INT32_MAX for
+        batches whose pixel sum exceeds ~2^31/1e4, freezing the noise)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_eot_logits_fn,
+        )
+
+        # pixel sum * 1e4 ≈ 2.5e9 > 2^31: the old mix saturated here
+        x = jnp.full((40, 64, 64, 3), 0.5, jnp.float32)
+        x2 = x.at[0, 0, 0, 0].set(0.5001)
+        eot = make_eot_logits_fn(tiny_logits_fn, jax.random.PRNGKey(0),
+                                 n_samples=1, sigma=0.5)
+        a, b = np.asarray(eot(x)), np.asarray(eot(x2))
+        # one noise draw at sigma=0.5: different keys move the logits far
+        # more than the 1e-4 input shift ever could
+        assert np.max(np.abs(a - b)) > 0.05
+
+
+class TestSmoothingChunkGuard:
+    def test_mismatched_counts_fn_rejected(self, tiny_logits_fn):
+        from image_recognition_adversarial_example_attack_tpu.defenses import (
+            SmoothedClassifier,
+            SmoothingConfig,
+        )
+        from image_recognition_adversarial_example_attack_tpu.defenses.smoothing import (
+            make_counts_fn,
+        )
+
+        fn8 = make_counts_fn(tiny_logits_fn, chunk=8)
+        with pytest.raises(ValueError, match="chunk"):
+            SmoothedClassifier(tiny_logits_fn,
+                               SmoothingConfig(chunk=32), counts_fn=fn8)
+        # matching chunk is accepted
+        SmoothedClassifier(tiny_logits_fn, SmoothingConfig(chunk=8),
+                           counts_fn=fn8)

@@ -308,3 +308,27 @@ class TestNoiseTraining:
         cls, rad = sc.certify(x[:16], jax.random.PRNGKey(3))
         ok = (cls == np.asarray(y[:16])) & (rad > 0)
         assert ok.mean() >= 0.9
+
+
+def test_attack_steps_zero_is_pure_cohen_augmentation():
+    """Regression: with attack_steps=0 the step must apply NO perturbation
+    beyond the Gaussian noise — in particular not PGD's random start
+    (which defaults on).  With noise_sigma=0 too, the step is then fully
+    deterministic in the key."""
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+        make_tiny,
+    )
+
+    model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+    x, y = _toy_data(n=16)
+    config = AdvTrainConfig(eps=0.1, alpha=0.02, attack_steps=0,
+                            learning_rate=5e-3, noise_sigma=0.0)
+    step = jax.jit(make_train_step(config))
+    s1 = train_state_from_bundle(_Bundle(model, variables), config)
+    s2 = train_state_from_bundle(_Bundle(model, variables), config)
+    s1, m1 = step(s1, x, y, jax.random.PRNGKey(0))
+    s2, m2 = step(s2, x, y, jax.random.PRNGKey(123))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
