@@ -1,0 +1,205 @@
+"""Persistent line-protocol inference service with warm compiled programs.
+
+Production-serving surface (beyond-reference; the reference only has
+one-shot scripts): start once, pay the compile once, then classify a
+stream of images at steady-state device latency.
+
+    python -m ...cli.serve --model resnet50 --batch 8 --detector feature \\
+        --detector_threshold 4.2 < paths.txt
+
+Protocol: one image path per input line; one JSON object per output line
+(``path``, ``top1``/``prob``/``topk``, optional ``defended_top1``,
+optional ``detector_score``/``detector_flag``, ``latency_ms``,
+``batch_size``).  A ``{"ready": true}`` line is printed after warmup so
+callers know compilation finished.  Unreadable images produce an
+``{"path":..., "error":...}`` line (per-request failure isolation —
+the service never dies on a bad input).
+
+TPU design: ONE program (forward + optional defend forward + optional
+detector score) compiled at a fixed ``--batch`` shape; requests
+micro-batch up to that size (drained from stdin with a ``--max_wait_ms``
+window) and short batches pad to the compiled shape — no recompiles,
+ever.  Eager per-request dispatch over the device relay would cost
+~150 ms/op (CLAUDE.md); here every request batch is one device call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import select
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.images import load_image
+from ..core.labels import load_imagenet_labels
+from .common import add_model_args, load_bundle, make_fns
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Persistent batched inference service (line protocol)")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="compiled batch size (requests pad up to this)")
+    parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--defend", action="store_true",
+                        help="also classify through the preprocessing "
+                             "defense (smooth+quantize)")
+    parser.add_argument("--detector", type=str, default="none",
+                        choices=["none", "feature", "squeezing"],
+                        help="score every input with the chosen detector")
+    parser.add_argument("--detector_threshold", type=float, default=None,
+                        help="flag inputs whose score exceeds this")
+    parser.add_argument("--max_wait_ms", type=float, default=5.0,
+                        help="micro-batching window after the first request")
+    parser.add_argument("--input", type=str, default="-",
+                        help="'-' = stdin stream; a file path = serve its "
+                             "lines then exit")
+    add_model_args(parser)
+    return parser
+
+
+def _make_service_fn(logits_fn, features_fn, args):
+    """ONE jitted program: forward (+ defended forward, + detector score)."""
+    from ..defenses.detector import score_from_features, squeezing_score
+    from ..defenses.preprocess import DefenseConfig, defend_input
+
+    defense_cfg = DefenseConfig()
+
+    def service(x):
+        probs = jax.nn.softmax(logits_fn(x), axis=-1)
+        out = {"probs": probs}
+        if args.defend:
+            x_def = defend_input(x, defense_cfg)
+            out["defended_pred"] = jnp.argmax(logits_fn(x_def), axis=-1)
+        if args.detector == "feature":
+            out["score"] = score_from_features(features_fn(x))
+        elif args.detector == "squeezing":
+            out["score"] = squeezing_score(logits_fn, x)
+        return out
+
+    return jax.jit(service)
+
+
+def _drain_requests(stream, batch: int, max_wait_s: float) -> list[str] | None:
+    """Block for one request line, then micro-batch any more that arrive
+    within the wait window (or are already buffered), up to ``batch``.
+    Returns None at end of stream."""
+    first = stream.readline()
+    if not first:
+        return None
+    lines = [first.rstrip("\n")]
+    deadline = time.monotonic() + max_wait_s
+    while len(lines) < batch:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        ready, _, _ = select.select([stream], [], [], remaining)
+        if not ready:
+            break
+        nxt = stream.readline()
+        if not nxt:
+            break
+        lines.append(nxt.rstrip("\n"))
+    return [ln for ln in lines if ln.strip()]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    batch = max(1, int(args.batch))
+
+    bundle = load_bundle(args)
+    logits_fn, features_fn = make_fns(bundle)
+    labels = load_imagenet_labels()
+    service = _make_service_fn(logits_fn, features_fn, args)
+
+    # warm the one compiled program at the serving shape
+    size = 224
+    warm = jnp.zeros((batch, size, size, 3), jnp.float32)
+    jax.block_until_ready(service(warm))
+    print(json.dumps({"ready": True, "batch": batch,
+                      "device": str(jax.devices()[0])}), flush=True)
+
+    if args.input == "-":
+        stream = sys.stdin
+        streaming = True
+    else:
+        stream = open(args.input)
+        streaming = False
+
+    topk = int(args.topk)
+    while True:
+        if streaming:
+            paths = _drain_requests(stream, batch,
+                                    float(args.max_wait_ms) / 1e3)
+        else:
+            paths = [ln.rstrip("\n") for ln in stream.readlines()
+                     if ln.strip()] or None
+        if paths is None:
+            break
+
+        t0 = time.perf_counter()
+        imgs, ok_idx, errors = [], [], []
+        for i, p in enumerate(paths):
+            try:
+                imgs.append(load_image(p, size=size)[0])
+                ok_idx.append(i)
+            except Exception as e:  # per-request failure isolation
+                errors.append((i, f"{type(e).__name__}: {e}"))
+
+        responses: list[dict | None] = [None] * len(paths)
+        for i, err in errors:
+            responses[i] = {"path": paths[i], "error": err}
+
+        if ok_idx:
+            ok_pairs = list(zip(ok_idx, imgs))  # parallel lists by construction
+            for chunk_start in range(0, len(ok_pairs), batch):
+                pairs = ok_pairs[chunk_start:chunk_start + batch]
+                chunk = [i for i, _ in pairs]
+                x_np = np.stack([img for _, img in pairs])
+                pad = batch - len(chunk)
+                if pad:
+                    x_np = np.concatenate(
+                        [x_np, np.zeros((pad,) + x_np.shape[1:], np.float32)])
+                out = jax.device_get(service(jnp.asarray(x_np)))
+                probs = out["probs"]
+                for j, i in enumerate(chunk):
+                    row = probs[j]
+                    order = np.argsort(-row)[:topk]
+                    resp = {
+                        "path": paths[i],
+                        "top1": int(order[0]),
+                        "label": (labels[order[0]] if labels and
+                                  order[0] < len(labels) else str(order[0])),
+                        "prob": float(row[order[0]]),
+                        "topk": [[int(c), float(row[c])] for c in order],
+                    }
+                    if "defended_pred" in out:
+                        resp["defended_top1"] = int(out["defended_pred"][j])
+                    if "score" in out:
+                        score = float(out["score"][j])
+                        resp["detector_score"] = score
+                        if args.detector_threshold is not None:
+                            resp["detector_flag"] = bool(
+                                score > float(args.detector_threshold))
+                    responses[i] = resp
+
+        latency_ms = (time.perf_counter() - t0) * 1e3
+        for resp in responses:
+            resp = dict(resp)
+            resp["latency_ms"] = round(latency_ms, 2)
+            resp["batch_size"] = len(paths)
+            print(json.dumps(resp), flush=True)
+
+        if not streaming:
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

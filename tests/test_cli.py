@@ -297,3 +297,36 @@ def test_robust_eval_cli(image_dir, tmp_path, capsys):
     for row in data["results"]:
         assert 0.0 <= row["robust_accuracy"] <= 1.0
         assert row["count"] == 3
+
+
+def test_serve_cli_file_mode(image_dir, tmp_path):
+    """Serving surface: warm compile once, then one JSON line per request
+    with per-request error isolation and detector/defense fields."""
+    import subprocess
+    import sys as _sys
+
+    req = tmp_path / "requests.txt"
+    req.write_text(f"{image_dir / 'img_0.jpg'}\n{image_dir / 'img_1.jpg'}\n"
+                   f"{tmp_path / 'missing.jpg'}\n")
+    env = {"ADV_TPU_PLATFORM": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root"}
+    proc = subprocess.run(
+        [_sys.executable, "-m",
+         "image_recognition_adversarial_example_attack_tpu.cli.serve",
+         "--model", "resnet_tiny", "--batch", "2", "--defend",
+         "--detector", "squeezing", "--detector_threshold", "0.5",
+         "--input", str(req)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines()]
+    assert lines[0]["ready"] is True and lines[0]["batch"] == 2
+    ok = [ln for ln in lines[1:] if "error" not in ln]
+    bad = [ln for ln in lines[1:] if "error" in ln]
+    assert len(ok) == 2 and len(bad) == 1
+    for ln in ok:
+        assert 0.0 <= ln["prob"] <= 1.0 and len(ln["topk"]) == 5
+        assert "defended_top1" in ln and "detector_flag" in ln
+        assert ln["latency_ms"] > 0
+    assert "missing.jpg" in bad[0]["path"]
