@@ -30,8 +30,9 @@ import numpy as np
 
 from ..core.images import list_images, load_image_batch_tolerant
 from ..core.rng import key_from_seed
-from ..train.adversarial import (AdvTrainConfig, make_eval_step,
-                                 make_train_step, make_trades_step,
+from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
+                                 make_eval_step, make_train_step,
+                                 make_trades_step, save_train_checkpoint,
                                  train_state_from_bundle)
 from .common import add_model_args, load_bundle, maybe_profile
 
@@ -66,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="EOT noise draws for the SmoothAdv inner attack")
     parser.add_argument("--out", type=str, default=None,
                         help="output .msgpack (default: weights/<model>_robust.msgpack)")
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="full-state checkpoint file (default: <out>.ckpt)")
+    parser.add_argument("--save_every", type=int, default=1,
+                        help="checkpoint every N epochs (0 disables)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore params+optimizer+epoch from "
+                             "--checkpoint_path and continue")
     add_model_args(parser)
     return parser
 
@@ -120,23 +128,39 @@ def main(argv=None) -> int:
     train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
 
-    key = key_from_seed(args.seed)
+    out = Path(args.out) if args.out else (
+        Path("weights") / f"{args.model}_robust.msgpack")
+    ckpt_path = Path(args.checkpoint_path) if args.checkpoint_path else (
+        out.with_suffix(out.suffix + ".ckpt"))
+
+    start_epoch = 0
+    if args.resume:
+        if ckpt_path.is_file():
+            state, start_epoch = load_train_checkpoint(state, ckpt_path)
+            print(f"Resumed from {ckpt_path}: step={int(state.step)}, "
+                  f"continuing at epoch {start_epoch + 1}")
+        else:
+            print(f"--resume: no checkpoint at {ckpt_path}; starting fresh")
+
+    # epoch-indexed keys + shuffles: a resumed run replays the EXACT
+    # schedule an uninterrupted run would have used
+    key0 = key_from_seed(args.seed)
     batch = min(int(args.batch_size), n)
     steps_per_epoch = max(1, n // batch)
-    rng = np.random.RandomState(0)
 
     with maybe_profile(args.profile_dir):
-        for epoch in range(int(args.epochs)):
-            order = rng.permutation(n)
+        for epoch in range(start_epoch, int(args.epochs)):
+            order = np.random.RandomState(epoch).permutation(n)
+            ek = jax.random.fold_in(key0, epoch)
             t0 = time.perf_counter()
             metrics = {}
             for s in range(steps_per_epoch):
                 idx = order[s * batch:(s + 1) * batch]
                 if len(idx) < batch:  # keep one static batch shape
                     idx = np.concatenate([idx, order[: batch - len(idx)]])
-                key, sub = jax.random.split(key)
                 state, metrics = train_step(
-                    state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]), sub)
+                    state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]),
+                    jax.random.fold_in(ek, s))
             jax.block_until_ready(metrics)
             dt = time.perf_counter() - t0
             ev = eval_step(state, jnp.asarray(x_np[:min(256, n)]),
@@ -146,9 +170,8 @@ def main(argv=None) -> int:
                   f"adv_acc={float(metrics['adv_accuracy']):.3f} "
                   f"clean_acc={float(ev['clean_accuracy']):.3f} "
                   f"({steps_per_epoch * batch / dt:.1f} ex/s)")
-
-    out = Path(args.out) if args.out else (
-        Path("weights") / f"{args.model}_robust.msgpack")
+            if args.save_every and (epoch + 1) % int(args.save_every) == 0:
+                save_train_checkpoint(state, ckpt_path, epoch)
     from ..models.zoo import save_variables
 
     variables = {"params": state.params, **state.extra_variables}

@@ -262,6 +262,54 @@ def make_trades_step(config: AdvTrainConfig,
     return step
 
 
+def save_train_checkpoint(state: TrainState, path, epoch: int) -> None:
+    """Full-state checkpoint (params + optimizer state + step counter) as
+    msgpack — interrupted fine-tuning resumes EXACTLY, not just from the
+    weights (the same checkpoint/resume policy as the sweep harnesses'
+    per-cell JSON, applied to the training subsystem)."""
+    from pathlib import Path
+
+    from flax import serialization
+
+    payload = {
+        "params": state.params,
+        "extra_variables": state.extra_variables,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": jnp.asarray(epoch, jnp.int32),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(serialization.to_bytes(jax.device_get(payload)))
+    tmp.replace(path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def load_train_checkpoint(state: TrainState, path) -> tuple[TrainState, int]:
+    """Restore a checkpoint into a freshly-built TrainState template
+    (tx/apply_fn come from the template; arrays from the file).  Returns
+    ``(state, epoch)`` where ``epoch`` is the NEXT epoch to run."""
+    from pathlib import Path
+
+    from flax import serialization
+
+    template = {
+        "params": state.params,
+        "extra_variables": state.extra_variables,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": jnp.zeros((), jnp.int32),
+    }
+    payload = serialization.from_bytes(template, Path(path).read_bytes())
+    restored = state.replace(
+        params=payload["params"],
+        extra_variables=payload["extra_variables"],
+        opt_state=payload["opt_state"],
+        step=jnp.asarray(payload["step"], jnp.int32),
+    )
+    return restored, int(payload["epoch"]) + 1
+
+
 def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """(state, x01, y) -> {clean_accuracy} (jit/pjit-able)."""
 

@@ -332,3 +332,50 @@ def test_attack_steps_zero_is_pure_cohen_augmentation():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_exact_resume():
+    """Full-state checkpointing: save after k steps, restore into a FRESH
+    template, continue — bitwise-identical to an uninterrupted run (params
+    AND optimizer state round-trip)."""
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+        make_tiny,
+    )
+    from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+        load_train_checkpoint,
+        save_train_checkpoint,
+    )
+    import tempfile
+    from pathlib import Path
+
+    model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+    x, y = _toy_data(n=16)
+    config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=2,
+                            learning_rate=5e-3)
+    step = jax.jit(make_train_step(config))
+    key = jax.random.PRNGKey(0)
+
+    straight = train_state_from_bundle(_Bundle(model, variables), config)
+    for i in range(4):
+        straight, _ = step(straight, x, y, jax.random.fold_in(key, i))
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = Path(d) / "ck.msgpack"
+        part = train_state_from_bundle(_Bundle(model, variables), config)
+        for i in range(2):
+            part, _ = step(part, x, y, jax.random.fold_in(key, i))
+        save_train_checkpoint(part, ckpt, epoch=1)
+
+        fresh = train_state_from_bundle(_Bundle(model, variables), config)
+        resumed, next_epoch = load_train_checkpoint(fresh, ckpt)
+        assert next_epoch == 2
+        assert int(resumed.step) == 2
+        for i in range(2, 4):
+            resumed, _ = step(resumed, x, y, jax.random.fold_in(key, i))
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(straight.opt_state),
+                    jax.tree_util.tree_leaves(resumed.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
