@@ -74,11 +74,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="restore params+optimizer+epoch from "
                              "--checkpoint_path and continue")
+    parser.add_argument("--streaming", action="store_true",
+                        help="decode batches in a background thread instead "
+                             "of loading the whole dataset into RAM "
+                             "(utils/pipeline.py; same shuffle/key schedule "
+                             "as the in-RAM path)")
     add_model_args(parser)
     return parser
 
 
-def _load_dataset(data_dir: Path):
+def _list_dataset(data_dir: Path):
+    """(paths, labels, classes) without decoding anything."""
     classes = sorted(d.name for d in data_dir.iterdir() if d.is_dir())
     if not classes:
         raise SystemExit(f"no class subdirectories under {data_dir}")
@@ -89,6 +95,11 @@ def _load_dataset(data_dir: Path):
             labels.append(label)
     if not paths:
         raise SystemExit(f"no images under {data_dir}/<class>/")
+    return paths, labels, classes
+
+
+def _load_dataset(data_dir: Path):
+    paths, labels, classes = _list_dataset(data_dir)
     x, kept = load_image_batch_tolerant(paths)
     kept_set = {str(p) for p in kept}
     y = np.asarray([l for p, l in zip(paths, labels) if str(p) in kept_set],
@@ -101,10 +112,16 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     data_dir = Path(args.data_dir)
-    x_np, y_np, classes = _load_dataset(data_dir)
-    n = len(y_np)
+    if args.streaming:
+        ds_paths, ds_labels, classes = _list_dataset(data_dir)
+        x_np = y_np = None
+        n = len(ds_paths)
+    else:
+        x_np, y_np, classes = _load_dataset(data_dir)
+        n = len(y_np)
     print(f"Dataset: {n} images, {len(classes)} classes {classes[:8]}"
-          f"{'...' if len(classes) > 8 else ''}")
+          f"{'...' if len(classes) > 8 else ''}"
+          f"{' [streaming]' if args.streaming else ''}")
 
     bundle = load_bundle(args)
     config = AdvTrainConfig(
@@ -148,23 +165,39 @@ def main(argv=None) -> int:
     batch = min(int(args.batch_size), n)
     steps_per_epoch = max(1, n // batch)
 
+    eval_xy = None  # streaming mode evaluates on the last seen batch
     with maybe_profile(args.profile_dir):
         for epoch in range(start_epoch, int(args.epochs)):
-            order = np.random.RandomState(epoch).permutation(n)
             ek = jax.random.fold_in(key0, epoch)
             t0 = time.perf_counter()
             metrics = {}
-            for s in range(steps_per_epoch):
-                idx = order[s * batch:(s + 1) * batch]
-                if len(idx) < batch:  # keep one static batch shape
-                    idx = np.concatenate([idx, order[: batch - len(idx)]])
-                state, metrics = train_step(
-                    state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]),
-                    jax.random.fold_in(ek, s))
+            if args.streaming:
+                from ..utils.pipeline import BatchPipeline
+
+                pipe = BatchPipeline(ds_paths, ds_labels, batch,
+                                     epochs=epoch + 1, start_epoch=epoch)
+                for _, s, xb, yb in pipe:
+                    state, metrics = train_step(
+                        state, jnp.asarray(xb), jnp.asarray(yb),
+                        jax.random.fold_in(ek, s))
+                    eval_xy = (xb, yb)
+            else:
+                order = np.random.RandomState(epoch).permutation(n)
+                for s in range(steps_per_epoch):
+                    idx = order[s * batch:(s + 1) * batch]
+                    if len(idx) < batch:  # keep one static batch shape
+                        idx = np.concatenate([idx, order[: batch - len(idx)]])
+                    state, metrics = train_step(
+                        state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]),
+                        jax.random.fold_in(ek, s))
             jax.block_until_ready(metrics)
             dt = time.perf_counter() - t0
-            ev = eval_step(state, jnp.asarray(x_np[:min(256, n)]),
-                           jnp.asarray(y_np[:min(256, n)]))
+            if args.streaming:
+                ev = eval_step(state, jnp.asarray(eval_xy[0]),
+                               jnp.asarray(eval_xy[1]))
+            else:
+                ev = eval_step(state, jnp.asarray(x_np[:min(256, n)]),
+                               jnp.asarray(y_np[:min(256, n)]))
             print(f"epoch {epoch + 1}/{args.epochs}: "
                   f"loss={float(metrics['loss']):.4f} "
                   f"adv_acc={float(metrics['adv_accuracy']):.3f} "

@@ -1,0 +1,113 @@
+"""Streaming input pipeline: decode the NEXT batch while the device runs.
+
+Production data plane for datasets that do not fit the in-RAM path the
+training CLI defaults to.  A background thread decodes/preprocesses batch
+t+1 (honoring the native C++ loader, core/images.py) while the device
+consumes batch t — the host work hides entirely behind the device step
+whenever decode-time <= step-time (the steady state on a TPU; see
+benchmarks/ROOFLINE.md for the rates).
+
+Design notes (TPU-shaped):
+- STATIC batch shape: short tails are padded by resampling from the same
+  epoch (training-only semantics, standard drop-remainder alternative),
+  so the consumer's compiled program never re-specializes.
+- bounded queue (depth 2): decode can run at most one batch ahead —
+  constant host memory, natural backpressure.
+- deterministic: epoch shuffles come from ``RandomState(epoch)`` and the
+  per-batch PRNG keys from ``fold_in(key, (epoch, step))``, the SAME
+  schedule as the in-RAM path — a streaming run is bitwise-comparable to
+  an in-RAM run over identical data.
+- per-image failure isolation: unreadable files are skipped with a
+  warning (load_image_batch_tolerant); a batch only fails if EVERY image
+  in it is unreadable.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..core.images import IMAGE_SIZE, load_image_batch_tolerant
+
+
+class BatchPipeline:
+    """Iterate (x [B,H,W,3] float32, y [B] int32) with background decode.
+
+    ``paths``/``labels``: parallel sequences for the whole dataset.
+    One pass over ``epochs`` epochs; each epoch reshuffles with
+    ``RandomState(epoch)`` (matching the training CLI's in-RAM schedule).
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str | Path],
+        labels: Sequence[int],
+        batch_size: int,
+        *,
+        size: int = IMAGE_SIZE,
+        epochs: int = 1,
+        start_epoch: int = 0,
+        prefetch: int = 2,
+    ) -> None:
+        if len(paths) != len(labels):
+            raise ValueError(f"{len(paths)} paths vs {len(labels)} labels")
+        if not paths:
+            raise ValueError("empty dataset")
+        self._paths = [str(p) for p in paths]
+        self._labels = np.asarray(labels, np.int32)
+        self._batch = int(batch_size)
+        self._size = int(size)
+        self._epochs = int(epochs)
+        self._start_epoch = int(start_epoch)
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, int(prefetch)))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self._paths) // self._batch)
+
+    def _produce(self) -> None:
+        try:
+            for epoch in range(self._start_epoch, self._epochs):
+                order = np.random.RandomState(epoch).permutation(len(self._paths))
+                for s in range(self.steps_per_epoch):
+                    idx = order[s * self._batch:(s + 1) * self._batch]
+                    if len(idx) < self._batch:  # static shape: resample
+                        idx = np.concatenate(
+                            [idx, order[: self._batch - len(idx)]])
+                    batch_paths = [self._paths[i] for i in idx]
+                    x, kept = load_image_batch_tolerant(batch_paths,
+                                                        size=self._size)
+                    kept_set = {str(p) for p in kept}
+                    y = np.asarray(
+                        [self._labels[i] for i, p in zip(idx, batch_paths)
+                         if p in kept_set], np.int32)
+                    if x.shape[0] < self._batch:
+                        # refill dropped rows by repeating loaded ones —
+                        # keeps the static shape under decode failures
+                        reps = np.resize(np.arange(x.shape[0]),
+                                         self._batch - x.shape[0])
+                        x = np.concatenate([x, x[reps]], axis=0)
+                        y = np.concatenate([y, y[reps]], axis=0)
+                    self._queue.put((epoch, s, x, y))
+            self._queue.put(None)  # end-of-stream sentinel
+        except BaseException as e:  # surface producer crashes to the consumer
+            self._queue.put(e)
+
+    def __iter__(self) -> Iterator[tuple[int, int, np.ndarray, np.ndarray]]:
+        if self._thread is not None:
+            raise RuntimeError("BatchPipeline is single-use; build a new one")
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+        while True:
+            item = self._queue.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        self._thread.join()
