@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.images import load_image
+from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
 from .common import add_model_args, load_bundle, make_fns
 
@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input", type=str, default="-",
                         help="'-' = stdin stream; a file path = serve its "
                              "lines then exit")
+    parser.add_argument("--sharded", action="store_true",
+                        help="shard request batches over a data mesh when "
+                             "multiple devices are visible (batch rounds up "
+                             "to a multiple of the device count)")
     add_model_args(parser)
     return parser
 
@@ -118,11 +122,30 @@ def main(argv=None) -> int:
     labels = load_imagenet_labels()
     service = _make_service_fn(logits_fn, features_fn, args)
 
+    # optional scale-out: shard request batches over the data mesh (the
+    # same contract as bench.py --sharded; XLA partitions the one service
+    # program, zero cross-chip traffic for these per-sample outputs)
+    sharding = None
+    n_dev = len(jax.devices())
+    if args.sharded and n_dev > 1:
+        from ..parallel.mesh import data_sharding, make_mesh
+
+        if batch % n_dev:
+            batch = ((batch // n_dev) + 1) * n_dev
+            print(f"(sharded: batch rounded up to {batch} for {n_dev} devices)",
+                  file=sys.stderr)
+        sharding = data_sharding(make_mesh(n_data=n_dev, n_model=1))
+
+    def place(x_np):
+        x = jnp.asarray(x_np)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
     # warm the one compiled program at the serving shape
     size = 224
-    warm = jnp.zeros((batch, size, size, 3), jnp.float32)
+    warm = place(np.zeros((batch, size, size, 3), np.float32))
     jax.block_until_ready(service(warm))
-    print(json.dumps({"ready": True, "batch": batch,
+    print(json.dumps({"ready": True, "batch": batch, "devices": n_dev,
+                      "sharded": sharding is not None,
                       "device": str(jax.devices()[0])}), flush=True)
 
     if args.input == "-":
@@ -144,17 +167,25 @@ def main(argv=None) -> int:
             break
 
         t0 = time.perf_counter()
-        imgs, ok_idx, errors = [], [], []
-        for i, p in enumerate(paths):
-            try:
-                imgs.append(load_image(p, size=size)[0])
-                ok_idx.append(i)
-            except Exception as e:  # per-request failure isolation
-                errors.append((i, f"{type(e).__name__}: {e}"))
+        # batched decode honoring the native threaded loader
+        # (ADV_TPU_NATIVE_LOADER=1), with per-request failure isolation.
+        # stdout is the JSON protocol stream — the loader's skip warnings
+        # must go to stderr.
+        import contextlib
+
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                x_ok, kept = load_image_batch_tolerant(paths, size=size)
+        except ValueError:  # every path unreadable
+            x_ok, kept = None, []
+        kept_set = {str(Path(p)) for p in kept}
+        ok_idx = [i for i, p in enumerate(paths) if str(Path(p)) in kept_set]
+        imgs = list(x_ok) if x_ok is not None else []
 
         responses: list[dict | None] = [None] * len(paths)
-        for i, err in errors:
-            responses[i] = {"path": paths[i], "error": err}
+        for i, p in enumerate(paths):
+            if i not in ok_idx:
+                responses[i] = {"path": p, "error": "unreadable image"}
 
         if ok_idx:
             ok_pairs = list(zip(ok_idx, imgs))  # parallel lists by construction
@@ -166,7 +197,7 @@ def main(argv=None) -> int:
                 if pad:
                     x_np = np.concatenate(
                         [x_np, np.zeros((pad,) + x_np.shape[1:], np.float32)])
-                out = jax.device_get(service(jnp.asarray(x_np)))
+                out = jax.device_get(service(place(x_np)))
                 probs = out["probs"]
                 for j, i in enumerate(chunk):
                     row = probs[j]

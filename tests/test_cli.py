@@ -330,3 +330,29 @@ def test_serve_cli_file_mode(image_dir, tmp_path):
         assert "defended_top1" in ln and "detector_flag" in ln
         assert ln["latency_ms"] > 0
     assert "missing.jpg" in bad[0]["path"]
+
+
+def test_serve_cli_sharded_virtual_mesh(image_dir, tmp_path):
+    """--sharded on an 8-virtual-device CPU mesh: batch rounds up to the
+    device count and the JSON protocol stays clean."""
+    import subprocess
+    import sys as _sys
+
+    req = tmp_path / "requests.txt"
+    req.write_text(f"{image_dir / 'img_0.jpg'}\n{image_dir / 'img_1.jpg'}\n")
+    env = {"ADV_TPU_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    proc = subprocess.run(
+        [_sys.executable, "-m",
+         "image_recognition_adversarial_example_attack_tpu.cli.serve",
+         "--model", "resnet_tiny", "--batch", "6", "--sharded",
+         "--input", str(req)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines()]
+    assert lines[0]["sharded"] is True
+    assert lines[0]["devices"] == 8
+    assert lines[0]["batch"] == 8  # rounded up from 6
+    assert len(lines) == 3 and all("top1" in ln for ln in lines[1:])
