@@ -116,9 +116,18 @@ def main(argv=None) -> int:
         ds_paths, ds_labels, classes = _list_dataset(data_dir)
         x_np = y_np = None
         n = len(ds_paths)
+        # fixed held-slice for the epoch metric (decoded once, bounded RAM)
+        # so streaming logs stay comparable to in-RAM runs
+        eval_x, eval_kept = load_image_batch_tolerant(ds_paths[: min(256, n)])
+        kept_set = {str(Path(p)) for p in eval_kept}
+        eval_y = np.asarray(
+            [l for p, l in zip(ds_paths[: min(256, n)],
+                               ds_labels[: min(256, n)])
+             if str(Path(p)) in kept_set], np.int32)
     else:
         x_np, y_np, classes = _load_dataset(data_dir)
         n = len(y_np)
+        eval_x, eval_y = x_np[: min(256, n)], y_np[: min(256, n)]
     print(f"Dataset: {n} images, {len(classes)} classes {classes[:8]}"
           f"{'...' if len(classes) > 8 else ''}"
           f"{' [streaming]' if args.streaming else ''}")
@@ -165,23 +174,50 @@ def main(argv=None) -> int:
     batch = min(int(args.batch_size), n)
     steps_per_epoch = max(1, n // batch)
 
-    eval_xy = None  # streaming mode evaluates on the last seen batch
+    def end_epoch(epoch, metrics, dt):
+        """Per-epoch metric line + checkpoint (shared by both data paths).
+        clean_acc comes from the SAME fixed held slice in both modes."""
+        nonlocal state
+        ev = eval_step(state, jnp.asarray(eval_x), jnp.asarray(eval_y))
+        print(f"epoch {epoch + 1}/{args.epochs}: "
+              f"loss={float(metrics['loss']):.4f} "
+              f"adv_acc={float(metrics['adv_accuracy']):.3f} "
+              f"clean_acc={float(ev['clean_accuracy']):.3f} "
+              f"({steps_per_epoch * batch / dt:.1f} ex/s)")
+        if args.save_every and (epoch + 1) % int(args.save_every) == 0:
+            save_train_checkpoint(state, ckpt_path, epoch)
+
     with maybe_profile(args.profile_dir):
-        for epoch in range(start_epoch, int(args.epochs)):
-            ek = jax.random.fold_in(key0, epoch)
+        if args.streaming:
+            # ONE pipeline across every remaining epoch: decode of epoch
+            # e+1's first batch overlaps epoch e's last device step
+            from ..utils.pipeline import BatchPipeline
+
+            pipe = BatchPipeline(ds_paths, ds_labels, batch,
+                                 epochs=int(args.epochs),
+                                 start_epoch=start_epoch)
+            cur_epoch, ek = None, None
             t0 = time.perf_counter()
             metrics = {}
-            if args.streaming:
-                from ..utils.pipeline import BatchPipeline
-
-                pipe = BatchPipeline(ds_paths, ds_labels, batch,
-                                     epochs=epoch + 1, start_epoch=epoch)
-                for _, s, xb, yb in pipe:
-                    state, metrics = train_step(
-                        state, jnp.asarray(xb), jnp.asarray(yb),
-                        jax.random.fold_in(ek, s))
-                    eval_xy = (xb, yb)
-            else:
+            for epoch, s, xb, yb in pipe:
+                if epoch != cur_epoch:
+                    if cur_epoch is not None:
+                        jax.block_until_ready(metrics)
+                        end_epoch(cur_epoch, metrics, time.perf_counter() - t0)
+                        t0 = time.perf_counter()
+                    cur_epoch = epoch
+                    ek = jax.random.fold_in(key0, epoch)
+                state, metrics = train_step(
+                    state, jnp.asarray(xb), jnp.asarray(yb),
+                    jax.random.fold_in(ek, s))
+            if cur_epoch is not None:
+                jax.block_until_ready(metrics)
+                end_epoch(cur_epoch, metrics, time.perf_counter() - t0)
+        else:
+            for epoch in range(start_epoch, int(args.epochs)):
+                ek = jax.random.fold_in(key0, epoch)
+                t0 = time.perf_counter()
+                metrics = {}
                 order = np.random.RandomState(epoch).permutation(n)
                 for s in range(steps_per_epoch):
                     idx = order[s * batch:(s + 1) * batch]
@@ -190,21 +226,8 @@ def main(argv=None) -> int:
                     state, metrics = train_step(
                         state, jnp.asarray(x_np[idx]), jnp.asarray(y_np[idx]),
                         jax.random.fold_in(ek, s))
-            jax.block_until_ready(metrics)
-            dt = time.perf_counter() - t0
-            if args.streaming:
-                ev = eval_step(state, jnp.asarray(eval_xy[0]),
-                               jnp.asarray(eval_xy[1]))
-            else:
-                ev = eval_step(state, jnp.asarray(x_np[:min(256, n)]),
-                               jnp.asarray(y_np[:min(256, n)]))
-            print(f"epoch {epoch + 1}/{args.epochs}: "
-                  f"loss={float(metrics['loss']):.4f} "
-                  f"adv_acc={float(metrics['adv_accuracy']):.3f} "
-                  f"clean_acc={float(ev['clean_accuracy']):.3f} "
-                  f"({steps_per_epoch * batch / dt:.1f} ex/s)")
-            if args.save_every and (epoch + 1) % int(args.save_every) == 0:
-                save_train_checkpoint(state, ckpt_path, epoch)
+                jax.block_until_ready(metrics)
+                end_epoch(epoch, metrics, time.perf_counter() - t0)
     from ..models.zoo import save_variables
 
     variables = {"params": state.params, **state.extra_variables}

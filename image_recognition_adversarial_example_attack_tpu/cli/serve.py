@@ -176,16 +176,33 @@ def main(argv=None) -> int:
         try:
             with contextlib.redirect_stdout(sys.stderr):
                 x_ok, kept = load_image_batch_tolerant(paths, size=size)
-        except ValueError:  # every path unreadable
+        except Exception as e:  # noqa: BLE001 — the service must NEVER die
+            # on a request batch (every-path-unreadable ValueError, a broken
+            # native loader, anything); fall through to per-path retries
+            # which harvest the real per-request error text
+            print(f"batched decode failed, retrying per path: {e}",
+                  file=sys.stderr)
             x_ok, kept = None, []
         kept_set = {str(Path(p)) for p in kept}
         ok_idx = [i for i, p in enumerate(paths) if str(Path(p)) in kept_set]
+        ok_set = set(ok_idx)
         imgs = list(x_ok) if x_ok is not None else []
 
         responses: list[dict | None] = [None] * len(paths)
         for i, p in enumerate(paths):
-            if i not in ok_idx:
-                responses[i] = {"path": p, "error": "unreadable image"}
+            if i in ok_set:
+                continue
+            # failed in the batched pass: retry individually to harvest a
+            # specific error message (failures are rare, so the extra
+            # decode attempt is cheap); a surprise success joins the batch
+            try:
+                from ..core.images import load_image
+
+                imgs.append(load_image(p, size=size)[0])
+                ok_idx.append(i)
+                ok_set.add(i)
+            except Exception as e:  # per-request failure isolation
+                responses[i] = {"path": p, "error": f"{type(e).__name__}: {e}"}
 
         if ok_idx:
             ok_pairs = list(zip(ok_idx, imgs))  # parallel lists by construction

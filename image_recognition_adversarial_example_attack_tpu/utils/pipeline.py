@@ -13,10 +13,13 @@ Design notes (TPU-shaped):
   so the consumer's compiled program never re-specializes.
 - bounded queue (depth 2): decode can run at most one batch ahead —
   constant host memory, natural backpressure.
-- deterministic: epoch shuffles come from ``RandomState(epoch)`` and the
-  per-batch PRNG keys from ``fold_in(key, (epoch, step))``, the SAME
-  schedule as the in-RAM path — a streaming run is bitwise-comparable to
-  an in-RAM run over identical data.
+- deterministic: epoch shuffles come from ``RandomState(epoch)``; the
+  consumer derives per-batch PRNG keys from the yielded (epoch, step)
+  tags — the training CLI uses ``fold_in(fold_in(key0, epoch), step)``,
+  the SAME schedule as its in-RAM path, so a streaming run is
+  bitwise-comparable to an in-RAM run WHEN every listed image decodes
+  (the in-RAM path shuffles over decoded images, this pipeline over
+  listed paths; a decode failure makes the two index sets differ).
 - per-image failure isolation: unreadable files are skipped with a
   warning (load_image_batch_tolerant); a batch only fails if EVERY image
   in it is unreadable.
@@ -65,6 +68,7 @@ class BatchPipeline:
         self._start_epoch = int(start_epoch)
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, int(prefetch)))
         self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
 
     @property
     def steps_per_epoch(self) -> int:
@@ -82,10 +86,12 @@ class BatchPipeline:
                     batch_paths = [self._paths[i] for i in idx]
                     x, kept = load_image_batch_tolerant(batch_paths,
                                                         size=self._size)
-                    kept_set = {str(p) for p in kept}
+                    # normalize BOTH sides: kept holds Path-normalized
+                    # entries, batch_paths raw strings ("./a.jpg" != "a.jpg")
+                    kept_set = {str(Path(p)) for p in kept}
                     y = np.asarray(
                         [self._labels[i] for i, p in zip(idx, batch_paths)
-                         if p in kept_set], np.int32)
+                         if str(Path(p)) in kept_set], np.int32)
                     if x.shape[0] < self._batch:
                         # refill dropped rows by repeating loaded ones —
                         # keeps the static shape under decode failures
@@ -93,21 +99,39 @@ class BatchPipeline:
                                          self._batch - x.shape[0])
                         x = np.concatenate([x, x[reps]], axis=0)
                         y = np.concatenate([y, y[reps]], axis=0)
-                    self._queue.put((epoch, s, x, y))
-            self._queue.put(None)  # end-of-stream sentinel
+                    if not self._put((epoch, s, x, y)):
+                        return  # consumer abandoned iteration
+            self._put(None)  # end-of-stream sentinel
         except BaseException as e:  # surface producer crashes to the consumer
-            self._queue.put(e)
+            self._put(e)
+
+    def _put(self, item) -> bool:
+        """put() that gives up when the consumer signalled shutdown — an
+        abandoned iteration must not leave the producer blocked forever on
+        a full bounded queue."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def __iter__(self) -> Iterator[tuple[int, int, np.ndarray, np.ndarray]]:
         if self._thread is not None:
             raise RuntimeError("BatchPipeline is single-use; build a new one")
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
-        while True:
-            item = self._queue.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        self._thread.join()
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # normal exit, consumer exception, or generator close(): stop
+            # the producer and reap the thread either way
+            self._stop.set()
+            self._thread.join(timeout=30.0)
