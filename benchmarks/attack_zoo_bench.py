@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--attacks", nargs="+",
                     default=["fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim",
                              "apgd", "cw", "square", "deepfool", "nes",
-                             "spsa", "hsja"])
+                             "spsa", "hsja", "ead"])
     args = ap.parse_args()
 
     from image_recognition_adversarial_example_attack_tpu.attacks import (
@@ -84,6 +84,7 @@ def main() -> None:
                            1 if name == "fgsm" else
                            params.deepfool_steps if name == "deepfool" else
                            params.hsja_steps if name == "hsja" else
+                           params.cw_steps if name == "ead" else
                            params.steps),
             }))
         except Exception as e:

@@ -13,5 +13,6 @@ from .square import square_attack
 from .deepfool import deepfool_attack
 from .grad_est import nes_attack, spsa_attack
 from .hsja import hsja_attack
+from .ead import EADResult, ead_attack
 from .eot import (gaussian_noise_transform, make_eot_logits_fn,
                   universal_perturbation)

@@ -109,6 +109,8 @@ class AttackParams:
     # HSJA decision-based budgets (outer iterations / probes per estimate)
     hsja_steps: int = 10
     hsja_probes: int = 32
+    # EAD elastic-net L1 weight (shares c/kappa/steps/lr with CW)
+    ead_beta: float = 1e-3
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -162,14 +164,15 @@ def run_attack(
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'square' | 'deepfool' | 'nes' | 'spsa' | 'hsja'
-    -> x_adv in [0,1].
+    | 'ead' -> x_adv in [0,1].
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
     'deepfool' (minimal-L2, attacks the model's own prediction),
     'nes'/'spsa' (query-based gradient estimation), 'hsja' (decision-based:
-    hard labels only), and the ``y_target`` targeted modes for
-    fgsm/pgd/mifgsm/dim/tim/nes/spsa are beyond-reference extensions; they
+    hard labels only), 'ead' (elastic-net L1; shares the cw_* budget
+    params plus ead_beta), and the ``y_target`` targeted modes for
+    fgsm/pgd/mifgsm/dim/tim/nes/spsa/ead are beyond-reference extensions; they
     plug into every harness accepting an attack name.  'apgd', 'square',
     'deepfool' and 'hsja' are untargeted-only and reject ``y_target``.
     """
@@ -282,6 +285,16 @@ def run_attack(
             key=key,
             y_target=y_target,
         )
+    if attack_name == "ead":
+        from .ead import ead_attack
+
+        res = ead_attack(
+            logits_fn, x, y_true,
+            c=params.cw_c, kappa=params.cw_kappa, beta=params.ead_beta,
+            steps=params.cw_steps, lr=params.cw_lr,
+            targeted=y_target is not None, y_target=y_target,
+        )
+        return res.x_adv
     if attack_name == "cw":
         res = cw_l2_attack(
             logits_fn,

@@ -56,7 +56,7 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
 
 def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
     """Flags for the beyond-reference attack families every CLI dispatches to
-    (deepfool / nes / spsa / hsja); defaults match AttackParams."""
+    (deepfool / nes / spsa / hsja / ead); defaults match AttackParams."""
     parser.add_argument("--deepfool_steps", type=int, default=50,
                         help="deepfool max iterations")
     parser.add_argument("--deepfool_classes", type=int, default=10,
@@ -73,6 +73,8 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
                         help="hsja outer boundary-walk iterations")
     parser.add_argument("--hsja_probes", type=int, default=32,
                         help="hsja decision queries per normal estimate")
+    parser.add_argument("--ead_beta", type=float, default=1e-3,
+                        help="ead elastic-net L1 weight (shares cw_* budgets)")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -86,6 +88,7 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "spsa_delta": float(args.spsa_delta),
         "hsja_steps": int(args.hsja_steps),
         "hsja_probes": int(args.hsja_probes),
+        "ead_beta": float(args.ead_beta),
     }
 
 

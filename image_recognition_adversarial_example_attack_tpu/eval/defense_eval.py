@@ -58,6 +58,7 @@ class DefenseEvalConfig:
     spsa_delta: float = 1e-2
     hsja_steps: int = 10
     hsja_probes: int = 32
+    ead_beta: float = 1e-3
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency (beyond-reference)
     detector: str = "feature"
@@ -81,6 +82,7 @@ class DefenseEvalConfig:
             spsa_delta=self.spsa_delta,
             hsja_steps=self.hsja_steps,
             hsja_probes=self.hsja_probes,
+            ead_beta=self.ead_beta,
         )
 
 

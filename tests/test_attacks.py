@@ -952,3 +952,74 @@ class TestSmoothingChunkGuard:
         # matching chunk is accepted
         SmoothedClassifier(tiny_logits_fn, SmoothingConfig(chunk=8),
                            counts_fn=fn8)
+
+
+class TestEAD:
+    def test_succeeds_and_is_sparser_than_cw(self, tiny_logits_fn, image_batch):
+        """Elastic-net regularization must zero out pixels CW perturbs."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            cw_l2_attack,
+            ead_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        res = jax.jit(
+            lambda x, y: ead_attack(tiny_logits_fn, x, y, c=50.0, beta=5e-3,
+                                    steps=150, lr=0.05)
+        )(x, y)
+        assert bool(jnp.all(res.success))
+        assert bool(jnp.all(_labels(tiny_logits_fn, res.x_adv) != y))
+        assert float(res.x_adv.min()) >= 0.0 and float(res.x_adv.max()) <= 1.0
+        d_ead = np.abs(np.asarray(res.x_adv - x))
+        res_cw = cw_l2_attack(tiny_logits_fn, x, y, c=50.0, steps=150, lr=0.05)
+        d_cw = np.abs(np.asarray(res_cw.x_adv - x))
+        # sparsity: EAD leaves a substantial fraction of pixels untouched
+        assert (d_ead < 1e-6).mean() > 0.2
+        assert (d_ead < 1e-6).mean() > (d_cw < 1e-6).mean()
+
+    def test_beta_increases_sparsity(self, tiny_logits_fn, image_batch):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            ead_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        nnz = []
+        for beta in (1e-3, 5e-3):
+            res = ead_attack(tiny_logits_fn, x, y, c=100.0, beta=beta,
+                             steps=150, lr=0.1)
+            assert bool(jnp.all(res.success))
+            nnz.append(float((np.abs(np.asarray(res.x_adv - x)) > 1e-6).mean()))
+        assert nnz[1] < nnz[0]
+
+    def test_shrinkage_operator(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks.ead import (
+            _shrink,
+        )
+
+        x0 = jnp.full((1, 2, 2, 1), 0.5, jnp.float32)
+        z = jnp.asarray([0.9, 0.52, 0.48, 0.1], jnp.float32).reshape(1, 2, 2, 1)
+        out = np.asarray(_shrink(z, x0, beta=0.1)).ravel()
+        np.testing.assert_allclose(out, [0.8, 0.5, 0.5, 0.2], atol=1e-7)
+        # clipping rails
+        z2 = jnp.asarray([1.5, -0.5, 0.5, 0.5], jnp.float32).reshape(1, 2, 2, 1)
+        out2 = np.asarray(_shrink(z2, x0, beta=0.1)).ravel()
+        assert out2[0] <= 1.0 and out2[1] >= 0.0
+
+    def test_dispatch_and_targeted(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        params = AttackParams(cw_c=50.0, cw_steps=60, cw_lr=0.05, ead_beta=1e-3)
+        x_adv = run_attack("ead", tiny_logits_fn, x, y, params, rng_key)
+        assert x_adv.shape == x.shape
+        # targeted mode pushes toward the target class
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            ead_attack,
+        )
+
+        y_t = (y + 3) % 8
+        res = ead_attack(tiny_logits_fn, x, y, c=100.0, beta=1e-3, steps=200,
+                         lr=0.1, targeted=True, y_target=y_t)
+        hit = np.asarray(_labels(tiny_logits_fn, res.x_adv) == y_t)
+        assert hit.mean() >= 0.5

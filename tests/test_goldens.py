@@ -27,6 +27,7 @@ def _generate():
         cw_l2_attack,
         deepfool_attack,
         dim_attack,
+        ead_attack,
         fgsm_attack,
         hsja_attack,
         make_logits_fn,
@@ -75,6 +76,8 @@ def _generate():
                                 key=key, n_samples=8),
         "adv_hsja": hsja_attack(lf, x, y, steps=3, n_probes=8,
                                 init_trials=8, key=key),
+        "adv_ead": ead_attack(lf, x, y, c=50.0, beta=1e-3, steps=60,
+                              lr=0.05).x_adv,
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
