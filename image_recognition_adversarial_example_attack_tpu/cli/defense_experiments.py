@@ -205,7 +205,7 @@ def main(argv=None) -> int:
 
     timer = PhaseTimer(verbose=False)
     key = key_from_seed(args.seed)
-    # CW and DeepFool never read eps (L2-minimal attacks) and take no
+    # CW, DeepFool and EAD never read eps (L2-minimal attacks) and take no
     # random start, so their grid cells are identical across the eps sweep:
     # compute once, reuse (cost-only optimization — see PARITY.md C17)
     eps_independent_cache: dict[str, dict] = {}
@@ -263,7 +263,7 @@ def main(argv=None) -> int:
                 stats = aggregate_stats(out, n_valid=n)
                 print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
                 results[(attack_name, float(eps))] = stats
-                if attack_name in ("cw", "deepfool"):
+                if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = stats
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)

@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--square_steps", type=int, default=1000)
     parser.add_argument("--deepfool_steps", type=int, default=30)
     parser.add_argument("--output", type=str, default="robust_eval.json")
+    parser.add_argument("--plot", type=str, default=None,
+                        help="write the robust-accuracy-vs-eps figure here")
     add_model_args(parser)
     return parser
 
@@ -108,6 +110,11 @@ def main(argv=None) -> int:
         "results": rows,
     }, indent=2))
     print(f"Wrote {out}")
+    if args.plot:
+        from ..viz.plots import plot_robust_accuracy
+
+        plot_robust_accuracy(rows, Path(args.plot))
+        print(f"Wrote {args.plot}")
     return 0
 
 

@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     # all_results[attack][eps] = {"source_success": rate-relevant list,
     #                             "transfer_success": {model: list}}
     all_results: dict = {}
-    # CW and DeepFool never read eps and take no random start: identical
+    # CW, DeepFool and EAD never read eps and take no random start: identical
     # cells across the eps sweep — compute once, reuse
     eps_independent_cache: dict = {}
     # eps is a traced runtime scalar: ONE compiled program per attack
@@ -164,7 +164,7 @@ def main(argv=None) -> int:
                     },
                 }
                 all_results[attack_name][float(eps)] = cell_record
-                if attack_name in ("cw", "deepfool"):
+                if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = cell_record
                 print(f"    Source model ASR: {src_vec.mean():.3f}")
                 for name, v in cell.target_success.items():

@@ -446,3 +446,46 @@ def plot_certified_accuracy(curves: Sequence[Mapping], out_path: Path) -> None:
     fig.tight_layout()
     fig.savefig(out_path, dpi=_DPI)
     plt.close(fig)
+
+
+def plot_robust_accuracy(rows: Sequence[Mapping], out_path: Path) -> None:
+    """Worst-case robust accuracy vs eps (the AutoAttack-lite protocol,
+    eval/robust_eval.py).  ``rows``: [{"eps", "robust_accuracy",
+    "success_apgd"/"success_square"/"success_deepfool", "count"}, ...].
+
+    One chart, one axis: the headline robust-accuracy curve plus the
+    per-arm success rates as context series (arm identity keeps the fixed
+    attack palette slots; robust accuracy itself is neutral dark ink —
+    it is the aggregate, not an attack)."""
+    out_path = Path(out_path)
+    _ensure_dir(out_path)
+    rows = sorted(rows, key=lambda r: float(r["eps"]))
+    eps = [float(r["eps"]) for r in rows]
+    acc = [float(r["robust_accuracy"]) for r in rows]
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(eps, acc, color="#2b2a27", linewidth=2.5, marker="o",
+            markersize=7, label="robust accuracy", zorder=3)
+    # distinct dash patterns keep coincident curves readable (two arms at
+    # success rate 1.0 would otherwise hide one another completely)
+    arm_slots = {"apgd": ("APGD", "solid"),
+                 "square": ("SQUARE", (0, (4, 2))),
+                 "deepfool": ("DEEPFOOL", (0, (1, 2)))}
+    for fb, (arm, (slot_name, dashes)) in enumerate(arm_slots.items()):
+        key = f"success_{arm}"
+        if key not in rows[0]:
+            continue
+        rate = [float(r[key]) / max(1, int(r["count"])) for r in rows]
+        style = _attack_style(slot_name, fallback_idx=fb)
+        ax.plot(eps, rate, linewidth=2, alpha=0.85, linestyle=dashes,
+                label=f"{arm} success", **style)
+    ax.set_xlabel("eps (L∞)", **_LABEL)
+    ax.set_ylabel("rate", **_LABEL)
+    ax.set_title("Worst-case robust accuracy (APGD + Square + DeepFool)",
+                 **_TITLE)
+    ax.set_ylim(-0.02, 1.02)
+    ax.grid(**_GRID)
+    ax.legend(frameon=False, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=_DPI)
+    plt.close(fig)

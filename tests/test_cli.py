@@ -285,10 +285,11 @@ def test_robust_eval_cli(image_dir, tmp_path, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import main
 
     out = tmp_path / "robust.json"
+    fig = tmp_path / "robust_acc.png"
     rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
                "--eps_list", "0.01569", "0.03137", "--apgd_steps", "3",
                "--square_steps", "5", "--deepfool_steps", "3",
-               "--output", str(out)])
+               "--plot", str(fig), "--output", str(out)])
     assert rc == 0
     text = capsys.readouterr().out
     assert text.count("robust_acc=") == 2
@@ -297,6 +298,7 @@ def test_robust_eval_cli(image_dir, tmp_path, capsys):
     for row in data["results"]:
         assert 0.0 <= row["robust_accuracy"] <= 1.0
         assert row["count"] == 3
+    assert fig.is_file()
 
 
 def test_serve_cli_file_mode(image_dir, tmp_path):
