@@ -109,8 +109,14 @@ class AttackParams:
     # HSJA decision-based budgets (outer iterations / probes per estimate)
     hsja_steps: int = 10
     hsja_probes: int = 32
-    # EAD elastic-net L1 weight (shares c/kappa/steps/lr with CW)
+    # EAD elastic-net budgets.  NOT shared with CW's c/lr: CW's Adam
+    # normalizes step sizes so c=1, lr=0.01 works there, but EAD's raw-
+    # gradient FISTA steps need lr*c*|grad| to clear the beta threshold
+    # or the shrinkage returns every pixel to x0 (see attacks/ead.py) —
+    # these defaults sit in the measured working regime at steps=100
     ead_beta: float = 1e-3
+    ead_c: float = 50.0
+    ead_lr: float = 0.05
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -170,8 +176,9 @@ def run_attack(
     'square' (gradient-free black-box; budget = params.square_steps),
     'deepfool' (minimal-L2, attacks the model's own prediction),
     'nes'/'spsa' (query-based gradient estimation), 'hsja' (decision-based:
-    hard labels only), 'ead' (elastic-net L1; shares the cw_* budget
-    params plus ead_beta), and the ``y_target`` targeted modes for
+    hard labels only), 'ead' (elastic-net L1; cw_steps/cw_kappa budgets
+    with its own ead_c/ead_lr/ead_beta — FISTA needs larger steps than
+    CW's Adam), and the ``y_target`` targeted modes for
     fgsm/pgd/mifgsm/dim/tim/nes/spsa/ead are beyond-reference extensions; they
     plug into every harness accepting an attack name.  'apgd', 'square',
     'deepfool' and 'hsja' are untargeted-only and reject ``y_target``.
@@ -290,8 +297,8 @@ def run_attack(
 
         res = ead_attack(
             logits_fn, x, y_true,
-            c=params.cw_c, kappa=params.cw_kappa, beta=params.ead_beta,
-            steps=params.cw_steps, lr=params.cw_lr,
+            c=params.ead_c, kappa=params.cw_kappa, beta=params.ead_beta,
+            steps=params.cw_steps, lr=params.ead_lr,
             targeted=y_target is not None, y_target=y_target,
         )
         return res.x_adv

@@ -74,7 +74,12 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--hsja_probes", type=int, default=32,
                         help="hsja decision queries per normal estimate")
     parser.add_argument("--ead_beta", type=float, default=1e-3,
-                        help="ead elastic-net L1 weight (shares cw_* budgets)")
+                        help="ead elastic-net L1 weight")
+    parser.add_argument("--ead_c", type=float, default=50.0,
+                        help="ead margin-loss weight (FISTA needs larger "
+                             "c than CW's Adam — see attacks/ead.py)")
+    parser.add_argument("--ead_lr", type=float, default=0.05,
+                        help="ead FISTA step size")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -89,6 +94,8 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "hsja_steps": int(args.hsja_steps),
         "hsja_probes": int(args.hsja_probes),
         "ead_beta": float(args.ead_beta),
+        "ead_c": float(args.ead_c),
+        "ead_lr": float(args.ead_lr),
     }
 
 

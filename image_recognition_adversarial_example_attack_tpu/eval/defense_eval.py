@@ -59,6 +59,8 @@ class DefenseEvalConfig:
     hsja_steps: int = 10
     hsja_probes: int = 32
     ead_beta: float = 1e-3
+    ead_c: float = 50.0
+    ead_lr: float = 0.05
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency (beyond-reference)
     detector: str = "feature"
@@ -83,6 +85,8 @@ class DefenseEvalConfig:
             hsja_steps=self.hsja_steps,
             hsja_probes=self.hsja_probes,
             ead_beta=self.ead_beta,
+            ead_c=self.ead_c,
+            ead_lr=self.ead_lr,
         )
 
 

@@ -457,6 +457,8 @@ def plot_robust_accuracy(rows: Sequence[Mapping], out_path: Path) -> None:
     per-arm success rates as context series (arm identity keeps the fixed
     attack palette slots; robust accuracy itself is neutral dark ink —
     it is the aggregate, not an attack)."""
+    if not rows:
+        raise ValueError("plot_robust_accuracy: empty rows")
     out_path = Path(out_path)
     _ensure_dir(out_path)
     rows = sorted(rows, key=lambda r: float(r["eps"]))

@@ -1023,3 +1023,16 @@ class TestEAD:
                          lr=0.1, targeted=True, y_target=y_t)
         hit = np.asarray(_labels(tiny_logits_fn, res.x_adv) == y_t)
         assert hit.mean() >= 0.5
+
+
+def test_ead_default_dispatch_regime_succeeds(tiny_logits_fn, image_batch, rng_key):
+    """Regression: run_attack('ead') with DEFAULT AttackParams must actually
+    attack.  EAD initially shared CW's Adam-tuned c/lr, under which FISTA's
+    raw-gradient steps fell below the shrinkage threshold and the attack
+    silently stalled at zero perturbation (review finding)."""
+    x = jnp.asarray(image_batch)
+    y = _labels(tiny_logits_fn, x)
+    x_adv = run_attack("ead", tiny_logits_fn, x, y, AttackParams(), rng_key)
+    fooled = float(jnp.mean(_labels(tiny_logits_fn, x_adv) != y))
+    assert fooled >= 0.75
+    assert float(jnp.max(jnp.abs(x_adv - x))) > 1e-4  # it actually moved
