@@ -29,7 +29,7 @@ from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
 from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs)
+                     resolve_image_inputs, resolve_labels)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write the certified-accuracy-vs-radius figure "
                              "here (accuracy vs the base model's clean "
                              "pseudo-labels, the harness convention)")
+    parser.add_argument("--labels_json", type=str, default=None,
+                        help="JSON {path-or-basename: class id} ground-truth "
+                             "labels for certified ACCURACY; default = the "
+                             "base model's clean predictions")
     parser.add_argument("--output", type=str, default="certify_results.json")
     add_model_args(parser)
     return parser
@@ -89,6 +93,7 @@ def main(argv=None) -> int:
     with maybe_profile(args.profile_dir):
         base_pred = jax.device_get(
             jax.jit(lambda xx: jnp.argmax(logits_fn(xx), axis=-1))(x))
+        y_eval = resolve_labels(args.labels_json, kept, base_pred)
         for si, sigma in enumerate(sigmas):
             config = SmoothingConfig(
                 sigma=sigma, n0=int(args.n0), n=int(args.n),
@@ -121,9 +126,9 @@ def main(argv=None) -> int:
             curves.append({
                 "sigma": sigma,
                 "radii": np.asarray(radii),
-                # harness convention: the base model's clean predictions
-                # serve as pseudo-labels (defense_experiments.py does the same)
-                "correct": np.asarray(classes) == np.asarray(base_pred),
+                # ground truth when --labels_json is given, else the base
+                # model's clean predictions (the harness convention)
+                "correct": np.asarray(classes) == np.asarray(y_eval),
             })
 
     out = Path(args.output)

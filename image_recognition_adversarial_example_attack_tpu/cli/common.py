@@ -180,6 +180,41 @@ def resolve_image_inputs(image_dir: str | None, image: str,
     return [p]
 
 
+def resolve_labels(labels_json: str | None, paths, pseudo) -> "np.ndarray":
+    """Evaluation labels: ground truth from a JSON mapping when given,
+    else the model's clean predictions (the air-gapped pseudo-label
+    convention every harness uses).
+
+    The JSON maps image path OR basename -> integer class id.  Entries are
+    matched per path (basename fallback); missing entries fall back to
+    that image's pseudo-label with a warning, so a partial label file
+    still evaluates.
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    pseudo = np.asarray(pseudo)
+    if not labels_json:
+        return pseudo
+    table = _json.loads(_Path(labels_json).read_text())
+    out = pseudo.copy()
+    missing = []
+    for i, p in enumerate(paths):
+        key = str(p)
+        base = _Path(p).name
+        if key in table:
+            out[i] = int(table[key])
+        elif base in table:
+            out[i] = int(table[base])
+        else:
+            missing.append(base)
+    if missing:
+        print(f"WARNING: no label for {len(missing)} image(s) "
+              f"({missing[:3]}{'...' if len(missing) > 3 else ''}); "
+              "using pseudo-labels for those")
+    return out
+
+
 def maybe_profile(profile_dir: str | None):
     """Context manager: jax.profiler.trace when a dir is given, else no-op."""
     import contextlib

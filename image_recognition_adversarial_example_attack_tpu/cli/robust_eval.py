@@ -31,7 +31,7 @@ from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack_lite
 from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs)
+                     resolve_image_inputs, resolve_labels)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--apgd_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000)
     parser.add_argument("--deepfool_steps", type=int, default=30)
+    parser.add_argument("--labels_json", type=str, default=None,
+                        help="JSON {path-or-basename: class id} ground-truth "
+                             "labels; default = pseudo-labels (clean preds)")
     parser.add_argument("--output", type=str, default="robust_eval.json")
     parser.add_argument("--plot", type=str, default=None,
                         help="write the robust-accuracy-vs-eps figure here")
@@ -64,7 +67,11 @@ def main(argv=None) -> int:
     logits_fn, _ = make_fns(bundle)
 
     x = jnp.asarray(x_np)
-    y = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))(x)  # pseudo-labels
+    pseudo = jax.device_get(jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))(x))
+    y = jnp.asarray(resolve_labels(args.labels_json, kept, pseudo))
+    clean_correct = pseudo == np.asarray(y)
+    if args.labels_json:
+        print(f"clean accuracy vs ground truth: {clean_correct.mean():.3f}")
 
     @jax.jit
     def run(x, y, key, eps):
@@ -89,7 +96,10 @@ def main(argv=None) -> int:
             succ, s_apgd, s_sq, s_df = jax.device_get(
                 run(x, y, sub, jnp.float32(eps)))
             dt = time.perf_counter() - t0
-            robust_acc = 1.0 - float(np.mean(succ))
+            # robust accuracy over the clean-correct subset (the standard
+            # protocol; with pseudo-labels every sample is clean-correct)
+            n_cc = max(1, int(clean_correct.sum()))
+            robust_acc = float((clean_correct & ~succ).sum()) / n_cc
             print(f"eps={float(eps):.5f}: robust_acc={robust_acc:.3f} "
                   f"(apgd {int(s_apgd.sum())}/{n}, square {int(s_sq.sum())}/{n}, "
                   f"deepfool-in-ball {int(s_df.sum())}/{n})  [{dt:.1f}s]")

@@ -358,3 +358,39 @@ def test_serve_cli_sharded_virtual_mesh(image_dir, tmp_path):
     assert lines[0]["devices"] == 8
     assert lines[0]["batch"] == 8  # rounded up from 6
     assert len(lines) == 3 and all("top1" in ln for ln in lines[1:])
+
+
+def test_labels_json_resolution(tmp_path):
+    """resolve_labels: path match, basename match, partial fallback."""
+    import numpy as np
+
+    from image_recognition_adversarial_example_attack_tpu.cli.common import (
+        resolve_labels,
+    )
+
+    paths = [tmp_path / "a.jpg", tmp_path / "b.jpg", tmp_path / "c.jpg"]
+    pseudo = np.asarray([10, 11, 12], np.int64)
+    lbl = tmp_path / "labels.json"
+    lbl.write_text(json.dumps({str(paths[0]): 1, "b.jpg": 2}))
+    out = resolve_labels(str(lbl), paths, pseudo)
+    assert out.tolist() == [1, 2, 12]  # path, basename, pseudo fallback
+    # no file -> pseudo untouched
+    assert resolve_labels(None, paths, pseudo).tolist() == [10, 11, 12]
+
+
+def test_robust_eval_cli_with_ground_truth_labels(image_dir, tmp_path, capsys):
+    """Ground-truth labels change clean_correct and therefore the robust
+    accuracy denominator (the standard protocol's clean-correct subset)."""
+    from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import main
+
+    # intentionally wrong labels: clean accuracy vs ground truth near 0
+    lbl = tmp_path / "labels.json"
+    lbl.write_text(json.dumps({f"img_{i}.jpg": 999 for i in range(3)}))
+    out = tmp_path / "robust_gt.json"
+    rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+               "--eps_list", "0.03137", "--apgd_steps", "2",
+               "--square_steps", "3", "--deepfool_steps", "2",
+               "--labels_json", str(lbl), "--output", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "clean accuracy vs ground truth: 0.000" in text
