@@ -226,3 +226,28 @@ class TestMaxBatchSlicing:
         c2, r2 = sliced.certify(x, jax.random.PRNGKey(0))
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_allclose(r1, r2)  # all votes correct either way
+
+
+class TestCertifyLabelsJson:
+    def test_plot_scores_against_ground_truth(self, tmp_path, capsys):
+        import json
+
+        from PIL import Image
+
+        from image_recognition_adversarial_example_attack_tpu.cli.certify import main
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+                d / f"img_{i}.jpg")
+        lbl = tmp_path / "labels.json"
+        lbl.write_text(json.dumps({"img_0.jpg": 0, "img_1.jpg": 1}))
+        fig = tmp_path / "acc.png"
+        rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                   "--n0", "8", "--n", "16", "--chunk", "8",
+                   "--labels_json", str(lbl), "--plot", str(fig),
+                   "--output", str(tmp_path / "c.json")])
+        assert rc == 0
+        assert fig.is_file()
