@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core.images import list_images, load_image_batch_tolerant
 from ..core.rng import key_from_seed
+from ..utils.pipeline import shuffle_seed
 from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
                                  make_eval_step, make_train_step,
                                  make_trades_step, save_train_checkpoint,
@@ -195,7 +196,8 @@ def main(argv=None) -> int:
 
             pipe = BatchPipeline(ds_paths, ds_labels, batch,
                                  epochs=int(args.epochs),
-                                 start_epoch=start_epoch)
+                                 start_epoch=start_epoch,
+                                 seed=int(args.seed))
             cur_epoch, ek = None, None
             t0 = time.perf_counter()
             metrics = {}
@@ -218,7 +220,8 @@ def main(argv=None) -> int:
                 ek = jax.random.fold_in(key0, epoch)
                 t0 = time.perf_counter()
                 metrics = {}
-                order = np.random.RandomState(epoch).permutation(n)
+                order = np.random.RandomState(
+                    shuffle_seed(int(args.seed), epoch)).permutation(n)
                 for s in range(steps_per_epoch):
                     idx = order[s * batch:(s + 1) * batch]
                     if len(idx) < batch:  # keep one static batch shape

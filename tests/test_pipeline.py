@@ -7,6 +7,7 @@ from PIL import Image
 
 from image_recognition_adversarial_example_attack_tpu.utils.pipeline import (
     BatchPipeline,
+    shuffle_seed,
 )
 
 
@@ -51,13 +52,36 @@ def test_matches_in_ram_schedule(dataset):
     y_all = np.asarray(labels, np.int32)
     batch = 3
     n = len(paths)
-    for epoch, s, x, y in BatchPipeline(paths, labels, batch, size=32, epochs=1):
-        order = np.random.RandomState(epoch).permutation(n)
-        idx = order[s * batch:(s + 1) * batch]
-        if len(idx) < batch:
-            idx = np.concatenate([idx, order[: batch - len(idx)]])
-        np.testing.assert_array_equal(x, x_all[idx])
-        np.testing.assert_array_equal(y, y_all[idx])
+    for seed in (0, 17):
+        pipe = BatchPipeline(paths, labels, batch, size=32, epochs=1,
+                             seed=seed)
+        for epoch, s, x, y in pipe:
+            order = np.random.RandomState(
+                shuffle_seed(seed, epoch)).permutation(n)
+            idx = order[s * batch:(s + 1) * batch]
+            if len(idx) < batch:
+                idx = np.concatenate([idx, order[: batch - len(idx)]])
+            np.testing.assert_array_equal(x, x_all[idx])
+            np.testing.assert_array_equal(y, y_all[idx])
+
+
+def test_seed_changes_batch_composition(dataset):
+    """--seed reaches the shuffle (A2 policy): different seeds must yield
+    different epoch-0 orderings, same seed must reproduce them."""
+    paths, labels = dataset
+    x0 = np.stack([x for _, _, x, _ in
+                   BatchPipeline(paths, labels, 3, size=32, epochs=1, seed=0)])
+    x17 = np.stack([x for _, _, x, _ in
+                    BatchPipeline(paths, labels, 3, size=32, epochs=1,
+                                  seed=17)])
+    x17b = np.stack([x for _, _, x, _ in
+                     BatchPipeline(paths, labels, 3, size=32, epochs=1,
+                                   seed=17)])
+    np.testing.assert_array_equal(x17, x17b)
+    o0 = np.random.RandomState(shuffle_seed(0, 0)).permutation(7)
+    o17 = np.random.RandomState(shuffle_seed(17, 0)).permutation(7)
+    assert not np.array_equal(o0, o17)
+    assert not np.array_equal(x0, x17)
 
 
 def test_start_epoch_resumes_schedule(dataset):
