@@ -109,9 +109,17 @@ def ead_attack(
         return (x_next, y_next, (best_adv, best_en, best_success)), None
 
     ks = jnp.arange(int(steps), dtype=x0.dtype)
-    (x_fin, _, (best_adv, _, best_success)), _ = lax.scan(
+    (x_fin, _, (best_adv, best_en, best_success)), _ = lax.scan(
         body, (x0, x0, best0), ks)
 
-    x_adv = jnp.where(best_success[:, None, None, None], best_adv,
-                      jnp.clip(x_fin, 0.0, 1.0))
+    # The scan success-checks only pre-update iterates, so the final FISTA
+    # iterate x_fin was never evaluated — one extra forward closes the
+    # one-step blind spot (ADVICE r2; same fix as cw.py).
+    x_fin = jnp.clip(x_fin, 0.0, 1.0)
+    _, succ_fin = smooth_objective(x_fin)
+    improved = succ_fin & (en_dist(x_fin) < best_en)
+    best_success = best_success | improved
+    best_adv = jnp.where(improved[:, None, None, None], x_fin, best_adv)
+
+    x_adv = jnp.where(best_success[:, None, None, None], best_adv, x_fin)
     return EADResult(x_adv=x_adv, success=best_success)

@@ -62,6 +62,7 @@ class TestPGD:
         assert float(jnp.max(jnp.abs(x_adv - x))) <= EPS + 1e-6
         assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
         x = jnp.asarray(image_batch)
         y = _labels(tiny_logits_fn, x)
@@ -799,6 +800,7 @@ class TestHSJA:
                             x_init=x)  # x itself is NOT adversarial
         np.testing.assert_array_equal(np.asarray(x_adv), np.asarray(x))
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
         from image_recognition_adversarial_example_attack_tpu.attacks import (
             hsja_attack,
@@ -901,6 +903,7 @@ class TestUniversalPerturbation:
         assert fooled > fooled_rand
         assert fooled >= 0.5
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
         from image_recognition_adversarial_example_attack_tpu.attacks import (
             universal_perturbation,
@@ -1036,3 +1039,49 @@ def test_ead_default_dispatch_regime_succeeds(tiny_logits_fn, image_batch, rng_k
     fooled = float(jnp.mean(_labels(tiny_logits_fn, x_adv) != y))
     assert fooled >= 0.75
     assert float(jnp.max(jnp.abs(x_adv - x))) > 1e-4  # it actually moved
+
+
+class TestFinalIterateSuccessCheck:
+    """Regression (ADVICE r2): the CW/EAD scans success-check only the
+    pre-update iterate, so a sample first fooled by the LAST optimizer
+    step used to report success=False.  Both attacks now evaluate the
+    final iterate once after the scan.
+
+    The fixture model flips its prediction as soon as mean(x) rises above
+    the clean value by any margin — with steps=1 the only success-capable
+    iterate IS the post-update one, which the old code never checked."""
+
+    @staticmethod
+    def _edge_logits_fn(x0_mean: float, scale: float = 1000.0,
+                        margin: float = 0.1):
+        def logits_fn(x):
+            b = x.shape[0]
+            s = (jnp.mean(x.reshape(b, -1), axis=-1) - x0_mean) * scale - margin
+            return jnp.stack([-s, s], axis=-1)
+        return logits_fn
+
+    def test_cw_counts_last_step_success(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            cw_l2_attack,
+        )
+
+        x = jnp.full((2, 4, 4, 3), 0.5, jnp.float32)
+        y = jnp.zeros((2,), jnp.int32)
+        lf = self._edge_logits_fn(0.5)
+        # clean sample is classified 0 (s = -margin < 0): not adversarial
+        assert int(jnp.argmax(lf(x)[0])) == 0
+        res = cw_l2_attack(lf, x, y, c=10.0, steps=1, lr=1e-2)
+        assert bool(res.success.all()), "final-iterate success was not counted"
+        assert int(jnp.argmax(lf(res.x_adv)[0])) == 1
+
+    def test_ead_counts_last_step_success(self):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            ead_attack,
+        )
+
+        x = jnp.full((2, 4, 4, 3), 0.5, jnp.float32)
+        y = jnp.zeros((2,), jnp.int32)
+        lf = self._edge_logits_fn(0.5)
+        res = ead_attack(lf, x, y, c=10.0, beta=1e-3, steps=1, lr=1e-2)
+        assert bool(res.success.all()), "final-iterate success was not counted"
+        assert int(jnp.argmax(lf(res.x_adv)[0])) == 1

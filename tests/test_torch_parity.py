@@ -165,8 +165,17 @@ def test_cw_cross_framework(data):
         opt.zero_grad(set_to_none=True)
         loss.backward()
         opt.step()
-    final = torch.where(best_success.view(-1, 1, 1, 1), best_adv,
-                        (0.5 * (torch.tanh(w) + 1.0)).detach())
+    # final-iterate success check (the post-scan evaluation cw.py added in
+    # round 3 — ADVICE r2; the loop above only sees pre-update iterates)
+    with torch.no_grad():
+        xa = 0.5 * (torch.tanh(w) + 1.0)
+        lg = logits_torch(xa)
+        success = lg.argmax(1) != yt
+        l2 = (xa - x0).flatten(1).pow(2).sum(1)
+        improved = success & (l2 < best_l2)
+        best_success |= improved
+        best_adv = torch.where(improved.view(-1, 1, 1, 1), xa, best_adv)
+        final = torch.where(best_success.view(-1, 1, 1, 1), best_adv, xa)
     theirs = _to_nhwc(final)
 
     np.testing.assert_array_equal(ours_success, best_success.numpy())
