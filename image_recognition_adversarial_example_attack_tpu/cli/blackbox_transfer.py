@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default="picture")
     parser.add_argument("--attacks", type=str, nargs="+",
                         default=["fgsm", "pgd", "cw"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab"])
     parser.add_argument("--eps", type=float, default=DEFAULT_EPS)
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
     parser.add_argument("--steps", type=int, default=DEFAULT_STEPS)
@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_extended_attack_args(parser)
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
     parser.add_argument("--visualize_n", type=int, default=3)
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="device batch cap: image sets larger than this "
+                             "stream through the compiled attack/forward "
+                             "programs in fixed-shape chunks at constant "
+                             "memory (0 = always one resident batch)")
     parser.add_argument("--source", type=str, default="resnet50",
                         help="source (white-box) model")
     parser.add_argument("--targets", type=str, nargs="+",
@@ -86,8 +91,8 @@ def main(argv=None) -> int:
         target_fns[name] = make_fns(b)[0]
 
     labels = load_imagenet_labels()
-    x = jnp.asarray(load_image_batch(paths))
-    n = x.shape[0]
+    max_batch = int(args.max_batch)
+    streaming = max_batch > 0 and len(paths) > max_batch
     key = key_from_seed(args.seed)
 
     # ONE jitted predict program per model, reused for the clean pass and
@@ -98,33 +103,90 @@ def main(argv=None) -> int:
         name: jax.jit(lambda x, f=fn: jnp.argmax(f(x), -1))
         for name, fn in target_fns.items()
     }
-    y_src = np.asarray(jax.jit(lambda x: jnp.argmax(src_logits_fn(x), -1))(x))
-    y_clean = {name: np.asarray(pf(x)) for name, pf in predict_fns.items()}
+    src_pred = jax.jit(lambda x: jnp.argmax(src_logits_fn(x), -1))
+
+    def make_attack_fn(attack_name):
+        params = AttackParams(
+            eps=args.eps, alpha=args.alpha, steps=args.steps,
+            cw_c=args.cw_c, cw_kappa=args.cw_kappa,
+            cw_steps=args.cw_steps, cw_lr=args.cw_lr,
+            square_steps=int(args.square_steps),
+            **extended_attack_kwargs(args),
+        )
+        return jax.jit(
+            lambda x, y, k, a=attack_name, p=params: run_attack(
+                a, src_logits_fn, x, y, p, k))
 
     stats: dict[str, dict[str, dict[str, int]]] = {}
     adv_cache: dict[str, np.ndarray] = {}
-    with maybe_profile(args.profile_dir):
-        for attack_name in args.attacks:
-            params = AttackParams(
-                eps=args.eps, alpha=args.alpha, steps=args.steps,
-                cw_c=args.cw_c, cw_kappa=args.cw_kappa,
-                cw_steps=args.cw_steps, cw_lr=args.cw_lr, square_steps=int(args.square_steps),
-                **extended_attack_kwargs(args),
-            )
-            key, sub = jax.random.split(key)
-            attack_fn = jax.jit(
-                lambda x, y, k, a=attack_name, p=params: run_attack(a, src_logits_fn, x, y, p, k)
-            )
-            x_adv = attack_fn(x, jnp.asarray(y_src), sub)
-            adv_cache[attack_name] = np.asarray(jax.device_get(x_adv))
+    if streaming:
+        from ..utils.pipeline import EvalBatchPipeline
 
+        n = len(paths)
+        n_viz = min(int(args.visualize_n), n)
+        print(f"Streaming evaluation: {n} images in fixed chunks of "
+              f"{max_batch} (constant memory)")
+        attack_fns = {a: make_attack_fn(a) for a in args.attacks}
+        counts = {a: {nm: 0 for nm in target_fns} for a in args.attacks}
+        viz_y_adv = {a: {} for a in args.attacks}
+        y_src_head = y_clean_head = None
+        total = 0
+        with maybe_profile(args.profile_dir):
+            keys = {a: jax.random.split(key, len(args.attacks))[i]
+                    for i, a in enumerate(args.attacks)}
+            for step, x_np, _, n_valid in EvalBatchPipeline(paths, max_batch):
+                xc = jnp.asarray(x_np)
+                ys = src_pred(xc)
+                yc = {nm: np.asarray(pf(xc))
+                      for nm, pf in predict_fns.items()}
+                for attack_name in args.attacks:
+                    x_adv = attack_fns[attack_name](
+                        xc, ys, jax.random.fold_in(keys[attack_name], step))
+                    for nm in target_fns:
+                        ya = np.asarray(predict_fns[nm](x_adv))
+                        counts[attack_name][nm] += int(np.sum(
+                            ya[:n_valid] != yc[nm][:n_valid]))
+                    if step == 0 and n_viz:
+                        adv_cache[attack_name] = np.asarray(
+                            jax.device_get(x_adv[:n_viz]))
+                        for nm in target_fns:
+                            viz_y_adv[attack_name][nm] = np.asarray(
+                                predict_fns[nm](x_adv))[:n_viz]
+                if step == 0:
+                    y_src_head = np.asarray(ys)[:n_viz]
+                    y_clean_head = {nm: v[:n_viz] for nm, v in yc.items()}
+                    x_head = np.asarray(x_np)[:n_viz]
+                total += n_valid
+        n = total
+        y_src, y_clean, x = y_src_head, y_clean_head, x_head
+        for attack_name in args.attacks:
             stats[attack_name] = {}
-            for name in target_fns:
-                y_adv = np.asarray(predict_fns[name](x_adv))
-                success = int(np.sum(y_adv != y_clean[name]))
-                disp = TARGET_DISPLAY.get(name, name)
-                stats[attack_name][disp] = {"success": success, "total": n,
-                                            "y_adv": y_adv}
+            for nm in target_fns:
+                disp = TARGET_DISPLAY.get(nm, nm)
+                stats[attack_name][disp] = {
+                    "success": counts[attack_name][nm], "total": total,
+                    "y_adv": viz_y_adv[attack_name].get(nm, np.zeros(0, np.int64)),
+                }
+        args.visualize_n = n_viz
+    else:
+        x = jnp.asarray(load_image_batch(paths))
+        n = x.shape[0]
+        y_src = np.asarray(src_pred(x))
+        y_clean = {name: np.asarray(pf(x)) for name, pf in predict_fns.items()}
+        with maybe_profile(args.profile_dir):
+            for attack_name in args.attacks:
+                key, sub = jax.random.split(key)
+                attack_fn = make_attack_fn(attack_name)
+                x_adv = attack_fn(x, jnp.asarray(y_src), sub)
+                adv_cache[attack_name] = np.asarray(jax.device_get(x_adv))
+
+                stats[attack_name] = {}
+                for name in target_fns:
+                    y_adv = np.asarray(predict_fns[name](x_adv))
+                    success = int(np.sum(y_adv != y_clean[name]))
+                    disp = TARGET_DISPLAY.get(name, name)
+                    stats[attack_name][disp] = {"success": success, "total": n,
+                                                "y_adv": y_adv}
 
     # per-sample visualization PNGs (first visualize_n images x attacks)
     if args.visualize_n > 0:

@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--attacks", type=str, nargs="+",
                         default=["fgsm", "pgd", "cw"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_jpeg", action="store_true")
     parser.add_argument("--jpeg_quality", type=int, default=75)
 
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="device batch cap: image sets larger than this "
+                             "stream through the one compiled cell program in "
+                             "fixed-shape chunks at constant host+device "
+                             "memory (0 = always one resident batch)")
     parser.add_argument("--output_dir", type=str, default="./defense_results")
     parser.add_argument("--viz_samples", type=int, default=5,
                         help="number of attack samples to visualize (0 disables)")
@@ -151,7 +156,11 @@ def main(argv=None) -> int:
     logits_fn, features_fn = make_fns(bundle)
 
     # one padded batch on the device mesh (sharded over 'data' when the
-    # host sees multiple chips); counters are trimmed back to n_valid
+    # host sees multiple chips); counters are trimmed back to n_valid.
+    # Image sets larger than --max_batch instead STREAM fixed-shape chunks
+    # through the same compiled cell program at constant memory
+    # (eval/streaming.py — the dataset-scale replacement for the
+    # reference's per-image loop, defense_experiments.py:804-832).
     from ..core.images import load_image_batch_tolerant
     from ..eval.engine import Engine
 
@@ -159,12 +168,30 @@ def main(argv=None) -> int:
     # programs around one host codec stage — eval/defense_eval.py::
     # make_defense_eval_fn_split_jpeg); non-JPEG cells are one fused program.
     engine = Engine(use_mesh=True)
-    x_np, image_paths = load_image_batch_tolerant(image_paths)
-    batch = engine.batch_from_array(x_np, paths=list(image_paths))
-    x = batch.x
-    n = batch.n_valid
-    if engine.mesh is not None:
-        print(f"Mesh: {dict(engine.mesh.shape)} (batch {batch.padded_size} sharded over 'data')")
+    max_batch = int(args.max_batch)
+    streaming = max_batch > 0 and len(image_paths) > max_batch
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
+    if streaming:
+        from ..eval.streaming import make_placer, round_up
+
+        mesh_mult = (engine.mesh.shape["data"]
+                     if engine.mesh is not None else 1)
+        chunk = round_up(max_batch, mesh_mult)
+        place = make_placer(engine.mesh)
+        x = None
+        n = len(image_paths)
+        print(f"Streaming evaluation: {n} images in fixed chunks of {chunk} "
+              "(constant memory; decode overlaps the device step)")
+        if engine.mesh is not None:
+            print(f"Mesh: {dict(engine.mesh.shape)} "
+                  f"(chunks of {chunk} sharded over 'data')")
+    else:
+        x_np, image_paths = load_image_batch_tolerant(image_paths)
+        batch = engine.batch_from_array(x_np, paths=list(image_paths))
+        x = batch.x
+        n = batch.n_valid
+        if engine.mesh is not None:
+            print(f"Mesh: {dict(engine.mesh.shape)} (batch {batch.padded_size} sharded over 'data')")
 
     # --- detector threshold ---
     if args.calibrate_dir is not None:
@@ -183,15 +210,25 @@ def main(argv=None) -> int:
         detector_threshold = float(args.detector_threshold)
         print(f"Using specified threshold: {detector_threshold:.4f}")
     else:
+        if streaming:
+            # calibrate on the leading <=100 clean images (the reference
+            # caps calibration at calibrate_n=100 anyway, :288-345) — the
+            # only slice the streaming path ever holds resident
+            head = min(100, len(image_paths))
+            x_head_np, _ = load_image_batch_tolerant(image_paths[:head])
+            x_cal, n_cal = jnp.asarray(x_head_np), x_head_np.shape[0]
+        else:
+            x_cal, n_cal = x[:n], min(100, n)
         detector_threshold = _calibrate(args, logits_fn, features_fn,
-                                        x[:n], min(100, n))
+                                        x_cal, n_cal)
         print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
 
     defense_cfg = DefenseConfig(use_jpeg=bool(args.use_jpeg),
                                 jpeg_quality=int(args.jpeg_quality))
 
-    # clean predictions = pseudo-labels (reference :818-819)
-    y_true = jax.jit(lambda x: jnp.argmax(logits_fn(x), -1))(x)
+    # clean predictions = pseudo-labels (reference :818-819); the
+    # streaming path derives them per chunk with the same program
+    y_true = pseudo_fn(x) if not streaming else None
 
     output_dir = Path(args.output_dir)
     partial = _load_partial(output_dir) if args.resume else {}
@@ -256,12 +293,26 @@ def main(argv=None) -> int:
                 t0 = time.perf_counter()
                 key, sub = jax.random.split(key)
                 with timer.phase(cell_id, examples=n):
-                    out = fn(x, y_true, detector_threshold, sub,
-                             jnp.float32(eps))
-                    jax.block_until_ready(out)
+                    if streaming:
+                        from ..eval.streaming import stream_defense_cell
+
+                        stats = stream_defense_cell(
+                            fn, image_paths, detector_threshold, sub,
+                            jnp.float32(eps), chunk_size=chunk,
+                            pseudo_label_fn=pseudo_fn, place=place,
+                        )
+                    else:
+                        out = fn(x, y_true, detector_threshold, sub,
+                                 jnp.float32(eps))
+                        jax.block_until_ready(out)
                 dt = time.perf_counter() - t0
-                stats = aggregate_stats(out, n_valid=n)
-                print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
+                if not streaming:
+                    stats = aggregate_stats(out, n_valid=n)
+                    print(f"  {n} images in {dt:.2f}s ({n / dt:.1f} img/s, one XLA program)")
+                else:
+                    print(f"  {stats['count']} images in {dt:.2f}s "
+                          f"({stats['count'] / dt:.1f} img/s, streamed chunks "
+                          f"of {chunk} through one XLA program)")
                 results[(attack_name, float(eps))] = stats
                 if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = stats
@@ -284,7 +335,13 @@ def main(argv=None) -> int:
         print("=" * 60)
         viz_eps = float(args.eps_list[1]) if len(args.eps_list) > 1 else 8 / 255
         n_viz = min(int(args.viz_samples), n)
-        x_viz, y_viz = x[:n_viz], y_true[:n_viz]
+        if streaming:
+            # resident slice of just the visualized samples
+            x_viz_np, _ = load_image_batch_tolerant(image_paths[:n_viz])
+            x_viz = jnp.asarray(x_viz_np)
+            y_viz = pseudo_fn(x_viz)
+        else:
+            x_viz, y_viz = x[:n_viz], y_true[:n_viz]
         if defense_cfg.use_jpeg and engine.mesh is not None:
             # the viz program embeds the fused io_callback JPEG, which XLA
             # forbids in SPMD programs — un-shard the (tiny) sample slice

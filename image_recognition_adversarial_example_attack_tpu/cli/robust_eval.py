@@ -1,17 +1,24 @@
-"""Worst-case robust accuracy CLI (AutoAttack-lite protocol).
+"""Worst-case robust accuracy CLI (AutoAttack protocols).
 
 Beyond-reference surface: the reference reports single-attack success
-rates only; this CLI runs the ensembled protocol (eval/robust_eval.py —
-APGD-CE + Square + in-ball DeepFool) and reports robust accuracy over the
-clean-correct subset, per eps.
+rates only (and ships the ``autoattack`` dependency without running it —
+defense_experiments.py:685); this CLI runs the ensembled protocol
+(eval/robust_eval.py) and reports robust accuracy over the clean-correct
+subset, per eps.
 
-    python -m ...cli.robust_eval --image_dir picture \\
-        --eps_list 0.01569 0.03137 --apgd_steps 100 --square_steps 1000
+``--protocol standard`` is the full AutoAttack composition: APGD-CE +
+APGD-T (targeted DLR over top-K classes) + FAB-T (minimal-norm, counted
+in-ball) + Square.  ``--protocol lite`` (default: cheap sweeps) is
+APGD-CE + Square + in-ball DeepFool.
+
+    python -m ...cli.robust_eval --image_dir picture --protocol standard \\
+        --eps_list 0.01569 0.03137 --apgd_steps 100 --square_steps 5000
 
 eps is a traced scalar, so the whole eps sweep shares ONE compiled
 program (the dynamic-eps convention of every sweep in this framework).
 Labels follow the harness convention: the model's own clean predictions
-serve as pseudo-labels (ImageNet ground truth is unavailable air-gapped).
+serve as pseudo-labels (ImageNet ground truth is unavailable air-gapped);
+``--labels_json`` supplies ground truth.
 """
 
 from __future__ import annotations
@@ -29,7 +36,7 @@ import numpy as np
 from ..core.constants import DEFAULT_EPS_LIST
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
-from ..eval.robust_eval import autoattack_lite
+from ..eval.robust_eval import autoattack, autoattack_lite
 from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
                      resolve_image_inputs, resolve_labels)
 
@@ -41,12 +48,28 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
+    parser.add_argument("--protocol", type=str, default="lite",
+                        choices=["lite", "standard"],
+                        help="standard: full AutoAttack (APGD-CE + APGD-T "
+                             "+ FAB-T + Square); lite: APGD-CE + Square + "
+                             "in-ball DeepFool")
     parser.add_argument("--apgd_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000)
-    parser.add_argument("--deepfool_steps", type=int, default=30)
+    parser.add_argument("--deepfool_steps", type=int, default=30,
+                        help="(lite protocol)")
+    parser.add_argument("--fab_steps", type=int, default=100,
+                        help="(standard protocol)")
+    parser.add_argument("--n_target_classes", type=int, default=9,
+                        help="APGD-T / FAB-T restarts over the top-K "
+                             "runner-up classes (standard protocol)")
     parser.add_argument("--labels_json", type=str, default=None,
                         help="JSON {path-or-basename: class id} ground-truth "
                              "labels; default = pseudo-labels (clean preds)")
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="device batch cap: image sets larger than this "
+                             "stream through the compiled ensemble program in "
+                             "fixed-shape chunks at constant memory (0 = "
+                             "always one resident batch)")
     parser.add_argument("--output", type=str, default="robust_eval.json")
     parser.add_argument("--plot", type=str, default=None,
                         help="write the robust-accuracy-vs-eps figure here")
@@ -59,64 +82,125 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     paths = resolve_image_inputs(args.image_dir, args.image)
-    x_np, kept = load_image_batch_tolerant(paths)
-    if not kept:
-        raise SystemExit("no loadable images")
-
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
 
-    x = jnp.asarray(x_np)
-    pseudo = jax.device_get(jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))(x))
-    y = jnp.asarray(resolve_labels(args.labels_json, kept, pseudo))
-    clean_correct = pseudo == np.asarray(y)
-    if args.labels_json:
-        print(f"clean accuracy vs ground truth: {clean_correct.mean():.3f}")
+    max_batch = int(args.max_batch)
+    streaming = max_batch > 0 and len(paths) > max_batch
+    if streaming:
+        kept = list(paths)  # per-chunk decode handles failures
+        x = y = None
+        clean_correct = None
+        labels_np = None
+        if args.labels_json:
+            # resolve ground-truth labels against the full path list once;
+            # -1 = unlabeled, replaced per chunk by that image's
+            # pseudo-label (resolve_labels partial-file convention)
+            labels_np = np.asarray(resolve_labels(
+                args.labels_json, kept, np.full(len(kept), -1, np.int64)))
+        print(f"Streaming evaluation: {len(paths)} images in fixed chunks "
+              f"of {max_batch} (constant memory)")
+    else:
+        x_np, kept = load_image_batch_tolerant(paths)
+        if not kept:
+            raise SystemExit("no loadable images")
+        x = jnp.asarray(x_np)
+        pseudo = jax.device_get(pseudo_fn(x))
+        y = jnp.asarray(resolve_labels(args.labels_json, kept, pseudo))
+        clean_correct = pseudo == np.asarray(y)
+        if args.labels_json:
+            print(f"clean accuracy vs ground truth: {clean_correct.mean():.3f}")
 
-    @jax.jit
-    def run(x, y, key, eps):
-        res = autoattack_lite(
-            logits_fn, x, y, eps=eps, key=key,
-            apgd_steps=int(args.apgd_steps),
-            square_steps=int(args.square_steps),
-            deepfool_steps=int(args.deepfool_steps),
-        )
-        return (res.success, res.success_apgd, res.success_square,
-                res.success_deepfool)
+    standard = args.protocol == "standard"
+    if standard:
+        arm_names = ("apgd_ce", "apgd_t", "fab", "square")
+
+        @jax.jit
+        def run(x, y, key, eps):
+            res = autoattack(
+                logits_fn, x, y, eps=eps, key=key,
+                apgd_steps=int(args.apgd_steps),
+                apgd_t_steps=int(args.apgd_steps),
+                apgd_t_targets=int(args.n_target_classes),
+                fab_steps=int(args.fab_steps),
+                fab_targets=int(args.n_target_classes),
+                square_steps=int(args.square_steps),
+            )
+            return (res.success, res.success_apgd_ce, res.success_apgd_t,
+                    res.success_fab, res.success_square)
+
+        arm_desc = (f"apgd-ce-{args.apgd_steps} "
+                    f"apgd-t-{args.apgd_steps}x{args.n_target_classes} "
+                    f"fab-t-{args.fab_steps}x{args.n_target_classes} "
+                    f"square-{args.square_steps}")
+    else:
+        arm_names = ("apgd", "square", "deepfool")
+
+        @jax.jit
+        def run(x, y, key, eps):
+            res = autoattack_lite(
+                logits_fn, x, y, eps=eps, key=key,
+                apgd_steps=int(args.apgd_steps),
+                square_steps=int(args.square_steps),
+                deepfool_steps=int(args.deepfool_steps),
+            )
+            return (res.success, res.success_apgd, res.success_square,
+                    res.success_deepfool)
+
+        arm_desc = (f"apgd-{args.apgd_steps} square-{args.square_steps} "
+                    f"deepfool-{args.deepfool_steps}")
 
     key = key_from_seed(args.seed)
     rows = []
     n = len(kept)
-    print(f"{n} images; arms: apgd-{args.apgd_steps} square-{args.square_steps} "
-          f"deepfool-{args.deepfool_steps} (one compiled program, eps traced)")
+    print(f"{n} images; protocol={args.protocol}; arms: {arm_desc} "
+          "(one compiled program, eps traced)")
     with maybe_profile(args.profile_dir):
         for eps in args.eps_list:
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            succ, s_apgd, s_sq, s_df = jax.device_get(
-                run(x, y, sub, jnp.float32(eps)))
+            if streaming:
+                from ..eval.streaming import stream_robust_cell
+
+                got = stream_robust_cell(
+                    run, kept, sub, float(eps), chunk_size=max_batch,
+                    pseudo_label_fn=pseudo_fn, labels=labels_np,
+                )
+                succ = got["arm0"]
+                arms = [got[f"arm{i + 1}"] for i in range(len(arm_names))]
+                cc = got["clean_correct"]
+                n = len(succ)
+            else:
+                outs = jax.device_get(run(x, y, sub, jnp.float32(eps)))
+                succ, arms = outs[0], list(outs[1:])
+                cc = clean_correct
             dt = time.perf_counter() - t0
             # robust accuracy over the clean-correct subset (the standard
             # protocol; with pseudo-labels every sample is clean-correct)
-            n_cc = max(1, int(clean_correct.sum()))
-            robust_acc = float((clean_correct & ~succ).sum()) / n_cc
+            n_cc = max(1, int(cc.sum()))
+            robust_acc = float((cc & ~succ).sum()) / n_cc
+            per_arm = " ".join(f"{nm} {int(v.sum())}/{n}"
+                               for nm, v in zip(arm_names, arms))
             print(f"eps={float(eps):.5f}: robust_acc={robust_acc:.3f} "
-                  f"(apgd {int(s_apgd.sum())}/{n}, square {int(s_sq.sum())}/{n}, "
-                  f"deepfool-in-ball {int(s_df.sum())}/{n})  [{dt:.1f}s]")
-            rows.append({
+                  f"({per_arm})  [{dt:.1f}s]")
+            row = {
                 "eps": float(eps),
                 "robust_accuracy": robust_acc,
-                "success_apgd": int(s_apgd.sum()),
-                "success_square": int(s_sq.sum()),
-                "success_deepfool": int(s_df.sum()),
                 "count": n,
-            })
+            }
+            for nm, v in zip(arm_names, arms):
+                row[f"success_{nm}"] = int(v.sum())
+            rows.append(row)
 
     out = Path(args.output)
     out.write_text(json.dumps({
+        "protocol": args.protocol,
         "apgd_steps": int(args.apgd_steps),
         "square_steps": int(args.square_steps),
         "deepfool_steps": int(args.deepfool_steps),
+        "fab_steps": int(args.fab_steps),
+        "n_target_classes": int(args.n_target_classes),
         "results": rows,
     }, indent=2))
     print(f"Wrote {out}")

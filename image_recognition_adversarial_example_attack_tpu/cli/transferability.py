@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--attacks", type=str, nargs="+", default=["pgd"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                              ":110-120) or each target's OWN clean label "
                              "(reference blackbox_transfer.py:244-251)")
     parser.add_argument("--save_adv_images", action="store_true")
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="device batch cap: image sets larger than this "
+                             "stream through the compiled cell program in "
+                             "fixed-shape chunks at constant memory (0 = "
+                             "always one resident batch)")
     parser.add_argument("--output_dir", type=str, default="./transfer_results")
     add_model_args(parser)
     return parser
@@ -112,8 +117,16 @@ def main(argv=None) -> int:
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    x = jnp.asarray(load_image_batch(image_paths))
-    n = x.shape[0]
+    max_batch = int(args.max_batch)
+    streaming = max_batch > 0 and len(image_paths) > max_batch
+    if streaming:
+        x = None
+        n = len(image_paths)
+        print(f"\nStreaming evaluation: {n} images in fixed chunks of "
+              f"{max_batch} (constant memory)")
+    else:
+        x = jnp.asarray(load_image_batch(image_paths))
+        n = x.shape[0]
     key = key_from_seed(args.seed)
 
     print("\n[4/4] Running transfer attack experiments...")
@@ -154,23 +167,39 @@ def main(argv=None) -> int:
                         )
                     )
                 key, sub = jax.random.split(key)
-                cell = cell_fns[attack_name](x, sub, jnp.float32(eps))
-                src_vec = np.asarray(cell.source_success)
-                cell_record = {
-                    "source_success": src_vec.tolist(),
-                    "transfer_success": {
-                        name: np.asarray(v).tolist()
-                        for name, v in cell.target_success.items()
-                    },
-                }
+                if streaming:
+                    from ..eval.streaming import stream_transfer_cell
+
+                    adv_dir = output_dir / f"{attack_name}_eps_{eps:.5f}"
+
+                    def _save_chunk(adv_np, kept_paths, _dir=adv_dir):
+                        for img, p in zip(adv_np, kept_paths):
+                            save_image_01(img, _dir / f"adv_{Path(p).stem}.png")
+
+                    cell_record = stream_transfer_cell(
+                        cell_fns[attack_name], image_paths, sub, float(eps),
+                        list(target_fns), chunk_size=max_batch,
+                        save_adv=_save_chunk if args.save_adv_images else None,
+                    )
+                    src_vec = np.asarray(cell_record["source_success"])
+                else:
+                    cell = cell_fns[attack_name](x, sub, jnp.float32(eps))
+                    src_vec = np.asarray(cell.source_success)
+                    cell_record = {
+                        "source_success": src_vec.tolist(),
+                        "transfer_success": {
+                            name: np.asarray(v).tolist()
+                            for name, v in cell.target_success.items()
+                        },
+                    }
                 all_results[attack_name][float(eps)] = cell_record
                 if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = cell_record
                 print(f"    Source model ASR: {src_vec.mean():.3f}")
-                for name, v in cell.target_success.items():
+                for name, v in cell_record["transfer_success"].items():
                     print(f"    Transfer to {name}: {np.asarray(v).mean():.3f}")
 
-                if args.save_adv_images:
+                if args.save_adv_images and not streaming:
                     adv_dir = output_dir / f"{attack_name}_eps_{eps:.5f}"
                     adv_np = np.asarray(jax.device_get(cell.x_adv))
                     for i, p in enumerate(image_paths):

@@ -1,0 +1,315 @@
+"""Dataset-scale streaming evaluation (eval/streaming.py +
+utils.pipeline.EvalBatchPipeline): chunked sweeps must run at constant
+memory with counters identical to the one-batch path (VERDICT r2 next #1).
+"""
+
+import json
+import tracemalloc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_recognition_adversarial_example_attack_tpu.core.constants import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from image_recognition_adversarial_example_attack_tpu.defenses.detector import (
+    make_features_fn,
+)
+from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+    STAT_KEYS,
+    DefenseEvalConfig,
+    aggregate_stats,
+    make_defense_eval_fn_dynamic_eps,
+)
+from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+    round_up,
+    stream_defense_cell,
+)
+from image_recognition_adversarial_example_attack_tpu.utils.pipeline import (
+    EvalBatchPipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def eval_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("evalds")
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(10):
+        p = d / f"img_{i:02d}.jpg"
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+class TestEvalBatchPipeline:
+    def test_order_tail_and_labels(self, eval_dataset):
+        from image_recognition_adversarial_example_attack_tpu.core.images import (
+            load_image_batch_tolerant,
+        )
+
+        paths = eval_dataset
+        labels = list(range(100, 110))
+        got = list(EvalBatchPipeline(paths, 4, labels=labels, size=32))
+        assert [(s, nv) for s, _, _, nv in got] == [(0, 4), (1, 4), (2, 2)]
+        x_all, _ = load_image_batch_tolerant(paths, size=32)
+        flat_x = np.concatenate([x[:nv] for _, x, _, nv in got])
+        np.testing.assert_array_equal(flat_x, x_all)  # ordered, exactly once
+        flat_y = np.concatenate([y[:nv] for _, _, y, nv in got])
+        assert flat_y.tolist() == labels
+        # every chunk keeps the static shape (tail padded)
+        for _, x, y, _ in got:
+            assert x.shape == (4, 32, 32, 3) and y.shape == (4,)
+
+    def test_no_labels_yields_none(self, eval_dataset):
+        for _, _, y, _ in EvalBatchPipeline(eval_dataset, 5, size=32):
+            assert y is None
+
+    def test_decode_failure_shrinks_n_valid(self, eval_dataset, tmp_path):
+        bad = tmp_path / "corrupt.jpg"
+        bad.write_bytes(b"not a jpeg")
+        paths = list(eval_dataset[:3]) + [bad] + list(eval_dataset[3:6])
+        labels = [0, 1, 2, 99, 3, 4, 5]
+        got = list(EvalBatchPipeline(paths, 4, labels=labels, size=32))
+        # chunk 0 holds paths[0:4] with the corrupt one dropped
+        s0, x0, y0, nv0 = got[0]
+        assert nv0 == 3 and x0.shape[0] == 4
+        assert y0[:3].tolist() == [0, 1, 2]  # label 99 dropped with its image
+        s1, _, y1, nv1 = got[1]
+        assert nv1 == 3 and y1[:3].tolist() == [3, 4, 5]
+
+    def test_all_unreadable_chunk_dropped(self, eval_dataset, tmp_path):
+        bad = tmp_path / "bad2.jpg"
+        bad.write_bytes(b"nope")
+        paths = [bad, bad] + list(eval_dataset[:2])
+        got = list(EvalBatchPipeline(paths, 2, size=32))
+        assert len(got) == 1 and got[0][3] == 2  # only the readable chunk
+
+    def test_single_use_and_validation(self, eval_dataset):
+        with pytest.raises(ValueError):
+            EvalBatchPipeline([], 4)
+        with pytest.raises(ValueError):
+            EvalBatchPipeline(eval_dataset, 4, labels=[1, 2])
+        pipe = EvalBatchPipeline(eval_dataset, 4, size=32)
+        list(pipe)
+        with pytest.raises(RuntimeError):
+            next(iter(pipe))
+
+
+def test_round_up():
+    assert round_up(10, 4) == 12
+    assert round_up(8, 4) == 8
+    assert round_up(1, 1) == 1
+    assert round_up(5, 0) == 5  # degenerate multiple clamps to 1
+
+
+class TestStreamDefenseCell:
+    @pytest.mark.parametrize("attack", [
+        "fgsm", pytest.param("cw", marks=pytest.mark.slow)])
+    def test_counters_identical_to_one_batch(self, tiny_resnet, eval_dataset,
+                                             attack):
+        """Deterministic attacks: streamed chunks through the SAME compiled
+        program must reproduce the one-batch counters exactly."""
+        from image_recognition_adversarial_example_attack_tpu.core.images import (
+            load_image_batch_tolerant,
+        )
+
+        model, variables = tiny_resnet
+        lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+        ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        cfg = DefenseEvalConfig(attack_name=attack, eps=0.0, alpha=2 / 255,
+                                steps=2, cw_steps=3)
+        fn = make_defense_eval_fn_dynamic_eps(lf, ffn, cfg)
+        pseudo_fn = jax.jit(lambda xx: jnp.argmax(lf(xx), -1))
+        key = jax.random.PRNGKey(0)
+        eps = jnp.float32(8 / 255)
+        threshold = 2.0
+
+        x_all, _ = load_image_batch_tolerant(eval_dataset, size=32)
+        x = jnp.asarray(x_all)
+        one = aggregate_stats(fn(x, pseudo_fn(x), threshold, key, eps),
+                              n_valid=x_all.shape[0])
+
+        streamed = stream_defense_cell(
+            fn, eval_dataset, threshold, key, eps, chunk_size=4, size=32,
+            pseudo_label_fn=pseudo_fn,
+        )
+        assert streamed == one  # all six counters + count
+
+    def test_progress_callback(self, tiny_resnet, eval_dataset):
+        model, variables = tiny_resnet
+        lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+        ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        cfg = DefenseEvalConfig(attack_name="fgsm", eps=0.0, alpha=2 / 255,
+                                steps=1, cw_steps=1)
+        fn = make_defense_eval_fn_dynamic_eps(lf, ffn, cfg)
+        pseudo_fn = jax.jit(lambda xx: jnp.argmax(lf(xx), -1))
+        seen = []
+        stream_defense_cell(
+            fn, eval_dataset, 2.0, jax.random.PRNGKey(0), jnp.float32(0.03),
+            chunk_size=4, size=32, pseudo_label_fn=pseudo_fn,
+            progress=lambda i, n: seen.append((i, n)),
+        )
+        assert seen == [(1, 3), (2, 3), (3, 3)]
+
+
+class TestCLIAutoChunk:
+    def _run_defense(self, image_dir, out_dir, max_batch, capsys):
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main,
+        )
+
+        rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+                   "--eps_list", "0.03137", "--steps", "2",
+                   "--model", "resnet_tiny", "--viz_samples", "0",
+                   "--max_batch", str(max_batch),
+                   "--detector_threshold", "2.0",
+                   "--output_dir", str(out_dir)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return [ln for ln in out.splitlines() if ln.startswith("attack=")]
+
+    @pytest.mark.slow
+    def test_defense_cli_streams_when_over_cap(self, eval_dataset, tmp_path,
+                                               capsys):
+        """--max_batch smaller than the image set => streamed chunks, with
+        summary lines identical to the one-batch run (fgsm deterministic)."""
+        image_dir = eval_dataset[0].parent
+        lines_stream = self._run_defense(image_dir, tmp_path / "s", 4, capsys)
+        lines_one = self._run_defense(image_dir, tmp_path / "o", 0, capsys)
+        assert lines_stream and lines_stream == lines_one
+        part = json.loads((tmp_path / "s" / "results_partial.json").read_text())
+        assert all(v["count"] == 10 for v in part.values())
+
+    @pytest.mark.slow
+    def test_transfer_cli_streams(self, eval_dataset, tmp_path, capsys):
+        from image_recognition_adversarial_example_attack_tpu.cli.transferability import (
+            main,
+        )
+
+        image_dir = eval_dataset[0].parent
+        args = ["--image_dir", str(image_dir),
+                "--source_model", "resnet_tiny", "--target_models", "tiny",
+                "--attacks", "fgsm", "--eps_list", "0.03137",
+                "--steps", "2"]
+        rc = main(args + ["--max_batch", "4",
+                          "--output_dir", str(tmp_path / "ts")])
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(args + ["--max_batch", "0",
+                          "--output_dir", str(tmp_path / "to")])
+        assert rc == 0
+        capsys.readouterr()
+        streamed = json.loads((tmp_path / "ts" / "transfer_results.json").read_text())
+        onebatch = json.loads((tmp_path / "to" / "transfer_results.json").read_text())
+        assert streamed == onebatch  # per-sample successes, fgsm deterministic
+
+    @pytest.mark.slow
+    def test_robust_cli_streams(self, eval_dataset, tmp_path, capsys):
+        from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+            main,
+        )
+
+        image_dir = eval_dataset[0].parent
+        out = tmp_path / "robust.json"
+        rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+                   "--eps_list", "0.03137", "--apgd_steps", "2",
+                   "--square_steps", "3", "--deepfool_steps", "2",
+                   "--max_batch", "4", "--output", str(out)])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "Streaming evaluation" in text
+        data = json.loads(out.read_text())
+        assert data["results"][0]["count"] == 10
+        assert 0.0 <= data["results"][0]["robust_accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_ten_thousand_images_constant_memory(tiny_resnet, tmp_path_factory):
+    """The VERDICT r2 acceptance bar: a >=10k-image sweep runs at constant
+    host memory with counters identical to the in-RAM evaluation.
+
+    Memory: during streaming, peak traced allocation stays within a few
+    chunks — far below the ~29 MB the full decoded dataset occupies (the
+    one-batch path must hold all of it)."""
+    d = tmp_path_factory.mktemp("bigds")
+    rng = np.random.RandomState(0)
+    n, side, chunk = 10_000, 16, 512
+    # one shared pixel source; vary a stamp so images differ
+    base = (rng.rand(side, side, 3) * 255).astype(np.uint8)
+    paths = []
+    for i in range(n):
+        arr = base.copy()
+        arr[0, 0] = (i % 251, (i * 7) % 251, (i * 13) % 251)
+        p = d / f"i{i:05d}.jpg"
+        Image.fromarray(arr).save(p, quality=50)
+        paths.append(p)
+
+    model, variables = tiny_resnet
+    lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+    ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+    cfg = DefenseEvalConfig(attack_name="fgsm", eps=0.0, alpha=2 / 255,
+                            steps=1, cw_steps=1)
+    fn = make_defense_eval_fn_dynamic_eps(lf, ffn, cfg)
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(lf(xx), -1))
+    eps = jnp.float32(8 / 255)
+
+    tracemalloc.start()
+    streamed = stream_defense_cell(
+        fn, paths, 2.0, jax.random.PRNGKey(0), eps, chunk_size=chunk,
+        size=side, pseudo_label_fn=pseudo_fn,
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert streamed["count"] == n
+
+    full_bytes = n * side * side * 3 * 4  # what one resident batch costs
+    chunk_bytes = chunk * side * side * 3 * 4
+    assert peak < max(8 * chunk_bytes, full_bytes // 2), (
+        f"peak {peak / 1e6:.1f} MB vs full dataset {full_bytes / 1e6:.1f} MB")
+
+    # counters match the in-RAM path computed chunkwise (same program) —
+    # prove correctness without materializing all 10k images at once
+    from image_recognition_adversarial_example_attack_tpu.core.images import (
+        load_image_batch_tolerant,
+    )
+
+    totals = {k: 0 for k in STAT_KEYS}
+    for s in range(0, n, chunk):
+        x_np, _ = load_image_batch_tolerant(paths[s:s + chunk], size=side)
+        x = jnp.asarray(x_np)
+        out = fn(x, pseudo_fn(x), 2.0, jax.random.PRNGKey(0), eps)
+        got = jax.device_get({k: out[k] for k in STAT_KEYS})
+        for k in STAT_KEYS:
+            totals[k] += int(np.sum(got[k]))
+    for k in STAT_KEYS:
+        assert streamed[k] == totals[k]
+
+
+@pytest.mark.slow
+def test_blackbox_cli_streams(eval_dataset, capsys):
+    """The fixed-trio harness also auto-chunks: streamed counts equal the
+    one-batch run (fgsm deterministic)."""
+    import re
+
+    from image_recognition_adversarial_example_attack_tpu.cli.blackbox_transfer import (
+        main,
+    )
+
+    image_dir = eval_dataset[0].parent
+    base = ["--image_dir", str(image_dir), "--attacks", "fgsm",
+            "--source", "resnet_tiny", "--targets", "tiny",
+            "--steps", "2", "--visualize_n", "0"]
+    rc = main(base + ["--max_batch", "4"])
+    assert rc == 0
+    out_stream = capsys.readouterr().out
+    assert "Streaming evaluation" in out_stream
+    rc = main(base + ["--max_batch", "0"])
+    assert rc == 0
+    out_one = capsys.readouterr().out
+    row = re.compile(r"FGSM\t\d+\.\d%")
+    assert row.search(out_stream).group() == row.search(out_one).group()
