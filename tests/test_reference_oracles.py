@@ -57,13 +57,16 @@ def _resolve(image_name: str) -> Path | None:
     return None
 
 
-def _bundle_and_logits(name: str, identity_norm: bool = False):
+def _bundle_and_logits(name: str, identity_norm: bool = False,
+                       weights_path: "Path | None" = None):
     import jax.numpy as jnp
 
     from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
     from image_recognition_adversarial_example_attack_tpu.models.zoo import load_model
 
-    bundle = load_model(name, weights=_weights_path(name))
+    bundle = load_model(
+        name, weights=weights_path if weights_path is not None
+        else _weights_path(name))
     assert bundle.source in ("cache", "converted")
     if identity_norm:
         bundle.mean = np.zeros(3, np.float32)
@@ -72,38 +75,47 @@ def _bundle_and_logits(name: str, identity_norm: bool = False):
     return bundle, lf
 
 
-@pytest.mark.skipif(not _weights("resnet50"), reason="no pretrained resnet50 weights")
-def test_clean_transcript_50_images():
-    """Top-1 parity on the reference's full 50-image transcript."""
+# ---------------------------------------------------------------------------
+# Oracle BODIES, parameterized.  The weight-gated tests below call them with
+# the reference data; tests/test_oracle_drill.py calls the SAME bodies with
+# synthesized weights + expected values computed from that model, proving
+# none of this code is dead until real weights appear (VERDICT r2 next #2).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_clean_transcript(model_name, data, resolve, *, weights_path=None,
+                             prob_atol=0.03, max_mismatches=2):
+    """Top-1 parity over a clean-prediction transcript."""
     import jax
     import jax.numpy as jnp
 
     from image_recognition_adversarial_example_attack_tpu.core.images import load_image
 
-    entries = [e for e in DATA["clean_transcript"] if _resolve(e["image"])]
+    entries = [e for e in data["clean_transcript"] if resolve(e["image"])]
     if not entries:
-        pytest.skip("reference images not present")
+        pytest.skip("transcript images not present")
 
-    _, lf = _bundle_and_logits("resnet50")
+    _, lf = _bundle_and_logits(model_name, weights_path=weights_path)
     lf_jit = jax.jit(lf)
     mismatches = []
     for e in entries:
-        x = jnp.asarray(load_image(_resolve(e["image"])))
+        x = jnp.asarray(load_image(resolve(e["image"])))
         probs = np.asarray(jax.nn.softmax(lf_jit(x), -1))[0]
         want = e["top5"][0]
         got = int(probs.argmax())
-        if got != want["class"] or abs(float(probs[got]) - want["prob"]) > 0.03:
+        if got != want["class"] or abs(float(probs[got]) - want["prob"]) > prob_atol:
             mismatches.append((e["image"], want["class"], want["prob"], got,
                                float(probs[got])))
-    # allow <=2 near-tie flips across 50 images (e.g. African elephant
-    # 0.5208 vs tusker 0.4770) from resample/precision noise
-    assert len(mismatches) <= 2, mismatches
+    # allow near-tie flips (e.g. African elephant 0.5208 vs tusker 0.4770)
+    # from resample/precision noise
+    assert len(mismatches) <= max_mismatches, mismatches
 
 
-@pytest.mark.skipif(not _weights("resnet50"), reason="no pretrained resnet50 weights")
-def test_attack_trio_top5_on_example():
-    """FGSM fails (still panda p~0.94); PGD -> soccer ball p~1.0;
-    CW -> soccer ball with panda second (:357-394)."""
+def _oracle_attack_trio(model_name, data, example_path, *, weights_path=None,
+                        cw_steps=100, pgd_min_prob=0.9, fgsm_prob_atol=0.1):
+    """The example-image trio: FGSM expected class/prob (the reference's
+    FAILED attack — still panda p~0.94), PGD -> expected class with high
+    confidence (soccer ball p~1.0), CW -> expected class (:357-394)."""
     import jax
     import jax.numpy as jnp
 
@@ -112,11 +124,8 @@ def test_attack_trio_top5_on_example():
     from image_recognition_adversarial_example_attack_tpu.attacks.pgd import pgd_linf_attack
     from image_recognition_adversarial_example_attack_tpu.core.images import load_image
 
-    example = _resolve("example.jpg")
-    if example is None:
-        pytest.skip("example.jpg not present")
-    _, lf = _bundle_and_logits("resnet50")
-    x = jnp.asarray(load_image(example))
+    _, lf = _bundle_and_logits(model_name, weights_path=weights_path)
+    x = jnp.asarray(load_image(example_path))
     y = jnp.argmax(lf(x), -1)
     eps = 8 / 255
 
@@ -124,24 +133,41 @@ def test_attack_trio_top5_on_example():
         probs = np.asarray(jax.nn.softmax(lf(xa), -1))[0]
         return int(probs.argmax()), float(probs.max())
 
-    want = DATA["attack_example"]
+    want = data["attack_example"]
 
     x_f = jax.jit(lambda x, y: fgsm_attack(lf, x, y, eps=eps))(x, y)
     c, p = top1(x_f)
-    assert c == want["fgsm"][0]["class"]          # 388: attack FAILS
-    assert abs(p - want["fgsm"][0]["prob"]) < 0.1
+    assert c == want["fgsm"][0]["class"]          # reference: 388, attack FAILS
+    assert abs(p - want["fgsm"][0]["prob"]) < fgsm_prob_atol
 
     x_p = jax.jit(
         lambda x, y, k: pgd_linf_attack(lf, x, y, eps=eps, alpha=2 / 255,
                                         steps=10, key=k)
     )(x, y, jax.random.PRNGKey(0))
     c, p = top1(x_p)
-    assert c == want["pgd"][0]["class"]           # 805 soccer ball
-    assert p > 0.9                                 # reference: 1.0000
+    assert c == want["pgd"][0]["class"]           # reference: 805 soccer ball
+    assert p > pgd_min_prob                        # reference: 1.0000
 
-    res = jax.jit(lambda x, y: cw_l2_attack(lf, x, y, c=1.0, steps=100, lr=0.01))(x, y)
+    res = jax.jit(lambda x, y: cw_l2_attack(lf, x, y, c=1.0, steps=cw_steps,
+                                            lr=0.01))(x, y)
     c, p = top1(res.x_adv)
-    assert c == want["cw"][0]["class"]            # 805 soccer ball
+    assert c == want["cw"][0]["class"]            # reference: 805 soccer ball
+
+
+@pytest.mark.skipif(not _weights("resnet50"), reason="no pretrained resnet50 weights")
+def test_clean_transcript_50_images():
+    """Top-1 parity on the reference's full 50-image transcript."""
+    _oracle_clean_transcript("resnet50", DATA, _resolve)
+
+
+@pytest.mark.skipif(not _weights("resnet50"), reason="no pretrained resnet50 weights")
+def test_attack_trio_top5_on_example():
+    """FGSM fails (still panda p~0.94); PGD -> soccer ball p~1.0;
+    CW -> soccer ball with panda second (:357-394)."""
+    example = _resolve("example.jpg")
+    if example is None:
+        pytest.skip("example.jpg not present")
+    _oracle_attack_trio("resnet50", DATA, example)
 
 
 def _reference_paths() -> list:
@@ -204,14 +230,41 @@ def _run_defense_sweep(bundle, identity_norm: bool, rows, paths):
     return out
 
 
-def _load_oracle_bundle(name: str):
+def _load_oracle_bundle(name: str, weights_path=None):
     from image_recognition_adversarial_example_attack_tpu.models.zoo import load_model
 
-    bundle = load_model(name, weights=_weights_path(name))
+    bundle = load_model(
+        name, weights=weights_path if weights_path is not None
+        else _weights_path(name))
     assert bundle.source in ("cache", "converted")
     return bundle
 
 
+_SWEEP_ATOLS = (("attack_success", 0.10), ("preproc_defense_acc", 0.10),
+                ("detector_clean_pass_rate", 0.04),
+                ("detector_adv_flag_rate", 0.10),
+                ("detector_attack_success", 0.10))
+
+
+def _assert_sweep_rows(got, rows, atols=_SWEEP_ATOLS):
+    for row in rows:
+        g = got[(row["attack"], row["eps"])]
+        for k, atol in atols:
+            assert abs(g[k] - row[k]) <= atol, (
+                row["attack"], row["eps"], k, g[k], row[k])
+
+
+def _oracle_defense_sweep(model_name, rows, paths, *, identity_norm=False,
+                          weights_path=None, atols=_SWEEP_ATOLS):
+    """Defense sweep table parity (:435-452): run the exact sweep through
+    the library API and compare every published rate."""
+    got = _run_defense_sweep(
+        _load_oracle_bundle(model_name, weights_path=weights_path),
+        identity_norm=identity_norm, rows=rows, paths=paths)
+    _assert_sweep_rows(got, rows, atols)
+
+
+@pytest.mark.slow
 def test_sweep_machinery_smoke(tmp_path):
     """Non-gated: the exact sweep helper the oracles use runs end-to-end on
     a tiny model + generated images and produces sane rates (so the
@@ -243,45 +296,26 @@ def test_sweep_machinery_smoke(tmp_path):
 
 @pytest.mark.skipif(not _weights("resnet50"), reason="no pretrained resnet50 weights")
 def test_defense_sweep_table_standard():
-    got = _run_defense_sweep(_load_oracle_bundle("resnet50"), identity_norm=False,
-                             rows=DATA["defense_sweep"]["standard"],
-                             paths=_reference_paths())
-    for row in DATA["defense_sweep"]["standard"]:
-        g = got[(row["attack"], row["eps"])]
-        for k, atol in (("attack_success", 0.10), ("preproc_defense_acc", 0.10),
-                        ("detector_clean_pass_rate", 0.04),
-                        ("detector_adv_flag_rate", 0.10),
-                        ("detector_attack_success", 0.10)):
-            assert abs(g[k] - row[k]) <= atol, (row["attack"], row["eps"], k, g[k], row[k])
+    _oracle_defense_sweep("resnet50", DATA["defense_sweep"]["standard"],
+                          _reference_paths())
 
 
 @pytest.mark.skipif(not _weights("resnet50_robust"),
                     reason="no converted RobustBench resnet50 weights")
 def test_defense_sweep_table_robust():
-    got = _run_defense_sweep(_load_oracle_bundle("resnet50_robust"),
-                             identity_norm=True,
-                             rows=DATA["defense_sweep"]["robust"],
-                             paths=_reference_paths())
-    for row in DATA["defense_sweep"]["robust"]:
-        g = got[(row["attack"], row["eps"])]
-        for k, atol in (("attack_success", 0.10), ("preproc_defense_acc", 0.10),
-                        ("detector_clean_pass_rate", 0.04),
-                        ("detector_adv_flag_rate", 0.10),
-                        ("detector_attack_success", 0.10)):
-            assert abs(g[k] - row[k]) <= atol, (row["attack"], row["eps"], k, g[k], row[k])
+    _oracle_defense_sweep("resnet50_robust", DATA["defense_sweep"]["robust"],
+                          _reference_paths(), identity_norm=True)
 
 
 _TRANSFER_ZOO = {"VGG19": "vgg19", "ViT": "vit_b_16", "Swin": "swin_t"}
 
 
-@pytest.mark.skipif(
-    not (_weights("resnet50") and all(_weights(z) for z in _TRANSFER_ZOO.values())),
-    reason="transfer oracle needs resnet50 + vgg19 + vit_b_16 + swin_t weights",
-)
-def test_transfer_asr_table():
-    """Black-box transfer ASR table (:477-481): resnet50-crafted adversarial
-    examples evaluated on vgg19/vit/swin with each target's own clean label
-    as the success reference (the reference's convention)."""
+def _oracle_transfer_table(source_name, transfer_zoo, data, paths, *,
+                           weights_paths=None, atol=0.10, cw_steps=50,
+                           attacks=("fgsm", "pgd", "cw")):
+    """Black-box transfer ASR table (:477-481): source-crafted adversarial
+    examples evaluated on each target with the target's OWN clean label as
+    the success reference (the reference's convention)."""
     import jax
     import jax.numpy as jnp
 
@@ -293,28 +327,40 @@ def test_transfer_asr_table():
         load_image_batch_tolerant,
     )
 
-    names = [e["image"] for e in DATA["clean_transcript"]]
-    paths = [p for p in (_resolve(n) for n in names) if p is not None]
-    if len(paths) < 40:
-        pytest.skip("reference image set not present")
-
-    _, src_lf = _bundle_and_logits("resnet50")
+    weights_paths = weights_paths or {}
+    _, src_lf = _bundle_and_logits(
+        source_name, weights_path=weights_paths.get(source_name))
     x_np, _ = load_image_batch_tolerant(paths)
     x = jnp.asarray(x_np)
     y_src = jax.jit(lambda x: jnp.argmax(src_lf(x), -1))(x)
 
     advs = {}
-    for attack in ("fgsm", "pgd", "cw"):
+    for attack in attacks:
         params = AttackParams(eps=8 / 255, alpha=2 / 255, steps=10,
-                              cw_c=1.0, cw_kappa=0.0, cw_steps=50, cw_lr=0.01)
+                              cw_c=1.0, cw_kappa=0.0, cw_steps=cw_steps,
+                              cw_lr=0.01)
         advs[attack] = run_attack(attack, src_lf, x, y_src, params,
                                   key=jax.random.PRNGKey(0))
 
-    for disp, zoo_name in _TRANSFER_ZOO.items():
-        _, tgt_lf = _bundle_and_logits(zoo_name)
+    for disp, zoo_name in transfer_zoo.items():
+        _, tgt_lf = _bundle_and_logits(
+            zoo_name, weights_path=weights_paths.get(zoo_name))
         tgt_jit = jax.jit(lambda x: jnp.argmax(tgt_lf(x), -1))
         y_tgt = tgt_jit(x)
-        for attack in ("fgsm", "pgd", "cw"):
+        for attack in attacks:
             asr = float(np.mean(np.asarray(tgt_jit(advs[attack]) != y_tgt)))
-            want = DATA["transfer_asr"]["rows"][attack][disp]
-            assert abs(asr - want) <= 0.10, (attack, disp, asr, want)
+            want = data["transfer_asr"]["rows"][attack][disp]
+            assert abs(asr - want) <= atol, (attack, disp, asr, want)
+
+
+@pytest.mark.skipif(
+    not (_weights("resnet50") and all(_weights(z) for z in _TRANSFER_ZOO.values())),
+    reason="transfer oracle needs resnet50 + vgg19 + vit_b_16 + swin_t weights",
+)
+def test_transfer_asr_table():
+    """Transfer ASR parity: resnet50 -> vgg19/vit/swin (:477-481)."""
+    names = [e["image"] for e in DATA["clean_transcript"]]
+    paths = [p for p in (_resolve(n) for n in names) if p is not None]
+    if len(paths) < 40:
+        pytest.skip("reference image set not present")
+    _oracle_transfer_table("resnet50", _TRANSFER_ZOO, DATA, paths)
