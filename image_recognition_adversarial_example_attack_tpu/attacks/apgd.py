@@ -1,9 +1,11 @@
-"""APGD-CE: Auto-PGD with cross-entropy loss (Croce & Hein, ICML 2020).
+"""APGD: Auto-PGD with CE / DLR / targeted-DLR losses (Croce & Hein, ICML 2020).
 
 Beyond-reference capability: the reference evaluates its robust arm with
 fixed-step PGD only; APGD is the standard-of-practice robust-evaluation
 attack (the core of AutoAttack) — momentum updates with an ADAPTIVE step
 size that halves when progress stalls, restarting from the best iterate.
+This module provides all three AutoAttack gradient arms: APGD-CE,
+APGD-DLR, and APGD-T (targeted DLR over the top-K runner-up classes).
 
 TPU design: the classic implementation is control-flow-heavy Python
 (per-checkpoint branching, per-sample step halving).  Here the entire
@@ -14,7 +16,11 @@ attack is ONE ``lax.scan``:
 - the checkpoint schedule is data-independent, so it is precomputed
   host-side as a boolean vector and fed to the scan as ``xs`` — the
   halving decisions become masked ``jnp.where`` updates, no ``lax.cond``;
-- halving is per-sample (a [B] step-size vector), exactly like the paper.
+- halving is per-sample (a [B] step-size vector), exactly like the paper;
+- APGD-T is an OUTER ``lax.scan`` over the [K,B] target-class matrix
+  around the same engine — one compiled program for all K restarts, with
+  per-sample worst-case selection as masked ``where`` updates (the
+  classic implementation reruns a Python attack loop per target).
 
 Returns the best-loss iterate, like the original.
 """
@@ -52,7 +58,52 @@ def _ce(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]  # [B]
 
 
-def apgd_ce_attack(
+def dlr_loss(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Untargeted Difference-of-Logits-Ratio (Croce & Hein 2020, eq. 6):
+
+        -(z_y - max_{i != y} z_i) / (z_pi1 - z_pi3 + 1e-12)
+
+    Scale-invariant in the logits, which defeats the gradient masking
+    that saturated-CE suffers from.  Maximizing it drives z_y below the
+    runner-up.  [B,C] logits -> [B] loss.
+    """
+    z_sorted = jnp.sort(logits, axis=-1)  # ascending
+    z_y = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
+    onehot = jax.nn.one_hot(y, logits.shape[-1], dtype=bool)
+    z_other = jnp.max(jnp.where(onehot, -jnp.inf, logits), axis=-1)
+    denom = z_sorted[:, -1] - z_sorted[:, -3] + 1e-12
+    return -(z_y - z_other) / denom
+
+
+def dlr_loss_targeted(logits: jnp.ndarray, y: jnp.ndarray,
+                      y_target: jnp.ndarray) -> jnp.ndarray:
+    """Targeted DLR (Croce & Hein 2020, eq. 7):
+
+        -(z_y - z_t) / (z_pi1 - (z_pi3 + z_pi4) / 2 + 1e-12)
+
+    Maximizing it pushes the target class above the true one.
+    """
+    z_sorted = jnp.sort(logits, axis=-1)
+    z_y = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
+    z_t = jnp.take_along_axis(logits, y_target[:, None], axis=-1)[:, 0]
+    denom = z_sorted[:, -1] - 0.5 * (z_sorted[:, -3] + z_sorted[:, -4]) + 1e-12
+    return -(z_y - z_t) / denom
+
+
+def _make_loss(loss: str, y_true, y_target=None):
+    """name -> logits-space [B] loss the engine MAXIMIZES."""
+    if loss == "ce":
+        return lambda logits: _ce(logits, y_true)
+    if loss == "dlr":
+        return lambda logits: dlr_loss(logits, y_true)
+    if loss == "dlr-targeted":
+        if y_target is None:
+            raise ValueError("dlr-targeted needs y_target")
+        return lambda logits: dlr_loss_targeted(logits, y_true, y_target)
+    raise ValueError(f"unknown APGD loss '{loss}'")
+
+
+def apgd_attack(
     logits_fn: LogitsFn,
     x: jnp.ndarray,
     y_true: jnp.ndarray,
@@ -60,23 +111,27 @@ def apgd_ce_attack(
     eps: float,
     steps: int = 100,
     key: jax.Array,
+    loss: str = "ce",
+    y_target: jnp.ndarray | None = None,
     rho: float = 0.75,
     alpha_momentum: float = 0.75,
 ) -> jnp.ndarray:
     """[B,H,W,C] in [0,1] -> best-loss adversarial batch in [0,1].
 
-    L-inf APGD maximizing the untargeted CE loss inside the eps-ball.
+    L-inf APGD maximizing the chosen loss ('ce' | 'dlr' | 'dlr-targeted')
+    inside the eps-ball.
     """
     b = x.shape[0]
     x_orig = x
     expand = (slice(None), None, None, None)  # [B] -> [B,1,1,1]
+    loss_vec = _make_loss(loss, y_true, y_target)
 
     def clip_ball(z):
         return jnp.clip(jnp.clip(z, x_orig - eps, x_orig + eps), 0.0, 1.0)
 
     def loss_and_grad(z):
         def f(zz):
-            l = _ce(logits_fn(zz), y_true)
+            l = loss_vec(logits_fn(zz))
             return jnp.sum(l), l
 
         (_, loss), grad = jax.value_and_grad(f, has_aux=True)(z)
@@ -155,3 +210,68 @@ def apgd_ce_attack(
 
     carry, _ = lax.scan(body, carry, flags)
     return carry["x_best"]
+
+
+def apgd_ce_attack(logits_fn, x, y_true, *, eps, steps: int = 100, key,
+                   rho: float = 0.75, alpha_momentum: float = 0.75):
+    """APGD maximizing untargeted cross-entropy (AutoAttack arm 1)."""
+    return apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps, key=key,
+                       loss="ce", rho=rho, alpha_momentum=alpha_momentum)
+
+
+def apgd_dlr_attack(logits_fn, x, y_true, *, eps, steps: int = 100, key,
+                    rho: float = 0.75, alpha_momentum: float = 0.75):
+    """APGD maximizing untargeted DLR (gradient-masking-resistant arm)."""
+    return apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps, key=key,
+                       loss="dlr", rho=rho, alpha_momentum=alpha_momentum)
+
+
+def apgd_targeted_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    steps: int = 100,
+    n_targets: int = 9,
+    key: jax.Array,
+    rho: float = 0.75,
+    alpha_momentum: float = 0.75,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """APGD-T: targeted-DLR restarts over the top-``n_targets`` runner-up
+    classes of the clean logits (AutoAttack's strongest white-box arm).
+
+    Returns ``(x_adv, success)``: per sample, the first restart's iterate
+    that flips the prediction (success = pred != y_true, the robust-
+    accuracy criterion), else the last restart's best-loss iterate.
+
+    TPU design: the K restarts are an outer ``lax.scan`` over the [K,B]
+    target matrix around the same single-program engine — the whole
+    multi-target attack compiles once; the classic implementation loops
+    targets in Python re-launching the attack each time.
+    """
+    logits_clean = logits_fn(x)
+    n_classes = logits_clean.shape[-1]
+    n_targets = int(min(n_targets, n_classes - 1))
+    # descending class ranking by clean logit; ranks 2..K+1 are the targets
+    order = jnp.argsort(-logits_clean, axis=-1)  # [B,C]
+    targets = jnp.transpose(order[:, 1:1 + n_targets])  # [K,B]
+    keys = jax.random.split(key, n_targets)  # [K,2]
+
+    def one_target(carry, inp):
+        x_adv, success = carry
+        y_t, k = inp
+        x_try = apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps,
+                            key=k, loss="dlr-targeted", y_target=y_t,
+                            rho=rho, alpha_momentum=alpha_momentum)
+        fooled = jnp.argmax(logits_fn(x_try), -1) != y_true
+        # keep the FIRST successful restart's iterate; otherwise keep the
+        # latest try so unsuccessful samples end with a real best-loss
+        # iterate rather than the clean image
+        take = fooled & ~success
+        x_adv = jnp.where((take | ~success)[:, None, None, None], x_try, x_adv)
+        return (x_adv, success | fooled), None
+
+    (x_adv, success), _ = lax.scan(one_target, (x, jnp.zeros(x.shape[:1], bool)),
+                                   (targets, keys))
+    return x_adv, success

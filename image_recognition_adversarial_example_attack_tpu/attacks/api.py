@@ -117,6 +117,9 @@ class AttackParams:
     ead_beta: float = 1e-3
     ead_c: float = 50.0
     ead_lr: float = 0.05
+    # APGD-T / FAB-T restart budget: top-K runner-up classes of the clean
+    # logits (the AutoAttack convention; full protocol uses 9)
+    n_target_classes: int = 9
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -169,8 +172,8 @@ def run_attack(
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
-    | 'tim' | 'apgd' | 'square' | 'deepfool' | 'nes' | 'spsa' | 'hsja'
-    | 'ead' -> x_adv in [0,1].
+    | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
+    | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' -> x_adv in [0,1].
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
@@ -223,6 +226,42 @@ def run_attack(
             key = jax.random.PRNGKey(0)
         return apgd_ce_attack(
             logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+        )
+    if attack_name == "apgd_dlr":
+        from .apgd import apgd_dlr_attack
+
+        if y_target is not None:
+            raise ValueError("apgd_dlr is the untargeted DLR variant")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return apgd_dlr_attack(
+            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+        )
+    if attack_name == "apgd_t":
+        from .apgd import apgd_targeted_attack
+
+        if y_target is not None:
+            raise ValueError(
+                "apgd_t picks its own top-K targets (n_target_classes)")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x_adv, _ = apgd_targeted_attack(
+            logits_fn, x, y_true, eps=params.eps, steps=params.steps,
+            n_targets=params.n_target_classes, key=key,
+        )
+        return x_adv
+    if attack_name == "fab":
+        from .fab import fab_targeted_attack
+
+        if y_target is not None:
+            raise ValueError(
+                "fab is the targeted-restart minimal-norm variant; it picks "
+                "its own top-K targets (n_target_classes)")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return fab_targeted_attack(
+            logits_fn, x, y_true, eps=params.eps, steps=params.steps,
+            n_targets=params.n_target_classes, key=key,
         )
     if attack_name == "square":
         from .square import square_attack

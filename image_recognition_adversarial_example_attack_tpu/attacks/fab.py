@@ -1,0 +1,170 @@
+"""FAB-T: targeted Fast Adaptive Boundary attack (Croce & Hein, ICML 2020).
+
+The minimal-norm arm of the standard AutoAttack ensemble: iteratively
+projects onto the LINEARIZED decision boundary between the true class and
+a target class, with extrapolation, a bias toward the original point, and
+a backward step once misclassified — returning the closest (L-inf)
+misclassified iterate found.  Its successes count toward robust accuracy
+only when the final iterate lies inside the eps ball (the composition in
+eval/robust_eval.py applies that check).
+
+TPU design (original, not a port of the reference autoattack package):
+
+- The box-constrained L-inf projection onto a hyperplane — the heart of
+  FAB, classically a sort + prefix-sum + binary-search construction — is
+  here a fixed-iteration BISECTION on the scalar lambda of
+  ``u(lambda) = clip(z - s*lambda*sign(w), 0, 1)``:
+  ``u(lambda)`` is exactly the minimizer of ``s*(w.u)`` over the
+  lambda-box, so ``g(lambda) = w.u(lambda) + b`` is monotone in lambda
+  and the smallest root IS the minimal L-inf projection distance.  Thirty
+  halvings pin lambda to ~1e-9 with nothing but fused elementwise ops and
+  one dot product per iteration — no data-dependent sorts, perfectly
+  shaped for XLA/TPU, and numerically exact to bisection precision.
+- One ``lax.scan`` over steps per target; an outer ``lax.scan`` over the
+  [K,B] target matrix (clean-logit ranks 2..K+1, the AutoAttack-T
+  convention); global min-distance best tracking via masked ``where``.
+
+Default hyperparameters follow the paper: eta=1.05 (extrapolation),
+beta=0.9 (backward step), alpha_max=0.1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import LogitsFn
+
+
+def project_box_hyperplane(z: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                           n_iters: int = 30) -> jnp.ndarray:
+    """Min-L-inf projection of ``z`` onto {u : w.u + b = 0} cut to [0,1]^d.
+
+    ``z``/``w``: [B, ...] (same shape); ``b``: [B].  Returns the projected
+    point, flattening nothing.  If the constraint cannot be reached inside
+    the box (|g| stays > 0 at lambda=1), returns the closest attainable
+    point — callers treat the residual like the classic implementation
+    treats an infeasible projection (the step simply makes less progress).
+    """
+    axes = tuple(range(1, z.ndim))
+
+    def gval(u):
+        return jnp.sum(w * u, axis=axes) + b
+
+    g0 = gval(z)
+    s_vec = jnp.sign(g0)  # [B]: which side of the hyperplane z starts on
+    bshape = (slice(None),) + (None,) * (z.ndim - 1)
+    sw = jnp.sign(w) * s_vec[bshape]
+
+    def u_of(lam):
+        return jnp.clip(z - lam[bshape] * sw, 0.0, 1.0)
+
+    lo = jnp.zeros(z.shape[0], z.dtype)
+    hi = jnp.ones(z.shape[0], z.dtype)
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        # still on the starting side at mid -> need a larger move
+        over = jnp.sign(gval(u_of(mid))) == s_vec
+        lo = jnp.where(over, mid, lo)
+        hi = jnp.where(over, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=int(n_iters))
+    return u_of(hi)
+
+
+def fab_targeted_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    steps: int = 100,
+    n_targets: int = 9,
+    key: jax.Array | None = None,
+    eta: float = 1.05,
+    beta: float = 0.9,
+    alpha_max: float = 0.1,
+) -> jnp.ndarray:
+    """[B,H,W,C] in [0,1] -> closest misclassified iterate found (L-inf).
+
+    ``eps`` seeds the random restarts' radius only; FAB itself is
+    norm-minimizing and may end outside the ball — the caller decides
+    whether an out-of-ball success counts (AutoAttack does not).
+    Samples where no iterate misclassified return the clean input.
+    """
+    b_sz = x.shape[0]
+    expand = (slice(None), None, None, None)
+    x_orig = x
+
+    logits_clean = logits_fn(x)
+    n_classes = logits_clean.shape[-1]
+    n_targets = int(min(n_targets, n_classes - 1))
+    order = jnp.argsort(-logits_clean, axis=-1)
+    targets = jnp.transpose(order[:, 1:1 + n_targets])  # [K,B]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n_targets)
+
+    def margin_and_grad(z, y_t):
+        """g = f_y(z) - f_t(z) (adversarial region: g < 0) and its grad."""
+
+        def f(zz):
+            logits = logits_fn(zz)
+            g = (jnp.take_along_axis(logits, y_true[:, None], -1)[:, 0]
+                 - jnp.take_along_axis(logits, y_t[:, None], -1)[:, 0])
+            return jnp.sum(g), g
+
+        (_, g), w = jax.value_and_grad(f, has_aux=True)(z)
+        return g, w
+
+    def one_target(carry, inp):
+        best_adv, best_dist = carry
+        y_t, k = inp
+
+        # restart: the clean point, jittered inside the eps ball (the
+        # classic implementation jitters restarts within the current best
+        # distance; eps is our static stand-in — shapes stay fixed)
+        noise = jax.random.uniform(k, x.shape, x.dtype, -eps, eps)
+        x_k0 = jnp.clip(x_orig + 0.5 * noise, 0.0, 1.0)
+
+        def step(inner, _):
+            x_k, best_adv, best_dist = inner
+            g, w = margin_and_grad(x_k, y_t)
+            # hyperplane w.u + b = 0 through the linearization at x_k
+            axes = tuple(range(1, x.ndim))
+            b_lin = g - jnp.sum(w * x_k, axis=axes)
+
+            p_k = project_box_hyperplane(x_k, w, b_lin)
+            p_o = project_box_hyperplane(x_orig, w, b_lin)
+            d_k = jnp.max(jnp.abs(p_k - x_k), axis=axes)
+            d_o = jnp.max(jnp.abs(p_o - x_orig), axis=axes)
+            alpha = jnp.clip(d_k / (d_k + d_o + 1e-12), 0.0, alpha_max)
+
+            x_next = jnp.clip(
+                (1.0 - alpha)[expand] * (x_k + eta * (p_k - x_k))
+                + alpha[expand] * (x_orig + eta * (p_o - x_orig)),
+                0.0, 1.0)
+
+            fooled = jnp.argmax(logits_fn(x_next), -1) != y_true
+            dist = jnp.max(jnp.abs(x_next - x_orig), axis=axes)
+            improved = fooled & (dist < best_dist)
+            best_adv = jnp.where(improved[expand], x_next, best_adv)
+            best_dist = jnp.where(improved, dist, best_dist)
+
+            # backward step: once misclassified, pull toward the original
+            # to shrink the distortion before the next linearization
+            x_k = jnp.where(fooled[expand],
+                            beta * x_next + (1.0 - beta) * x_orig, x_next)
+            return (x_k, best_adv, best_dist), None
+
+        (_, best_adv, best_dist), _ = lax.scan(
+            step, (x_k0, best_adv, best_dist), None, length=int(steps))
+        return (best_adv, best_dist), None
+
+    best0 = (x_orig, jnp.full((b_sz,), jnp.inf, x.dtype))
+    (best_adv, _), _ = lax.scan(one_target, best0, (targets, keys))
+    return best_adv

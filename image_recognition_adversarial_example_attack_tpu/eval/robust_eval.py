@@ -1,19 +1,24 @@
-"""AutoAttack-lite: worst-case robust accuracy over complementary attacks.
+"""AutoAttack: worst-case robust accuracy over complementary attacks.
 
 Beyond-reference capability: the standard robust-accuracy protocol
 (AutoAttack, Croce & Hein 2020) ensembles attacks with different failure
-modes — a strong white-box attack, a gradient-free one (which
-penetrates gradient masking), and a minimal-norm one whose examples count
-only when they land INSIDE the eps ball (AutoAttack uses FAB there).
-This is its TPU-shaped core: APGD-CE (attacks/apgd.py) + Square
-(attacks/square.py) + DeepFool-in-ball (attacks/deepfool.py), composed
-INSIDE one traceable function, with per-sample worst-case selection as
-masked ``where`` updates.
+modes.  ``autoattack`` is the standard composition — APGD-CE, APGD-T
+(targeted DLR over the top-K runner-up classes), FAB-T (minimal-norm,
+counted in-ball), and Square (gradient-free, penetrates masking) — all
+TPU-shaped single-scan programs composed INSIDE one traceable function
+with per-sample worst-case selection as masked ``where`` updates.  The
+reference ships the ``autoattack`` dependency for its robust arm
+(defense_experiments.py:685) without ever running it; here the protocol
+is a first-class evaluation surface.
 
-Note a deliberate static-shape trade-off: Square runs on the full batch
-rather than only on APGD's survivors (data-dependent batch shapes cannot
-compile); at typical survivor rates the wasted forwards are a small price
-for keeping the whole evaluation one XLA program.
+``autoattack_lite`` (round-2 surface, kept for compatibility and cheap
+sweeps) is APGD-CE + Square + DeepFool-in-ball.
+
+Note a deliberate static-shape trade-off: every arm runs on the full
+batch rather than only on the previous arm's survivors (data-dependent
+batch shapes cannot compile); at typical survivor rates the wasted
+forwards are a small price for keeping the whole evaluation one XLA
+program.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..attacks.api import LogitsFn
-from ..attacks.apgd import apgd_ce_attack
+from ..attacks.apgd import apgd_ce_attack, apgd_targeted_attack
 from ..attacks.square import square_attack
 
 
@@ -82,6 +87,78 @@ def autoattack_lite(
         success_apgd=succ_apgd,
         success_square=succ_square,
         success_deepfool=succ_df,
+    )
+
+
+class AutoAttackResult(NamedTuple):
+    x_adv: jnp.ndarray         # per-sample worst-case adversarial example
+    success: jnp.ndarray       # [B] bool: misclassified by any arm
+    success_apgd_ce: jnp.ndarray
+    success_apgd_t: jnp.ndarray
+    success_fab: jnp.ndarray   # fooled AND the iterate is in the eps ball
+    success_square: jnp.ndarray
+
+
+def autoattack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    key: jax.Array,
+    apgd_steps: int = 100,
+    apgd_t_steps: int = 100,
+    apgd_t_targets: int = 9,
+    fab_steps: int = 100,
+    fab_targets: int = 9,
+    square_steps: int = 5000,
+) -> AutoAttackResult:
+    """The standard AutoAttack composition (APGD-CE -> APGD-T -> FAB-T ->
+    Square), worst case per sample.
+
+    Success everywhere means ``argmax(f(x_adv)) != y_true`` (the robust-
+    accuracy criterion); FAB-T is minimal-norm, so its success counts only
+    when its iterate lies inside the L-inf eps ball.  Robust accuracy =
+    ``1 - mean(success)`` over clean-correct samples.  Defaults mirror the
+    reference implementation of AutoAttack (100-step APGD/FAB, 9 target
+    classes, 5000 Square queries).
+    """
+    from ..attacks.fab import fab_targeted_attack
+
+    k_ce, k_t, k_fab, k_sq = jax.random.split(key, 4)
+
+    x_ce = apgd_ce_attack(logits_fn, x, y_true, eps=eps, steps=apgd_steps,
+                          key=k_ce)
+    succ_ce = jnp.argmax(logits_fn(x_ce), -1) != y_true
+
+    x_t, succ_t = apgd_targeted_attack(
+        logits_fn, x, y_true, eps=eps, steps=apgd_t_steps,
+        n_targets=apgd_t_targets, key=k_t)
+
+    x_fab = fab_targeted_attack(logits_fn, x, y_true, eps=eps,
+                                steps=fab_steps, n_targets=fab_targets,
+                                key=k_fab)
+    in_ball = jnp.max(jnp.abs(x_fab - x), axis=(1, 2, 3)) <= eps + 1e-6
+    succ_fab = (jnp.argmax(logits_fn(x_fab), -1) != y_true) & in_ball
+
+    x_sq = square_attack(logits_fn, x, y_true, eps=eps, steps=square_steps,
+                         key=k_sq)
+    succ_sq = jnp.argmax(logits_fn(x_sq), -1) != y_true
+
+    # first-successful-arm selection, in protocol order
+    x_adv = x_ce
+    taken = succ_ce
+    for x_arm, s_arm in ((x_t, succ_t), (x_fab, succ_fab), (x_sq, succ_sq)):
+        pick = (~taken) & s_arm
+        x_adv = jnp.where(pick[:, None, None, None], x_arm, x_adv)
+        taken = taken | s_arm
+    return AutoAttackResult(
+        x_adv=x_adv,
+        success=taken,
+        success_apgd_ce=succ_ce,
+        success_apgd_t=succ_t,
+        success_fab=succ_fab,
+        success_square=succ_sq,
     )
 
 

@@ -469,8 +469,13 @@ def plot_robust_accuracy(rows: Sequence[Mapping], out_path: Path) -> None:
     ax.plot(eps, acc, color="#2b2a27", linewidth=2.5, marker="o",
             markersize=7, label="robust accuracy", zorder=3)
     # distinct dash patterns keep coincident curves readable (two arms at
-    # success rate 1.0 would otherwise hide one another completely)
+    # success rate 1.0 would otherwise hide one another completely);
+    # covers both protocols (lite: apgd/square/deepfool; standard:
+    # apgd_ce/apgd_t/fab/square) — absent keys are skipped below
     arm_slots = {"apgd": ("APGD", "solid"),
+                 "apgd_ce": ("APGD", "solid"),
+                 "apgd_t": ("APGD", (0, (6, 2))),
+                 "fab": ("CW", (0, (2, 2))),
                  "square": ("SQUARE", (0, (4, 2))),
                  "deepfool": ("DEEPFOOL", (0, (1, 2)))}
     for fb, (arm, (slot_name, dashes)) in enumerate(arm_slots.items()):
@@ -483,8 +488,7 @@ def plot_robust_accuracy(rows: Sequence[Mapping], out_path: Path) -> None:
                 label=f"{arm} success", **style)
     ax.set_xlabel("eps (L∞)", **_LABEL)
     ax.set_ylabel("rate", **_LABEL)
-    ax.set_title("Worst-case robust accuracy (APGD + Square + DeepFool)",
-                 **_TITLE)
+    ax.set_title("Worst-case robust accuracy (attack ensemble)", **_TITLE)
     ax.set_ylim(-0.02, 1.02)
     ax.grid(**_GRID)
     ax.legend(frameon=False, fontsize=9)

@@ -1,0 +1,255 @@
+"""AutoAttack completion (VERDICT r2 next #3): DLR losses (torch parity),
+APGD-DLR / APGD-T, FAB-T with its bisection projection, and the standard
+ensemble composition in eval/robust_eval.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_recognition_adversarial_example_attack_tpu.attacks import (
+    AttackParams,
+    apgd_dlr_attack,
+    apgd_targeted_attack,
+    dlr_loss,
+    dlr_loss_targeted,
+    fab_targeted_attack,
+    project_box_hyperplane,
+    run_attack,
+)
+
+
+def _labels(lf, x):
+    return jnp.argmax(lf(x), -1)
+
+
+class TestDLRTorchParity:
+    """The DLR formulas transcribed independently into torch (Croce & Hein
+    2020, eqs. 6-7) must match our jnp implementation bitwise-ish."""
+
+    def test_untargeted(self):
+        import torch
+
+        rng = np.random.RandomState(0)
+        logits_np = rng.randn(16, 10).astype(np.float32)
+        y_np = rng.randint(0, 10, size=16)
+
+        t = torch.from_numpy(logits_np)
+        y_t = torch.from_numpy(y_np)
+        z_sorted, _ = t.sort(dim=1)
+        z_y = t[torch.arange(16), y_t]
+        ind = (z_sorted[:, -1] == z_y).float()
+        want = -(z_y - z_sorted[:, -2] * ind - z_sorted[:, -1] * (1.0 - ind)) \
+            / (z_sorted[:, -1] - z_sorted[:, -3] + 1e-12)
+
+        got = dlr_loss(jnp.asarray(logits_np), jnp.asarray(y_np))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-6)
+
+    def test_targeted(self):
+        import torch
+
+        rng = np.random.RandomState(1)
+        logits_np = rng.randn(16, 10).astype(np.float32)
+        y_np = rng.randint(0, 10, size=16)
+        t_np = (y_np + 3) % 10
+
+        t = torch.from_numpy(logits_np)
+        z_sorted, _ = t.sort(dim=1)
+        z_y = t[torch.arange(16), torch.from_numpy(y_np)]
+        z_t = t[torch.arange(16), torch.from_numpy(t_np)]
+        want = -(z_y - z_t) / (z_sorted[:, -1]
+                               - 0.5 * (z_sorted[:, -3] + z_sorted[:, -4])
+                               + 1e-12)
+
+        got = dlr_loss_targeted(jnp.asarray(logits_np), jnp.asarray(y_np),
+                                jnp.asarray(t_np))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-6)
+
+
+class TestAPGDVariants:
+    def test_apgd_dlr_ball_and_effectiveness(self, tiny_logits_fn,
+                                             image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 8 / 255
+        x_adv = apgd_dlr_attack(tiny_logits_fn, x, y, eps=eps, steps=10,
+                                key=rng_key)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= eps + 1e-6
+        assert float(jnp.min(x_adv)) >= 0.0 and float(jnp.max(x_adv)) <= 1.0
+        fooled = float(jnp.mean((_labels(tiny_logits_fn, x_adv) != y)))
+        assert fooled >= 0.5  # easy model, 8/255
+
+    def test_apgd_targeted_ball_success_consistency(self, tiny_logits_fn,
+                                                    image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 8 / 255
+        x_adv, success = apgd_targeted_attack(
+            tiny_logits_fn, x, y, eps=eps, steps=5, n_targets=3, key=rng_key)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= eps + 1e-6
+        # success implies the RETURNED iterate misclassifies
+        mis = np.asarray(_labels(tiny_logits_fn, x_adv) != y)
+        succ = np.asarray(success)
+        assert np.all(mis[succ]), "success flag without a fooling iterate"
+        assert succ.mean() >= 0.5  # easy model
+
+    def test_apgd_targeted_caps_targets_to_classes(self, tiny_logits_fn,
+                                                   image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        # 8-class model: n_targets=50 must clamp to 7, not crash
+        x_adv, success = apgd_targeted_attack(
+            tiny_logits_fn, x, y, eps=8 / 255, steps=2, n_targets=50,
+            key=rng_key)
+        assert x_adv.shape == x.shape and success.shape == y.shape
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        p = AttackParams(steps=3, n_target_classes=2)
+        for name in ("apgd_dlr", "apgd_t", "fab"):
+            x_adv = run_attack(name, tiny_logits_fn, x, y, p, rng_key)
+            assert x_adv.shape == x.shape
+            with pytest.raises(ValueError):
+                run_attack(name, tiny_logits_fn, x, y, p, rng_key,
+                           y_target=(y + 1) % 8)
+
+
+class TestFABProjection:
+    def test_unclipped_case_matches_analytic_linf_projection(self):
+        """Interior point, constraint reachable without touching the box:
+        the minimal L-inf move onto {w.u + b = 0} is |w.z + b| / ||w||_1,
+        achieved by moving every coordinate by that amount against
+        sign(w).  The bisection must reproduce it."""
+        rng = np.random.RandomState(0)
+        z = jnp.full((4, 6), 0.5, jnp.float32)
+        w = jnp.asarray(rng.randn(4, 6), jnp.float32)
+        g_target = jnp.asarray([0.3, -0.2, 0.15, 0.05], jnp.float32)
+        b = g_target - jnp.sum(w * z, axis=1)
+
+        u = project_box_hyperplane(z, w, b)
+        resid = np.asarray(jnp.sum(w * u, axis=1) + b)
+        np.testing.assert_allclose(resid, 0.0, atol=1e-5)
+        dist = np.asarray(jnp.max(jnp.abs(u - z), axis=1))
+        want = np.abs(np.asarray(g_target)) / np.abs(np.asarray(w)).sum(1)
+        np.testing.assert_allclose(dist, want, rtol=1e-4, atol=1e-6)
+
+    def test_box_clipping_and_infeasible(self):
+        # one coordinate, boundary far outside the box: the projection
+        # saturates at the box face (closest attainable point)
+        z = jnp.asarray([[0.9]], jnp.float32)
+        w = jnp.asarray([[1.0]], jnp.float32)
+        b = jnp.asarray([-5.0], jnp.float32)  # u = 5 unreachable in [0,1]
+        u = np.asarray(project_box_hyperplane(z, w, b))
+        np.testing.assert_allclose(u, [[1.0]], atol=1e-6)
+        # feasible at the boundary of the box
+        b2 = jnp.asarray([-1.0], jnp.float32)  # u = 1.0 exactly
+        u2 = np.asarray(project_box_hyperplane(z, w, b2))
+        np.testing.assert_allclose(u2, [[1.0]], atol=1e-6)
+
+    def test_already_feasible_returns_z(self):
+        z = jnp.asarray([[0.2, 0.8]], jnp.float32)
+        w = jnp.asarray([[1.0, -1.0]], jnp.float32)
+        b = jnp.asarray([0.6], jnp.float32)  # w.z + b = 0 already
+        u = np.asarray(project_box_hyperplane(z, w, b))
+        np.testing.assert_allclose(u, np.asarray(z), atol=1e-6)
+
+    def test_image_shaped_batch(self):
+        rng = np.random.RandomState(2)
+        z = jnp.asarray(rng.uniform(0.3, 0.7, (3, 4, 4, 3)), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 4, 4, 3), jnp.float32)
+        b = jnp.asarray([0.5, -0.5, 0.1], jnp.float32) - jnp.sum(
+            w * z, axis=(1, 2, 3))
+        u = project_box_hyperplane(z, w, b)
+        assert u.shape == z.shape
+        resid = np.asarray(jnp.sum(w * u, axis=(1, 2, 3)) + b)
+        np.testing.assert_allclose(resid, 0.0, atol=1e-4)
+
+
+class TestFABAttack:
+    def test_finds_small_perturbations(self, tiny_logits_fn, image_batch,
+                                       rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = fab_targeted_attack(tiny_logits_fn, x, y, eps=8 / 255,
+                                    steps=10, n_targets=3, key=rng_key)
+        assert float(jnp.min(x_adv)) >= 0.0 and float(jnp.max(x_adv)) <= 1.0
+        mis = np.asarray(_labels(tiny_logits_fn, x_adv) != y)
+        assert mis.mean() >= 0.5  # easy model: boundaries are close
+        # minimal-norm character: the fooling iterates stay small
+        dist = np.asarray(jnp.max(jnp.abs(x_adv - x), axis=(1, 2, 3)))
+        assert np.all(dist[mis] < 0.25)
+
+    def test_unfooled_samples_return_clean(self, image_batch, rng_key):
+        """A constant model never misclassifies relative to itself — FAB
+        must return the clean input, not garbage."""
+        const = jnp.asarray(np.linspace(1.0, 0.1, 8), jnp.float32)
+
+        def lf(x):
+            return jnp.broadcast_to(const, (x.shape[0], 8))
+
+        x = jnp.asarray(image_batch)
+        y = _labels(lf, x)
+        x_adv = fab_targeted_attack(lf, x, y, eps=8 / 255, steps=3,
+                                    n_targets=2, key=rng_key)
+        np.testing.assert_array_equal(np.asarray(x_adv), np.asarray(x))
+
+
+class TestStandardEnsemble:
+    def test_autoattack_composition(self, tiny_logits_fn, image_batch,
+                                    rng_key):
+        from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
+            autoattack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 8 / 255
+        res = jax.jit(lambda x, y, k: autoattack(
+            tiny_logits_fn, x, y, eps=eps, key=k, apgd_steps=4,
+            apgd_t_steps=3, apgd_t_targets=2, fab_steps=3, fab_targets=2,
+            square_steps=5,
+        ))(x, y, rng_key)
+
+        succ = np.asarray(res.success)
+        any_arm = np.asarray(res.success_apgd_ce | res.success_apgd_t
+                             | res.success_fab | res.success_square)
+        np.testing.assert_array_equal(succ, any_arm)
+        # every successful sample's worst-case example actually fools
+        mis = np.asarray(_labels(tiny_logits_fn, res.x_adv) != y)
+        assert np.all(mis[succ])
+        # FAB successes were counted in-ball only
+        if np.asarray(res.success_fab).any():
+            pass  # the in-ball mask is internal; composition-level check above
+
+    @pytest.mark.slow
+    def test_robust_cli_standard_protocol(self, tmp_path, capsys):
+        import json
+
+        from PIL import Image
+
+        from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+            main,
+        )
+
+        rng = np.random.RandomState(0)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.jpg")
+        out = tmp_path / "aa.json"
+        rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                   "--protocol", "standard", "--eps_list", "0.03137",
+                   "--apgd_steps", "3", "--square_steps", "4",
+                   "--fab_steps", "3", "--n_target_classes", "2",
+                   "--output", str(out)])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "protocol=standard" in text and "robust_acc=" in text
+        data = json.loads(out.read_text())
+        assert data["protocol"] == "standard"
+        row = data["results"][0]
+        for arm in ("apgd_ce", "apgd_t", "fab", "square"):
+            assert f"success_{arm}" in row
+        assert 0.0 <= row["robust_accuracy"] <= 1.0
