@@ -58,9 +58,13 @@ def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, data_sharding(mesh))
 
 
+def _path_names(path: tuple) -> list[str]:
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
 def _is_head_kernel(path: tuple, leaf) -> bool:
     """True for the classifier head's dense kernel ([in, out], out = classes)."""
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    names = _path_names(path)
     return (
         len(names) >= 2
         and names[-1] == "kernel"
@@ -71,21 +75,79 @@ def _is_head_kernel(path: tuple, leaf) -> bool:
     )
 
 
+def tensor_parallel_spec(path: tuple, leaf) -> P | None:
+    """PartitionSpec for a parameter under tensor parallelism, or None
+    (replicate).
+
+    Megatron-style column/row pairing over the 'model' axis (SURVEY §2
+    parallelism table, TP row — "so larger models (ViT-L+) can shard
+    parameters over ICI"):
+
+    - ViT attention: qkv kernel column-parallel [D, 3D->shard], its bias
+      sharded to match; output projection row-parallel [D->shard, D]
+      (XLA inserts the psum).  The packed 3D split is contiguous rather
+      than head-aligned — GSPMD reshards at the head reshape; exactness
+      is XLA's contract, layout efficiency is a documented trade.
+    - ViT MLP: linear_1 column-parallel, linear_2 row-parallel — the
+      canonical pair with one psum per block and the two largest
+      parameter tensors partitioned.
+    - ResNet stage convs (layer1..4 bottlenecks): out-channel sharding
+      [kh, kw, in, out->shard] on every conv kernel — the stage convs
+      hold ~90% of ResNet-50's parameters; BatchNorm stays replicated
+      (tiny) and GSPMD inserts the boundary reshards.
+    - Classifier head: output-dim sharding (the round-1 rule).
+
+    Semantics are unchanged by ANY of these annotations (GSPMD inserts
+    collectives to keep the math identical — verified to atol by
+    tests/test_sharding.py); what they buy is per-chip parameter memory
+    ~1/n_model on the dominant tensors.
+    """
+    names = _path_names(path)
+    if not names:
+        return None
+    last = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    ndim = getattr(leaf, "ndim", 0)
+
+    if _is_head_kernel(path, leaf):
+        return P(None, "model")
+    in_attention = any(n == "self_attention" for n in names)
+    if in_attention and parent == "qkv":
+        if last == "kernel" and ndim == 2:
+            return P(None, "model")
+        if last == "bias" and ndim == 1:
+            return P("model")
+    if in_attention and parent == "out" and last == "kernel" and ndim == 2:
+        return P("model", None)  # row-parallel; bias replicated
+    if parent == "mlp_linear_1":
+        if last == "kernel" and ndim == 2:
+            return P(None, "model")
+        if last == "bias" and ndim == 1:
+            return P("model")
+    if parent == "mlp_linear_2" and last == "kernel" and ndim == 2:
+        return P("model", None)
+    # ResNet stage convs: 4-D kernels inside layerN_i bottleneck blocks
+    if (last == "kernel" and ndim == 4
+            and any(n.startswith("layer") for n in names)):
+        return P(None, None, None, "model")
+    return None
+
+
 def shard_model_variables(variables: dict, mesh: Mesh, tensor_parallel: bool = False):
     """Place model variables on the mesh.
 
     Default: fully replicated (NamedSharding(mesh, P())).  With
-    ``tensor_parallel=True`` and a model axis > 1, the classifier-head
-    kernel is sharded over 'model' on its output dim; XLA adds the gather
-    for the logits.
+    ``tensor_parallel=True`` and a model axis > 1, parameters matching
+    ``tensor_parallel_spec`` (ViT qkv/MLP, ResNet stage convs, classifier
+    heads) are sharded over 'model'; XLA inserts the collectives.
     """
     repl = replicated_sharding(mesh)
     if not tensor_parallel or mesh.shape.get("model", 1) == 1:
         return jax.device_put(variables, repl)
 
-    head = NamedSharding(mesh, P(None, "model"))
-
     def place(path, leaf):
-        return jax.device_put(leaf, head if _is_head_kernel(path, leaf) else repl)
+        spec = tensor_parallel_spec(path, leaf)
+        sh = repl if spec is None else NamedSharding(mesh, spec)
+        return jax.device_put(leaf, sh)
 
     return jax.tree_util.tree_map_with_path(place, variables)
