@@ -52,3 +52,26 @@ def test_uniform_noise_cpu_fallback_statistics():
     assert arr.min() >= -8 / 255 and arr.max() <= 8 / 255
     # roughly uniform: std of U(-e, e) is e/sqrt(3)
     assert abs(arr.std() - (8 / 255) / np.sqrt(3)) < 0.002
+
+
+def test_pallas_conv_probe_interpret_matches_xla():
+    """The conv-probe kernel (benchmarks/pallas_conv_probe.py) in
+    interpreter mode must match lax.conv on CPU — the numerics gate the
+    on-chip benchmark asserts before timing (VERDICT r2 next #5)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+    try:
+        import pallas_conv_probe as probe
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, probe.H, probe.W, probe.C_IN), jnp.float32)
+    w = jnp.asarray(rng.randn(probe.K, probe.K, probe.C_IN, probe.C_OUT) * 0.05,
+                    jnp.float32)
+    ours = probe.pallas_conv3x3(x, w, interpret=True)
+    ref = probe.xla_conv3x3(x, w)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
