@@ -170,6 +170,7 @@ class TestFeatureSqueezing:
 
 
 class TestCertifyCLI:
+    @pytest.mark.slow
     def test_smoke(self, tmp_path, capsys):
         import json
 
@@ -215,6 +216,7 @@ class TestMaxBatchSlicing:
         # high-margin rows still vote unanimously through the sliced path
         np.testing.assert_array_equal(np.argmax(counts, -1), [0, 0, 0, 1, 1])
 
+    @pytest.mark.slow
     def test_certify_unaffected_by_slicing_for_clear_inputs(self):
         lf = _mean_intensity_logits()
         x = jnp.stack([jnp.full((4, 4, 3), 0.9, jnp.float32)] * 3)
@@ -229,6 +231,7 @@ class TestMaxBatchSlicing:
 
 
 class TestCertifyLabelsJson:
+    @pytest.mark.slow
     def test_plot_scores_against_ground_truth(self, tmp_path, capsys):
         import json
 

@@ -25,6 +25,7 @@ def image_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_classify_cli(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.classify import main
 
@@ -38,6 +39,7 @@ def test_classify_cli(image_dir, capsys):
     assert adv_path.is_file()
 
 
+@pytest.mark.slow
 def test_classify_cli_directory_mode(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.classify import main
 
@@ -47,6 +49,7 @@ def test_classify_cli_directory_mode(image_dir, capsys):
     assert out.count("Image: ") == 3
 
 
+@pytest.mark.slow
 def test_defense_experiments_cli(image_dir, tmp_path, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
 
@@ -78,6 +81,7 @@ def test_defense_experiments_cli(image_dir, tmp_path, capsys):
     assert "(resumed from partial results)" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_blackbox_transfer_cli(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.blackbox_transfer import main
 
@@ -90,6 +94,7 @@ def test_blackbox_transfer_cli(image_dir, capsys):
     assert re.search(r"FGSM\t\d+\.\d%", out)
 
 
+@pytest.mark.slow
 def test_transferability_cli(image_dir, tmp_path, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.transferability import main
 
@@ -106,6 +111,7 @@ def test_transferability_cli(image_dir, tmp_path, capsys):
     assert (out_dir / "transfer_heatmap_pgd.png").is_file()
 
 
+@pytest.mark.slow
 def test_visualize_cli(image_dir, tmp_path, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.visualize import main
 
@@ -125,6 +131,7 @@ def test_visualize_cli(image_dir, tmp_path, capsys):
     assert (out_dir / "adversarial_images" / "adv_cw.png").is_file()
 
 
+@pytest.mark.slow
 def test_dataset_check_cli(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.dataset_check import main
 
@@ -135,6 +142,7 @@ def test_dataset_check_cli(image_dir, capsys):
     assert "Low-confidence ratio" in out
 
 
+@pytest.mark.slow
 def test_defense_experiments_jpeg_and_robust(image_dir, tmp_path, capsys):
     """--use_jpeg routes through the io_callback path; --model_type robust
     falls back to random init (no weights here) with identity normalization."""
@@ -153,6 +161,7 @@ def test_defense_experiments_jpeg_and_robust(image_dir, tmp_path, capsys):
     assert "attack=fgsm" in out
 
 
+@pytest.mark.slow
 def test_classify_targeted_cw(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.classify import main
 
@@ -162,6 +171,7 @@ def test_classify_targeted_cw(image_dir, capsys):
     assert "Adversarial (cw):" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_defense_experiments_calibrate_dir_and_threshold(image_dir, tmp_path, capsys):
     """--calibrate_dir calibrates on a separate directory; --detector_threshold
     bypasses calibration entirely."""
@@ -182,6 +192,7 @@ def test_defense_experiments_calibrate_dir_and_threshold(image_dir, tmp_path, ca
     assert "Using specified threshold: 2.5000" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_defense_experiments_mifgsm_grid(image_dir, tmp_path, capsys):
     """The beyond-reference attack flows through the full defense grid."""
     from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
@@ -193,6 +204,7 @@ def test_defense_experiments_mifgsm_grid(image_dir, tmp_path, capsys):
     assert "attack=mifgsm" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_classify_skips_corrupt_image(image_dir, tmp_path, capsys):
     """Directory mode survives an unreadable file (the reference crashes)."""
     import shutil
@@ -210,6 +222,7 @@ def test_classify_skips_corrupt_image(image_dir, tmp_path, capsys):
     assert out.count("Image: ") == 1
 
 
+@pytest.mark.slow
 def test_adversarial_train_cli(tmp_path, capsys):
     """PGD-AT fine-tuning CLI: trains on a subdir-per-class dataset and
     saves a zoo-loadable msgpack checkpoint."""
@@ -241,6 +254,7 @@ def test_adversarial_train_cli(tmp_path, capsys):
     assert bundle.source == "cache"
 
 
+@pytest.mark.slow
 def test_defense_experiments_new_attacks_and_squeezing_detector(image_dir, tmp_path, capsys):
     """The extended attack family (deepfool/nes) + the squeezing detector
     run through the full grid harness with the same summary-line format."""
@@ -264,6 +278,7 @@ def test_defense_experiments_new_attacks_and_squeezing_detector(image_dir, tmp_p
         )
 
 
+@pytest.mark.slow
 def test_certify_cli_sigma_sweep_and_plot(image_dir, capsys, tmp_path):
     from image_recognition_adversarial_example_attack_tpu.cli.certify import main
 
@@ -281,6 +296,7 @@ def test_certify_cli_sigma_sweep_and_plot(image_dir, capsys, tmp_path):
     assert [s["sigma"] for s in data["sweeps"]] == [0.12, 0.25]
 
 
+@pytest.mark.slow
 def test_robust_eval_cli(image_dir, tmp_path, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import main
 
@@ -301,6 +317,7 @@ def test_robust_eval_cli(image_dir, tmp_path, capsys):
     assert fig.is_file()
 
 
+@pytest.mark.slow
 def test_serve_cli_file_mode(image_dir, tmp_path):
     """Serving surface: warm compile once, then one JSON line per request
     with per-request error isolation and detector/defense fields."""
@@ -334,6 +351,7 @@ def test_serve_cli_file_mode(image_dir, tmp_path):
     assert "missing.jpg" in bad[0]["path"]
 
 
+@pytest.mark.slow
 def test_serve_cli_sharded_virtual_mesh(image_dir, tmp_path):
     """--sharded on an 8-virtual-device CPU mesh: batch rounds up to the
     device count and the JSON protocol stays clean."""
@@ -378,6 +396,7 @@ def test_labels_json_resolution(tmp_path):
     assert resolve_labels(None, paths, pseudo).tolist() == [10, 11, 12]
 
 
+@pytest.mark.slow
 def test_robust_eval_cli_with_ground_truth_labels(image_dir, tmp_path, capsys):
     """Ground-truth labels change clean_correct and therefore the robust
     accuracy denominator (the standard protocol's clean-correct subset)."""
@@ -394,3 +413,75 @@ def test_robust_eval_cli_with_ground_truth_labels(image_dir, tmp_path, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "clean accuracy vs ground truth: 0.000" in text
+
+
+def test_serve_linestream_sees_buffered_burst():
+    """ADVICE r2 (medium): a burst of lines already delivered by the OS
+    must drain as ONE micro-batch, not batch-of-1 per wait window.  The
+    os.read-based _LineStream makes buffered lines visible instantly."""
+    import os as _os
+    import time as _time
+
+    from image_recognition_adversarial_example_attack_tpu.cli.serve import (
+        _LineStream,
+        _drain_requests,
+    )
+
+    r, w = _os.pipe()
+    try:
+        _os.write(w, b"a.jpg\nb.jpg\nc.jpg\nd.jpg\n")
+        reader = _LineStream(r)
+        t0 = _time.monotonic()
+        got = _drain_requests(reader, batch=8, max_wait_s=0.05)
+        dt = _time.monotonic() - t0
+        assert got == ["a.jpg", "b.jpg", "c.jpg", "d.jpg"]
+        assert dt < 1.0  # buffered lines come without stalling per line
+        # partial line stays buffered until its newline (or EOF) arrives
+        _os.write(w, b"e.jp")
+        assert reader.readline(0.05) is None and not reader.eof
+        _os.write(w, b"g\n")
+        _os.close(w)
+        assert reader.readline(1.0) == "e.jpg"
+        assert reader.readline(1.0) is None and reader.eof
+    finally:
+        _os.close(r)
+
+
+@pytest.mark.slow
+def test_serve_cli_sigterm_drain(image_dir):
+    """SIGTERM while idle: the service emits a shutdown line and exits 0
+    (graceful drain, VERDICT r2 next #7)."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    env = {"ADV_TPU_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    proc = subprocess.Popen(
+        [_sys.executable, "-m",
+         "image_recognition_adversarial_example_attack_tpu.cli.serve",
+         "--model", "resnet_tiny", "--batch", "2"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] is True
+        # one request round-trips before the signal
+        proc.stdin.write(f"{image_dir / 'img_0.jpg'}\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["top1"] >= 0 and resp["latency_ms"] > 0
+        assert resp["batch_size"] == 2  # compiled batch, not request count
+        assert resp["request_count"] == 1
+        assert "decode_ms" in resp
+        proc.send_signal(_signal.SIGTERM)
+        out, err = proc.communicate(timeout=60)
+        assert proc.returncode == 0, err[-2000:]
+        last = json.loads(out.splitlines()[-1])
+        assert last == {"shutdown": True, "signal": int(_signal.SIGTERM)}
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()

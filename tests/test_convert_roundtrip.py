@@ -10,6 +10,7 @@ outputs after the layout transforms (qkv fusion, transposes).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from image_recognition_adversarial_example_attack_tpu.models import convert
@@ -57,6 +58,7 @@ def _fill_from_template(template_params: dict, template_stats: dict | None,
     return sd
 
 
+@pytest.mark.slow
 def test_vit_converter_roundtrip():
     model = ViT(patch_size=8, dim=16, depth=2, num_heads=2, mlp_dim=32,
                 num_classes=5, image_size=32)
@@ -96,6 +98,7 @@ def test_vit_converter_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_swin_converter_roundtrip():
     model = SwinTransformer(patch_size=2, embed_dim=8, depths=(2, 2),
                             num_heads=(2, 2), window=4, num_classes=5)
@@ -166,6 +169,7 @@ def _conv_nobias(sd, template, torch_key, flax_path):
     sd[torch_key + ".weight"] = torch.tensor(kern.transpose(3, 2, 0, 1))
 
 
+@pytest.mark.slow
 def test_densenet_converter_roundtrip():
     from image_recognition_adversarial_example_attack_tpu.models.densenet import DenseNet
 
@@ -200,6 +204,7 @@ def test_densenet_converter_roundtrip():
         np.asarray(model.apply(template, x)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_efficientnet_converter_roundtrip():
     from image_recognition_adversarial_example_attack_tpu.models.efficientnet import (
         EfficientNet,

@@ -19,6 +19,7 @@ REPO = Path(__file__).parent.parent
 sys.path.insert(0, str(REPO))
 
 
+@pytest.mark.slow
 def test_entry_returns_jittable_forward():
     import __graft_entry__ as g
 
@@ -28,6 +29,7 @@ def test_entry_returns_jittable_forward():
     assert args[0].shape == (8, 224, 224, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     """With enough visible devices the dry run executes directly and emits
     the machine-parseable JSON line."""
@@ -44,6 +46,7 @@ def test_dryrun_multichip_in_process():
     assert rec["mesh"] == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_bench_sharded_contract(monkeypatch, capsys):
     """bench.py main() on the virtual mesh prints ONE JSON line with the
     driver's schema; the sharded path reports aggregate + per-chip."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_recognition_adversarial_example_attack_tpu.attacks import AttackParams
 from image_recognition_adversarial_example_attack_tpu.defenses.detector import (
@@ -57,6 +58,7 @@ class TestDefenseEval:
         linf = float(jnp.max(jnp.abs(out["x_adv"] - x)))
         assert linf <= 8 / 255 + 1e-6
 
+    @pytest.mark.slow
     def test_dynamic_eps_matches_static_with_one_compile(
         self, tiny_logits_fn, tiny_resnet, image_batch, rng_key
     ):

@@ -10,6 +10,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 from PIL import Image
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -82,6 +83,7 @@ def _generate():
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
 
+@pytest.mark.slow
 def test_goldens_match():
     assert GOLDEN_DIR.is_dir(), "goldens missing — run: python tests/test_goldens.py --regen"
     generated = _generate()

@@ -25,6 +25,7 @@ TINY_FACTORIES = {
 
 
 @pytest.mark.parametrize("name", sorted(TINY_FACTORIES))
+@pytest.mark.slow
 def test_forward_shape_and_grad_flow(name):
     """Every architecture: correct logits shape, finite input gradients
     (the property every attack depends on)."""
@@ -121,6 +122,7 @@ def test_efficientnet_b0_full_param_count():
 
 
 class TestConverter:
+    @pytest.mark.slow
     def test_resnet_roundtrip_synthetic(self):
         """A synthetic torchvision-keyed state dict converts into exactly the
         flax init structure (shape-checked leaf by leaf)."""
@@ -195,6 +197,7 @@ class TestConverter:
             convert.assert_tree_shapes_match({"params": {}}, {"params": {"conv": {}}})
 
 
+@pytest.mark.slow
 def test_zoo_listing_and_random_fallback():
     from image_recognition_adversarial_example_attack_tpu.models.zoo import (
         list_models,
@@ -263,6 +266,7 @@ class TestRenameRules:
         assert efficientnet_rename("classifier.1") == "classifier"
 
 
+@pytest.mark.slow
 def test_zoo_msgpack_cache_roundtrip(tmp_path, monkeypatch):
     """save_variables -> load_model cache hit reproduces exact outputs."""
     import jax

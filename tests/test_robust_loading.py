@@ -71,6 +71,7 @@ def _trees_equal(a, b) -> bool:
                for k, v in flat_a)
 
 
+@pytest.mark.slow
 def test_robust_checkpoint_end_to_end(tmp_path):
     """A module.model.-prefixed full ResNet-50 .pth loads through
     zoo.load_model("resnet50_robust") and reproduces the source forward."""
@@ -95,6 +96,7 @@ def test_robust_checkpoint_end_to_end(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_robust_checkpoint_nested_state_dict_key(tmp_path):
     """RobustBench checkpoints often wrap weights under a 'state_dict' key."""
     model = resnet_tiny()
@@ -113,6 +115,7 @@ def test_robust_checkpoint_nested_state_dict_key(tmp_path):
     assert _trees_equal(template, converted)
 
 
+@pytest.mark.slow
 def test_defense_cli_robust_arm_with_weights(tmp_path, monkeypatch, capsys):
     """--model_type robust + --weights <robustbench .pth>: the CLI converts
     the checkpoint and applies identity normalization (mean 0 / std 1)."""

@@ -97,6 +97,7 @@ def test_eval_step(trained_state):
     assert float(out["clean_accuracy"]) > 0.9
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(trained_state):
     """One PGD-AT step over the ('data','model') mesh equals the
     single-device step (the gradient psum is XLA's, not ours)."""
@@ -212,6 +213,7 @@ class TestTrades:
         robust_acc = float(jnp.mean(jnp.argmax(lf(x_adv), -1) == y))
         assert robust_acc > 0.9
 
+    @pytest.mark.slow
     def test_trades_cli_smoke(self, tmp_path, capsys):
         from PIL import Image
 
@@ -239,6 +241,7 @@ class TestTrades:
 class TestNoiseTraining:
     """Gaussian-noise training for randomized smoothing (SmoothAdv/Cohen)."""
 
+    @pytest.mark.slow
     def test_smoothadv_step_descends_and_differs_from_plain(self):
         from image_recognition_adversarial_example_attack_tpu.models.tiny import (
             make_tiny,
@@ -271,6 +274,7 @@ class TestNoiseTraining:
         ]
         assert max(diffs) > 1e-6
 
+    @pytest.mark.slow
     def test_noise_trained_model_still_certifies(self):
         """End-to-end train -> certify: after SmoothAdv fine-tuning on the
         wide-margin toy task, randomized smoothing certifies every sample
@@ -334,6 +338,7 @@ def test_attack_steps_zero_is_pure_cohen_augmentation():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_exact_resume():
     """Full-state checkpointing: save after k steps, restore into a FRESH
     template, continue — bitwise-identical to an uninterrupted run (params
