@@ -67,6 +67,10 @@ def dlr_loss(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     that saturated-CE suffers from.  Maximizing it drives z_y below the
     runner-up.  [B,C] logits -> [B] loss.
     """
+    if logits.shape[-1] < 3:
+        raise ValueError(
+            f"DLR needs >= 3 classes (got {logits.shape[-1]}): the "
+            "normalizer is z_pi1 - z_pi3")
     z_sorted = jnp.sort(logits, axis=-1)  # ascending
     z_y = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
     onehot = jax.nn.one_hot(y, logits.shape[-1], dtype=bool)
@@ -83,6 +87,10 @@ def dlr_loss_targeted(logits: jnp.ndarray, y: jnp.ndarray,
 
     Maximizing it pushes the target class above the true one.
     """
+    if logits.shape[-1] < 4:
+        raise ValueError(
+            f"targeted DLR needs >= 4 classes (got {logits.shape[-1]}): the "
+            "normalizer is z_pi1 - (z_pi3 + z_pi4)/2")
     z_sorted = jnp.sort(logits, axis=-1)
     z_y = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
     z_t = jnp.take_along_axis(logits, y_target[:, None], axis=-1)[:, 0]
@@ -115,19 +123,38 @@ def apgd_attack(
     y_target: jnp.ndarray | None = None,
     rho: float = 0.75,
     alpha_momentum: float = 0.75,
+    norm: str = "linf",
 ) -> jnp.ndarray:
     """[B,H,W,C] in [0,1] -> best-loss adversarial batch in [0,1].
 
-    L-inf APGD maximizing the chosen loss ('ce' | 'dlr' | 'dlr-targeted')
-    inside the eps-ball.
+    APGD maximizing the chosen loss ('ce' | 'dlr' | 'dlr-targeted')
+    inside the eps-ball of the chosen ``norm`` ('linf' | 'l2').  L2 mode
+    follows the paper's recipe: sphere-surface random start, per-sample
+    L2-normalized gradient steps, projection = radial rescale of the
+    delta then box clip.
     """
+    if norm not in ("linf", "l2"):
+        raise ValueError(f"unknown APGD norm '{norm}'")
     b = x.shape[0]
     x_orig = x
     expand = (slice(None), None, None, None)  # [B] -> [B,1,1,1]
+    axes = tuple(range(1, x.ndim))
     loss_vec = _make_loss(loss, y_true, y_target)
 
     def clip_ball(z):
-        return jnp.clip(jnp.clip(z, x_orig - eps, x_orig + eps), 0.0, 1.0)
+        if norm == "linf":
+            return jnp.clip(jnp.clip(z, x_orig - eps, x_orig + eps), 0.0, 1.0)
+        delta = z - x_orig
+        nrm = jnp.sqrt(jnp.sum(jnp.square(delta), axis=axes, keepdims=True))
+        delta = delta * jnp.minimum(1.0, eps / (nrm + 1e-12))
+        return jnp.clip(x_orig + delta, 0.0, 1.0)
+
+    def step_dir(grad):
+        """ascent direction scaled so eta means 'distance moved'."""
+        if norm == "linf":
+            return jnp.sign(grad)
+        nrm = jnp.sqrt(jnp.sum(jnp.square(grad), axis=axes, keepdims=True))
+        return grad / (nrm + 1e-12)
 
     def loss_and_grad(z):
         def f(zz):
@@ -138,11 +165,17 @@ def apgd_attack(
         return loss, grad
 
     # --- init: random start + one plain step at eta0 = 2*eps ---
-    noise = jax.random.uniform(key, x.shape, x.dtype, minval=-eps, maxval=eps)
+    if norm == "linf":
+        noise = jax.random.uniform(key, x.shape, x.dtype,
+                                   minval=-eps, maxval=eps)
+    else:
+        g = jax.random.normal(key, x.shape, x.dtype)
+        g_nrm = jnp.sqrt(jnp.sum(jnp.square(g), axis=axes, keepdims=True))
+        noise = eps * g / (g_nrm + 1e-12)  # sphere surface, like the paper
     x0 = clip_ball(x_orig + noise)
     loss0, grad0 = loss_and_grad(x0)
     eta0 = jnp.full((b,), 2.0 * eps, x.dtype)
-    x1 = clip_ball(x0 + eta0[expand] * jnp.sign(grad0))
+    x1 = clip_ball(x0 + eta0[expand] * step_dir(grad0))
     loss1, grad1 = loss_and_grad(x1)
 
     better1 = loss1 > loss0
@@ -166,7 +199,7 @@ def apgd_attack(
 
     def body(c, is_ckpt):
         # momentum step (paper eq. 2-3) with the current per-sample eta
-        z = clip_ball(c["x_k"] + c["eta"][expand] * jnp.sign(c["grad"]))
+        z = clip_ball(c["x_k"] + c["eta"][expand] * step_dir(c["grad"]))
         x_new = clip_ball(
             c["x_k"]
             + alpha_momentum * (z - c["x_k"])
@@ -213,17 +246,21 @@ def apgd_attack(
 
 
 def apgd_ce_attack(logits_fn, x, y_true, *, eps, steps: int = 100, key,
-                   rho: float = 0.75, alpha_momentum: float = 0.75):
+                   rho: float = 0.75, alpha_momentum: float = 0.75,
+                   norm: str = "linf"):
     """APGD maximizing untargeted cross-entropy (AutoAttack arm 1)."""
     return apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps, key=key,
-                       loss="ce", rho=rho, alpha_momentum=alpha_momentum)
+                       loss="ce", rho=rho, alpha_momentum=alpha_momentum,
+                       norm=norm)
 
 
 def apgd_dlr_attack(logits_fn, x, y_true, *, eps, steps: int = 100, key,
-                    rho: float = 0.75, alpha_momentum: float = 0.75):
+                    rho: float = 0.75, alpha_momentum: float = 0.75,
+                    norm: str = "linf"):
     """APGD maximizing untargeted DLR (gradient-masking-resistant arm)."""
     return apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps, key=key,
-                       loss="dlr", rho=rho, alpha_momentum=alpha_momentum)
+                       loss="dlr", rho=rho, alpha_momentum=alpha_momentum,
+                       norm=norm)
 
 
 def apgd_targeted_attack(
@@ -237,6 +274,7 @@ def apgd_targeted_attack(
     key: jax.Array,
     rho: float = 0.75,
     alpha_momentum: float = 0.75,
+    norm: str = "linf",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """APGD-T: targeted-DLR restarts over the top-``n_targets`` runner-up
     classes of the clean logits (AutoAttack's strongest white-box arm).
@@ -263,13 +301,14 @@ def apgd_targeted_attack(
         y_t, k = inp
         x_try = apgd_attack(logits_fn, x, y_true, eps=eps, steps=steps,
                             key=k, loss="dlr-targeted", y_target=y_t,
-                            rho=rho, alpha_momentum=alpha_momentum)
+                            rho=rho, alpha_momentum=alpha_momentum,
+                            norm=norm)
         fooled = jnp.argmax(logits_fn(x_try), -1) != y_true
-        # keep the FIRST successful restart's iterate; otherwise keep the
-        # latest try so unsuccessful samples end with a real best-loss
-        # iterate rather than the clean image
-        take = fooled & ~success
-        x_adv = jnp.where((take | ~success)[:, None, None, None], x_try, x_adv)
+        # a sample that already succeeded keeps its first winning iterate;
+        # everyone else takes the latest try (so unsuccessful samples end
+        # with a real best-loss iterate rather than the clean image, and a
+        # first success this round is captured by the same update)
+        x_adv = jnp.where((~success)[:, None, None, None], x_try, x_adv)
         return (x_adv, success | fooled), None
 
     (x_adv, success), _ = lax.scan(one_target, (x, jnp.zeros(x.shape[:1], bool)),

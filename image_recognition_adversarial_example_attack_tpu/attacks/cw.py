@@ -111,11 +111,10 @@ def cw_l2_attack(
     # by the last Adam step) was never success-checked — a sample first
     # fooled on the last step would read success=False.  One extra forward
     # on the final iterate closes the blind spot (ADVICE r2).
-    final_iterate = 0.5 * (jnp.tanh(w) + 1.0)
     _, (x_fin, l2_fin, succ_fin) = objective(w)
     improved = succ_fin & (l2_fin < best_l2)
     best_success = best_success | improved
     best_adv = jnp.where(improved[:, None, None, None], x_fin, best_adv)
 
-    x_adv = jnp.where(best_success[:, None, None, None], best_adv, final_iterate)
+    x_adv = jnp.where(best_success[:, None, None, None], best_adv, x_fin)
     return CWResult(x_adv=x_adv, success=best_success)

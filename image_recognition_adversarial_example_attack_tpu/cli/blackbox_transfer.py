@@ -129,7 +129,7 @@ def main(argv=None) -> int:
         attack_fns = {a: make_attack_fn(a) for a in args.attacks}
         counts = {a: {nm: 0 for nm in target_fns} for a in args.attacks}
         viz_y_adv = {a: {} for a in args.attacks}
-        y_src_head = y_clean_head = None
+        y_src_head = y_clean_head = x_head = None
         total = 0
         with maybe_profile(args.profile_dir):
             keys = {a: jax.random.split(key, len(args.attacks))[i]
@@ -157,6 +157,8 @@ def main(argv=None) -> int:
                     y_clean_head = {nm: v[:n_viz] for nm, v in yc.items()}
                     x_head = np.asarray(x_np)[:n_viz]
                 total += n_valid
+        if total == 0:  # every chunk dropped: nothing decoded
+            raise SystemExit("no loadable images")
         n = total
         y_src, y_clean, x = y_src_head, y_clean_head, x_head
         for attack_name in args.attacks:

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="standard: full AutoAttack (APGD-CE + APGD-T "
                              "+ FAB-T + Square); lite: APGD-CE + Square + "
                              "in-ball DeepFool")
+    parser.add_argument("--norm", type=str, default="linf",
+                        choices=["linf", "l2"],
+                        help="threat-model ball: L-inf (reference "
+                             "convention) or L2 (AutoAttack-L2; the "
+                             "Square arm is skipped — no L2 sampler)")
     parser.add_argument("--apgd_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000)
     parser.add_argument("--deepfool_steps", type=int, default=30,
@@ -126,6 +131,7 @@ def main(argv=None) -> int:
                 fab_steps=int(args.fab_steps),
                 fab_targets=int(args.n_target_classes),
                 square_steps=int(args.square_steps),
+                norm=args.norm,
             )
             return (res.success, res.success_apgd_ce, res.success_apgd_t,
                     res.success_fab, res.success_square)
@@ -133,7 +139,8 @@ def main(argv=None) -> int:
         arm_desc = (f"apgd-ce-{args.apgd_steps} "
                     f"apgd-t-{args.apgd_steps}x{args.n_target_classes} "
                     f"fab-t-{args.fab_steps}x{args.n_target_classes} "
-                    f"square-{args.square_steps}")
+                    + (f"square-{args.square_steps}" if args.norm == "linf"
+                       else "square-SKIPPED(l2)"))
     else:
         arm_names = ("apgd", "square", "deepfool")
 
@@ -144,18 +151,21 @@ def main(argv=None) -> int:
                 apgd_steps=int(args.apgd_steps),
                 square_steps=int(args.square_steps),
                 deepfool_steps=int(args.deepfool_steps),
+                norm=args.norm,
             )
             return (res.success, res.success_apgd, res.success_square,
                     res.success_deepfool)
 
-        arm_desc = (f"apgd-{args.apgd_steps} square-{args.square_steps} "
-                    f"deepfool-{args.deepfool_steps}")
+        arm_desc = (f"apgd-{args.apgd_steps} "
+                    + (f"square-{args.square_steps} " if args.norm == "linf"
+                       else "square-SKIPPED(l2) ")
+                    + f"deepfool-{args.deepfool_steps}")
 
     key = key_from_seed(args.seed)
     rows = []
     n = len(kept)
-    print(f"{n} images; protocol={args.protocol}; arms: {arm_desc} "
-          "(one compiled program, eps traced)")
+    print(f"{n} images; protocol={args.protocol}; norm={args.norm}; "
+          f"arms: {arm_desc} (one compiled program, eps traced)")
     with maybe_profile(args.profile_dir):
         for eps in args.eps_list:
             key, sub = jax.random.split(key)
@@ -167,6 +177,8 @@ def main(argv=None) -> int:
                     run, kept, sub, float(eps), chunk_size=max_batch,
                     pseudo_label_fn=pseudo_fn, labels=labels_np,
                 )
+                if not got:  # every chunk dropped: nothing decoded
+                    raise SystemExit("no loadable images")
                 succ = got["arm0"]
                 arms = [got[f"arm{i + 1}"] for i in range(len(arm_names))]
                 cc = got["clean_correct"]
@@ -196,6 +208,7 @@ def main(argv=None) -> int:
     out = Path(args.output)
     out.write_text(json.dumps({
         "protocol": args.protocol,
+        "norm": args.norm,
         "apgd_steps": int(args.apgd_steps),
         "square_steps": int(args.square_steps),
         "deepfool_steps": int(args.deepfool_steps),

@@ -100,19 +100,14 @@ def process_local_batch(x_global: np.ndarray, mesh) -> jax.Array:
     process contributes only its own contiguous slice.  Returns a global
     jax.Array sharded P('data') over the mesh.
     """
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P("data"))
     if jax.process_count() == 1:
-        return jax.device_put(jnp_asarray(x_global), sharding)
+        return jax.device_put(jnp.asarray(x_global), sharding)
     return jax.make_array_from_process_local_data(sharding, _local_slice(
         x_global, sharding))
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x)
 
 
 def _local_slice(x_global: np.ndarray, sharding) -> np.ndarray:

@@ -253,3 +253,140 @@ class TestStandardEnsemble:
         for arm in ("apgd_ce", "apgd_t", "fab", "square"):
             assert f"success_{arm}" in row
         assert 0.0 <= row["robust_accuracy"] <= 1.0
+
+
+class TestReviewRegressions:
+    """Round-3 code-review findings (fixed): FAB in-ball gating in grids,
+    DLR class-count guards."""
+
+    def test_run_attack_fab_respects_eps_ball(self, tiny_logits_fn,
+                                              image_batch, rng_key):
+        """Grid harnesses count plain misclassification per eps cell, so
+        run_attack('fab') must never return an out-of-ball iterate — an
+        out-of-ball FAB success does not count (AutoAttack convention)
+        and the sample comes back clean."""
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 1e-4  # tiny budget: minimal-norm iterates will overshoot it
+        p = AttackParams(eps=eps, steps=3, n_target_classes=2)
+        x_adv = run_attack("fab", tiny_logits_fn, x, y, p, rng_key)
+        assert float(jnp.max(jnp.abs(x_adv - x))) <= eps + 1e-6
+
+    def test_dlr_class_count_guards(self):
+        logits2 = jnp.zeros((4, 2))
+        logits3 = jnp.zeros((4, 3))
+        y = jnp.zeros((4,), jnp.int32)
+        with pytest.raises(ValueError, match=">= 3 classes"):
+            dlr_loss(logits2, y)
+        with pytest.raises(ValueError, match=">= 4 classes"):
+            dlr_loss_targeted(logits3, y, y + 1)
+        # legal sizes still work
+        assert dlr_loss(logits3, y).shape == (4,)
+        assert dlr_loss_targeted(jnp.zeros((4, 4)), y, y + 1).shape == (4,)
+
+
+class TestL2Protocol:
+    """AutoAttack-L2 (beyond-reference round 3): APGD-L2 ball/step
+    semantics, the L2 box-hyperplane projection, FAB-L2, and the
+    ensemble/CLI norm plumbing."""
+
+    def test_apgd_l2_ball_and_effectiveness(self, tiny_logits_fn,
+                                            image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            apgd_ce_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 1.0  # L2 budget over 16x16x3
+        x_adv = apgd_ce_attack(tiny_logits_fn, x, y, eps=eps, steps=10,
+                               key=rng_key, norm="l2")
+        d = jnp.sqrt(jnp.sum(jnp.square(x_adv - x), axis=(1, 2, 3)))
+        assert float(jnp.max(d)) <= eps + 1e-4
+        assert float(jnp.min(x_adv)) >= 0.0 and float(jnp.max(x_adv)) <= 1.0
+        fooled = float(jnp.mean(_labels(tiny_logits_fn, x_adv) != y))
+        assert fooled >= 0.5
+
+    def test_l2_projection_unclipped_matches_analytic(self):
+        """Interior case: min-L2 projection onto {w.u+b=0} is the
+        orthogonal step z - g0*w/||w||^2, distance |g0|/||w||."""
+        rng = np.random.RandomState(3)
+        z = jnp.full((4, 6), 0.5, jnp.float32)
+        w = jnp.asarray(rng.randn(4, 6) * 0.3, jnp.float32)
+        g_target = jnp.asarray([0.2, -0.1, 0.05, 0.15], jnp.float32)
+        b = g_target - jnp.sum(w * z, axis=1)
+        u = project_box_hyperplane(z, w, b, norm="l2")
+        resid = np.asarray(jnp.sum(w * u, axis=1) + b)
+        np.testing.assert_allclose(resid, 0.0, atol=1e-5)
+        want = np.asarray(z) - (np.asarray(g_target)[:, None]
+                                * np.asarray(w)
+                                / np.sum(np.asarray(w) ** 2, 1,
+                                         keepdims=True))
+        np.testing.assert_allclose(np.asarray(u), want, atol=1e-4)
+
+    def test_fab_l2_finds_small_l2_perturbations(self, tiny_logits_fn,
+                                                 image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        x_adv = fab_targeted_attack(tiny_logits_fn, x, y, eps=0.5, steps=10,
+                                    n_targets=3, key=rng_key, norm="l2")
+        assert float(jnp.min(x_adv)) >= 0.0 and float(jnp.max(x_adv)) <= 1.0
+        mis = np.asarray(_labels(tiny_logits_fn, x_adv) != y)
+        assert mis.mean() >= 0.5
+        d = np.asarray(jnp.sqrt(jnp.sum(jnp.square(x_adv - x),
+                                        axis=(1, 2, 3))))
+        assert np.all(d[mis] < 3.0)  # small relative to the 27.7 diameter
+
+    def test_autoattack_l2_composition(self, tiny_logits_fn, image_batch,
+                                       rng_key):
+        from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
+            autoattack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        res = jax.jit(lambda x, y, k: autoattack(
+            tiny_logits_fn, x, y, eps=1.0, key=k, apgd_steps=4,
+            apgd_t_steps=3, apgd_t_targets=2, fab_steps=3, fab_targets=2,
+            square_steps=5, norm="l2",
+        ))(x, y, rng_key)
+        # L2 mode skips the Square arm entirely
+        assert not np.asarray(res.success_square).any()
+        succ = np.asarray(res.success)
+        mis = np.asarray(_labels(tiny_logits_fn, res.x_adv) != y)
+        assert np.all(mis[succ])
+        # FAB successes counted in the L2 ball
+        d = np.asarray(jnp.sqrt(jnp.sum(jnp.square(res.x_adv - x),
+                                        axis=(1, 2, 3))))
+        picked_fab = np.asarray(res.success_fab & ~res.success_apgd_ce
+                                & ~res.success_apgd_t)
+        assert np.all(d[picked_fab] <= 1.0 + 1e-4)
+
+    @pytest.mark.slow
+    def test_robust_cli_l2(self, tmp_path, capsys):
+        import json
+
+        from PIL import Image
+
+        from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+            main,
+        )
+
+        rng = np.random.RandomState(1)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.jpg")
+        out = tmp_path / "aa_l2.json"
+        rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                   "--protocol", "standard", "--norm", "l2",
+                   "--eps_list", "2.0", "--apgd_steps", "3",
+                   "--fab_steps", "3", "--n_target_classes", "2",
+                   "--output", str(out)])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "norm=l2" in text and "square-SKIPPED(l2)" in text
+        data = json.loads(out.read_text())
+        assert data["norm"] == "l2"
+        assert data["results"][0]["success_square"] == 0

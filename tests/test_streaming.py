@@ -313,3 +313,30 @@ def test_blackbox_cli_streams(eval_dataset, capsys):
     out_one = capsys.readouterr().out
     row = re.compile(r"FGSM\t\d+\.\d%")
     assert row.search(out_stream).group() == row.search(out_one).group()
+
+
+def test_streaming_clis_reject_all_unreadable(tmp_path):
+    """Review regression: an all-corrupt image set in streaming mode must
+    exit with the same clear 'no loadable images' error as the one-batch
+    path, not KeyError/UnboundLocalError."""
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    for i in range(6):
+        (d / f"bad_{i}.jpg").write_bytes(b"not a jpeg")
+
+    from image_recognition_adversarial_example_attack_tpu.cli.blackbox_transfer import (
+        main as bb_main,
+    )
+    from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+        main as re_main,
+    )
+
+    with pytest.raises(SystemExit, match="no loadable images"):
+        re_main(["--image_dir", str(d), "--model", "resnet_tiny",
+                 "--eps_list", "0.03", "--apgd_steps", "1",
+                 "--square_steps", "1", "--deepfool_steps", "1",
+                 "--max_batch", "2"])
+    with pytest.raises(SystemExit, match="no loadable images"):
+        bb_main(["--image_dir", str(d), "--attacks", "fgsm",
+                 "--source", "resnet_tiny", "--targets", "tiny",
+                 "--steps", "1", "--visualize_n", "0", "--max_batch", "2"])
