@@ -38,15 +38,29 @@ from .api import LogitsFn
 
 
 def project_box_hyperplane(z: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                           n_iters: int = 30) -> jnp.ndarray:
-    """Min-L-inf projection of ``z`` onto {u : w.u + b = 0} cut to [0,1]^d.
+                           n_iters: int = 30,
+                           norm: str = "linf") -> jnp.ndarray:
+    """Min-``norm`` projection of ``z`` onto {u : w.u + b = 0} cut to [0,1]^d.
 
     ``z``/``w``: [B, ...] (same shape); ``b``: [B].  Returns the projected
-    point, flattening nothing.  If the constraint cannot be reached inside
-    the box (|g| stays > 0 at lambda=1), returns the closest attainable
-    point — callers treat the residual like the classic implementation
-    treats an infeasible projection (the step simply makes less progress).
+    point, flattening nothing.  Both norms reduce to a scalar bisection on
+    the same monotone family:
+
+    - 'linf': ``u(l) = clip(z - l*s*sign(w))`` — the exact minimizer of
+      ``s*(w.u)`` over each l-box, so the smallest root of
+      ``g(l) = w.u(l) + b`` IS the minimal L-inf distance (l in [0,1]).
+    - 'l2':   ``u(l) = clip(z - l*s*w)`` — the KKT form of the
+      box-constrained least-squares projection (the Lagrangian clip of
+      the unconstrained ``z - l*w`` line); ``l`` caps at ``1/min|w_i|``,
+      past which every coordinate has saturated.
+
+    If the constraint cannot be reached inside the box, returns the
+    closest attainable point — callers treat the residual like the
+    classic implementation treats an infeasible projection (the step
+    simply makes less progress).
     """
+    if norm not in ("linf", "l2"):
+        raise ValueError(f"unknown projection norm '{norm}'")
     axes = tuple(range(1, z.ndim))
 
     def gval(u):
@@ -55,13 +69,24 @@ def project_box_hyperplane(z: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     g0 = gval(z)
     s_vec = jnp.sign(g0)  # [B]: which side of the hyperplane z starts on
     bshape = (slice(None),) + (None,) * (z.ndim - 1)
-    sw = jnp.sign(w) * s_vec[bshape]
+    if norm == "linf":
+        direction = jnp.sign(w) * s_vec[bshape]
+        hi0 = jnp.ones(z.shape[0], z.dtype)
+    else:
+        direction = w * s_vec[bshape]
+        # every coordinate saturates at the box once l*|w_i| >= 1; beyond
+        # the largest such l, u(l) is constant — a finite "infinity"
+        absw = jnp.abs(w)
+        min_nonzero = jnp.min(
+            jnp.where(absw > 1e-20, absw, jnp.inf).reshape(z.shape[0], -1),
+            axis=-1)
+        hi0 = jnp.minimum(1.0 / jnp.maximum(min_nonzero, 1e-20), 1e12)
 
     def u_of(lam):
-        return jnp.clip(z - lam[bshape] * sw, 0.0, 1.0)
+        return jnp.clip(z - lam[bshape] * direction, 0.0, 1.0)
 
     lo = jnp.zeros(z.shape[0], z.dtype)
-    hi = jnp.ones(z.shape[0], z.dtype)
+    hi = hi0
 
     def body(carry, _):
         lo, hi = carry
@@ -72,7 +97,8 @@ def project_box_hyperplane(z: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         hi = jnp.where(over, hi, mid)
         return (lo, hi), None
 
-    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=int(n_iters))
+    n = int(n_iters) if norm == "linf" else max(int(n_iters), 60)
+    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n)
     return u_of(hi)
 
 
@@ -88,8 +114,10 @@ def fab_targeted_attack(
     eta: float = 1.05,
     beta: float = 0.9,
     alpha_max: float = 0.1,
+    norm: str = "linf",
 ) -> jnp.ndarray:
-    """[B,H,W,C] in [0,1] -> closest misclassified iterate found (L-inf).
+    """[B,H,W,C] in [0,1] -> closest misclassified iterate found
+    (distance in the chosen ``norm``: 'linf' | 'l2').
 
     ``eps`` seeds the random restarts' radius only; FAB itself is
     norm-minimizing and may end outside the ball — the caller decides
@@ -99,6 +127,12 @@ def fab_targeted_attack(
     b_sz = x.shape[0]
     expand = (slice(None), None, None, None)
     x_orig = x
+    dist_axes = tuple(range(1, x.ndim))
+
+    def dist_of(a, b_):
+        if norm == "linf":
+            return jnp.max(jnp.abs(a - b_), axis=dist_axes)
+        return jnp.sqrt(jnp.sum(jnp.square(a - b_), axis=dist_axes))
 
     logits_clean = logits_fn(x)
     n_classes = logits_clean.shape[-1]
@@ -138,10 +172,10 @@ def fab_targeted_attack(
             axes = tuple(range(1, x.ndim))
             b_lin = g - jnp.sum(w * x_k, axis=axes)
 
-            p_k = project_box_hyperplane(x_k, w, b_lin)
-            p_o = project_box_hyperplane(x_orig, w, b_lin)
-            d_k = jnp.max(jnp.abs(p_k - x_k), axis=axes)
-            d_o = jnp.max(jnp.abs(p_o - x_orig), axis=axes)
+            p_k = project_box_hyperplane(x_k, w, b_lin, norm=norm)
+            p_o = project_box_hyperplane(x_orig, w, b_lin, norm=norm)
+            d_k = dist_of(p_k, x_k)
+            d_o = dist_of(p_o, x_orig)
             alpha = jnp.clip(d_k / (d_k + d_o + 1e-12), 0.0, alpha_max)
 
             x_next = jnp.clip(
@@ -150,7 +184,7 @@ def fab_targeted_attack(
                 0.0, 1.0)
 
             fooled = jnp.argmax(logits_fn(x_next), -1) != y_true
-            dist = jnp.max(jnp.abs(x_next - x_orig), axis=axes)
+            dist = dist_of(x_next, x_orig)
             improved = fooled & (dist < best_dist)
             best_adv = jnp.where(improved[expand], x_next, best_adv)
             best_dist = jnp.where(improved, dist, best_dist)

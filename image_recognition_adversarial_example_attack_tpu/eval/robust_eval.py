@@ -41,6 +41,12 @@ class RobustEvalResult(NamedTuple):
     success_deepfool: jnp.ndarray  # fooled AND the iterate is in the eps ball
 
 
+def _ball_dist(a: jnp.ndarray, b: jnp.ndarray, norm: str) -> jnp.ndarray:
+    if norm == "linf":
+        return jnp.max(jnp.abs(a - b), axis=(1, 2, 3))
+    return jnp.sqrt(jnp.sum(jnp.square(a - b), axis=(1, 2, 3)))
+
+
 def autoattack_lite(
     logits_fn: LogitsFn,
     x: jnp.ndarray,
@@ -51,6 +57,7 @@ def autoattack_lite(
     apgd_steps: int = 100,
     square_steps: int = 1000,
     deepfool_steps: int = 30,
+    norm: str = "linf",
 ) -> RobustEvalResult:
     """[B,H,W,C] in [0,1] -> worst-case adversarial batch + success masks.
 
@@ -59,22 +66,29 @@ def autoattack_lite(
     iterate.  Robust accuracy = ``1 - mean(success)`` over
     correctly-classified clean samples.  DeepFool is unconstrained
     minimal-norm: its success counts only when the found iterate lies in
-    the L-inf eps ball (the role FAB plays in full AutoAttack).
+    the eps ball of the chosen ``norm`` (the role FAB plays in full
+    AutoAttack).  With ``norm='l2'`` the Square arm is skipped (the
+    L2-Square sampler is not implemented; its mask is all-False) — the
+    protocol is then APGD-CE-L2 + in-L2-ball DeepFool.
     """
     from ..attacks.deepfool import deepfool_attack
 
     k_apgd, k_square = jax.random.split(key)
 
     x_apgd = apgd_ce_attack(logits_fn, x, y_true, eps=eps, steps=apgd_steps,
-                            key=k_apgd)
+                            key=k_apgd, norm=norm)
     succ_apgd = jnp.argmax(logits_fn(x_apgd), -1) != y_true
 
-    x_square = square_attack(logits_fn, x, y_true, eps=eps, steps=square_steps,
-                             key=k_square)
-    succ_square = jnp.argmax(logits_fn(x_square), -1) != y_true
+    if norm == "linf":
+        x_square = square_attack(logits_fn, x, y_true, eps=eps,
+                                 steps=square_steps, key=k_square)
+        succ_square = jnp.argmax(logits_fn(x_square), -1) != y_true
+    else:
+        x_square = x
+        succ_square = jnp.zeros(x.shape[:1], bool)
 
     x_df = deepfool_attack(logits_fn, x, steps=deepfool_steps)
-    in_ball = jnp.max(jnp.abs(x_df - x), axis=(1, 2, 3)) <= eps + 1e-6
+    in_ball = _ball_dist(x_df, x, norm) <= eps + 1e-6
     succ_df = (jnp.argmax(logits_fn(x_df), -1) != y_true) & in_ball
 
     pick_square = (~succ_apgd) & succ_square
@@ -112,38 +126,45 @@ def autoattack(
     fab_steps: int = 100,
     fab_targets: int = 9,
     square_steps: int = 5000,
+    norm: str = "linf",
 ) -> AutoAttackResult:
     """The standard AutoAttack composition (APGD-CE -> APGD-T -> FAB-T ->
-    Square), worst case per sample.
+    Square), worst case per sample, in the chosen ``norm`` ('linf'|'l2').
 
     Success everywhere means ``argmax(f(x_adv)) != y_true`` (the robust-
     accuracy criterion); FAB-T is minimal-norm, so its success counts only
-    when its iterate lies inside the L-inf eps ball.  Robust accuracy =
-    ``1 - mean(success)`` over clean-correct samples.  Defaults mirror the
-    reference implementation of AutoAttack (100-step APGD/FAB, 9 target
-    classes, 5000 Square queries).
+    when its iterate lies inside the eps ball of ``norm``.  Robust
+    accuracy = ``1 - mean(success)`` over clean-correct samples.  Defaults
+    mirror the reference implementation of AutoAttack (100-step APGD/FAB,
+    9 target classes, 5000 Square queries).  With ``norm='l2'`` the
+    Square arm is skipped (no L2-Square sampler; mask all-False) — the
+    protocol is the three gradient/minimal-norm arms.
     """
     from ..attacks.fab import fab_targeted_attack
 
     k_ce, k_t, k_fab, k_sq = jax.random.split(key, 4)
 
     x_ce = apgd_ce_attack(logits_fn, x, y_true, eps=eps, steps=apgd_steps,
-                          key=k_ce)
+                          key=k_ce, norm=norm)
     succ_ce = jnp.argmax(logits_fn(x_ce), -1) != y_true
 
     x_t, succ_t = apgd_targeted_attack(
         logits_fn, x, y_true, eps=eps, steps=apgd_t_steps,
-        n_targets=apgd_t_targets, key=k_t)
+        n_targets=apgd_t_targets, key=k_t, norm=norm)
 
     x_fab = fab_targeted_attack(logits_fn, x, y_true, eps=eps,
                                 steps=fab_steps, n_targets=fab_targets,
-                                key=k_fab)
-    in_ball = jnp.max(jnp.abs(x_fab - x), axis=(1, 2, 3)) <= eps + 1e-6
+                                key=k_fab, norm=norm)
+    in_ball = _ball_dist(x_fab, x, norm) <= eps + 1e-6
     succ_fab = (jnp.argmax(logits_fn(x_fab), -1) != y_true) & in_ball
 
-    x_sq = square_attack(logits_fn, x, y_true, eps=eps, steps=square_steps,
-                         key=k_sq)
-    succ_sq = jnp.argmax(logits_fn(x_sq), -1) != y_true
+    if norm == "linf":
+        x_sq = square_attack(logits_fn, x, y_true, eps=eps,
+                             steps=square_steps, key=k_sq)
+        succ_sq = jnp.argmax(logits_fn(x_sq), -1) != y_true
+    else:
+        x_sq = x
+        succ_sq = jnp.zeros(x.shape[:1], bool)
 
     # first-successful-arm selection, in protocol order
     x_adv = x_ce
