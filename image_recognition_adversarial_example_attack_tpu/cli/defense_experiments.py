@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--use_jpeg", action="store_true")
     parser.add_argument("--jpeg_quality", type=int, default=75)
+    parser.add_argument("--jpeg_mode", type=str, default="host",
+                        choices=["host", "dct"],
+                        help="host: reference-parity PIL codec (one host "
+                             "round-trip per cell); dct: device-side "
+                             "differentiable baseline codec — fully fused, "
+                             "SPMD-safe, adaptive-attack-capable")
 
     parser.add_argument("--max_batch", type=int, default=256,
                         help="device batch cap: image sets larger than this "
@@ -224,7 +230,8 @@ def main(argv=None) -> int:
         print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
 
     defense_cfg = DefenseConfig(use_jpeg=bool(args.use_jpeg),
-                                jpeg_quality=int(args.jpeg_quality))
+                                jpeg_quality=int(args.jpeg_quality),
+                                jpeg_mode=str(args.jpeg_mode))
 
     # clean predictions = pseudo-labels (reference :818-819); the
     # streaming path derives them per chunk with the same program
@@ -279,7 +286,9 @@ def main(argv=None) -> int:
                         detector=str(args.detector),
                         defense=defense_cfg,
                     )
-                    if defense_cfg.use_jpeg and engine.mesh is not None:
+                    if (defense_cfg.use_jpeg
+                            and defense_cfg.jpeg_mode == "host"
+                            and engine.mesh is not None):
                         from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
 
                         eval_fns[attack_name] = make_defense_eval_fn_split_jpeg(
@@ -342,7 +351,8 @@ def main(argv=None) -> int:
             y_viz = pseudo_fn(x_viz)
         else:
             x_viz, y_viz = x[:n_viz], y_true[:n_viz]
-        if defense_cfg.use_jpeg and engine.mesh is not None:
+        if (defense_cfg.use_jpeg and defense_cfg.jpeg_mode == "host"
+                and engine.mesh is not None):
             # the viz program embeds the fused io_callback JPEG, which XLA
             # forbids in SPMD programs — un-shard the (tiny) sample slice
             x_viz = jnp.asarray(np.asarray(jax.device_get(x_viz)))

@@ -25,31 +25,46 @@ from ..core.constants import JPEG_QUALITY, QUANTIZATION_LEVELS
 
 
 def defense_smoothing(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 mean filter, stride 1, SAME-1 padding, on [B,H,W,C]."""
-    summed = lax.reduce_window(
-        x,
-        jnp.array(0.0, x.dtype),
-        lax.add,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    """3x3 mean filter, stride 1, SAME-1 padding, on [B,H,W,C].
+
+    Expressed as nine shifted adds (fixed summation order) rather than
+    ``lax.reduce_window``: identical math, but reduce_window's gradient
+    fails to linearize inside ``lax.scan`` in current JAX — and adaptive
+    attacks differentiate through the whole defense inside scanned attack
+    loops (tests/test_jpeg_dct.py).  XLA fuses the shifts either way.
+    """
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    summed = xp[:, 0:h, 0:w, :]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 0 and dx == 0:
+                continue
+            summed = summed + xp[:, dy:dy + h, dx:dx + w, :]
     return summed / jnp.array(9.0, x.dtype)
 
 
 def defense_quantization(x: jnp.ndarray, levels: int = QUANTIZATION_LEVELS) -> jnp.ndarray:
     """Round pixels to ``levels`` uniform values in [0,1]. Idempotent.
 
+    Straight-through gradient: forward values are the exact rounded
+    pixels, backward is the identity — so adaptive attacks can
+    differentiate THROUGH the quantizer (plain ``round`` would zero
+    every gradient and silently turn an "adaptive" attack into noise;
+    this is the standard BPDA-identity treatment with an exact forward).
     Routes through the pallas kernel when ADV_TPU_USE_PALLAS=1 on TPU
-    (bit-identical semantics; see ops/pallas_ops.py).
+    (bit-identical forward; the STE wrapper keeps it differentiable —
+    the kernel itself needs no VJP).
     """
     from ..ops.pallas_ops import quantize_pallas, use_pallas
 
+    x01 = jnp.clip(x, 0.0, 1.0)
     if use_pallas():
-        return quantize_pallas(x, levels)
-    x = jnp.clip(x, 0.0, 1.0)
-    scale = jnp.array(levels - 1, x.dtype)
-    return jnp.round(x * scale) / scale
+        quantized = quantize_pallas(x01, levels)
+    else:
+        scale = jnp.array(levels - 1, x01.dtype)
+        quantized = jnp.round(x01 * scale) / scale
+    return x01 + lax.stop_gradient(quantized - x01)
 
 
 @dataclass(frozen=True)
@@ -57,6 +72,11 @@ class DefenseConfig:
     use_jpeg: bool = False
     jpeg_quality: int = JPEG_QUALITY
     quant_levels: int = QUANTIZATION_LEVELS
+    # 'host' = reference-parity PIL codec behind io_callback (one host
+    # round-trip; needs the split-program path under SPMD).  'dct' = the
+    # device-side differentiable baseline codec (defenses/jpeg_dct.py):
+    # fully fused, SPMD-safe, adaptive-attack-capable.
+    jpeg_mode: str = "host"
 
 
 def defend_input(x: jnp.ndarray, config: DefenseConfig = DefenseConfig()) -> jnp.ndarray:
@@ -65,7 +85,18 @@ def defend_input(x: jnp.ndarray, config: DefenseConfig = DefenseConfig()) -> jnp
     x01 = defense_smoothing(x01)
     x01 = defense_quantization(x01, levels=config.quant_levels)
     if config.use_jpeg:
-        from .jpeg import jpeg_compress_batch
+        if config.jpeg_mode == "dct":
+            from .jpeg_dct import jpeg_dct_roundtrip
 
-        x01 = jpeg_compress_batch(x01, quality=config.jpeg_quality)
+            x01 = jpeg_dct_roundtrip(x01, quality=config.jpeg_quality)
+        elif config.jpeg_mode == "host":
+            from .jpeg import jpeg_compress_batch
+
+            # BPDA-identity: the host codec has no VJP (io_callback);
+            # exact forward, identity backward — adaptive attacks remain
+            # possible against the parity path too
+            x01 = x01 + lax.stop_gradient(
+                jpeg_compress_batch(x01, quality=config.jpeg_quality) - x01)
+        else:
+            raise ValueError(f"unknown jpeg_mode '{config.jpeg_mode}'")
     return jnp.clip(x01, 0.0, 1.0)
