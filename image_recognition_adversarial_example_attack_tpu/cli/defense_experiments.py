@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "differentiable baseline codec — fully fused, "
                              "SPMD-safe, adaptive-attack-capable")
 
+    parser.add_argument("--adaptive", action="store_true",
+                        help="generate attacks against the DEFENDED pipeline "
+                             "(gradients through the STE-differentiable "
+                             "defense chain) instead of the raw model — the "
+                             "Athalye et al. adaptive-evaluation standard; "
+                             "counters keep their definitions, so "
+                             "preproc_defense_acc under --adaptive is the "
+                             "defense's honest worst-case number")
     parser.add_argument("--max_batch", type=int, default=256,
                         help="device batch cap: image sets larger than this "
                              "stream through the one compiled cell program in "
@@ -262,7 +270,8 @@ def main(argv=None) -> int:
         for attack_name in args.attacks:
             for eps in args.eps_list:
                 cell_id = f"{attack_name}:{float(eps):.6f}"
-                print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}]")
+                tag = " | ADAPTIVE (through the defense)" if args.adaptive else ""
+                print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}{tag}]")
                 if cell_id in partial and partial[cell_id].get("count") == n:
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
@@ -285,14 +294,23 @@ def main(argv=None) -> int:
                         **extended_attack_kwargs(args),
                         detector=str(args.detector),
                         defense=defense_cfg,
+                        adaptive=bool(args.adaptive),
                     )
                     if (defense_cfg.use_jpeg
                             and defense_cfg.jpeg_mode == "host"
-                            and engine.mesh is not None):
+                            and engine.mesh is not None
+                            and not cfg.adaptive):
                         from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
 
                         eval_fns[attack_name] = make_defense_eval_fn_split_jpeg(
                             logits_fn, features_fn, cfg)
+                    elif (cfg.adaptive and defense_cfg.use_jpeg
+                            and defense_cfg.jpeg_mode == "host"
+                            and engine.mesh is not None):
+                        raise SystemExit(
+                            "--adaptive with the host JPEG codec cannot run "
+                            "on a mesh (the codec must sit inside the "
+                            "sharded attack loop); use --jpeg_mode dct")
                     else:
                         from ..eval.defense_eval import make_defense_eval_fn_dynamic_eps
 

@@ -65,6 +65,11 @@ class DefenseEvalConfig:
     # feature-squeezing prediction-inconsistency (beyond-reference)
     detector: str = "feature"
     defense: DefenseConfig = DefenseConfig()
+    # adaptive = the attacker differentiates THROUGH the deployed pipeline
+    # (defend_input + model) instead of the raw model — the evaluation
+    # standard for preprocessing defenses (Athalye et al. 2018); the
+    # defense chain is STE-differentiable end to end (defenses/preprocess)
+    adaptive: bool = False
 
     def attack_params(self) -> AttackParams:
         return AttackParams(
@@ -134,7 +139,15 @@ def evaluate_defenses_batch(
     pred_clean = jnp.argmax(logits_clean, axis=-1)
     clean_correct = (pred_clean == y_true).astype(jnp.int32)
 
-    x_adv = run_attack(config.attack_name, logits_fn, x, y_true, params, key)
+    if config.adaptive:
+        # attack the deployed pipeline: gradients flow through the
+        # (STE-differentiable) defense chain into the model
+        def attack_target_fn(xx):
+            return logits_fn(defend_input(xx, config.defense))
+    else:
+        attack_target_fn = logits_fn
+    x_adv = run_attack(config.attack_name, attack_target_fn, x, y_true,
+                       params, key)
 
     pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
     attack_success = (pred_adv != y_true).astype(jnp.int32)
@@ -222,6 +235,12 @@ def make_defense_eval_fn_split_jpeg(
     from ..defenses.jpeg import jpeg_roundtrip_host
     from dataclasses import replace as _replace
 
+    if config.adaptive:
+        raise ValueError(
+            "adaptive evaluation needs the defense INSIDE the attack loop, "
+            "so the host JPEG codec cannot be split out of the sharded "
+            "program — use --jpeg_mode dct (device-side codec) for "
+            "adaptive JPEG cells on a mesh")
     pre_defense = _replace(config.defense, use_jpeg=False)
 
     @jax.jit

@@ -151,3 +151,96 @@ def test_defense_cli_jpeg_dct_mode(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "attack=fgsm" in out
+
+
+class TestAdaptiveEvaluation:
+    """--adaptive: attacks generated against the defended pipeline."""
+
+    def test_adaptive_cell_counters_and_defense_degradation(self,
+                                                            tiny_resnet):
+        """The adaptive attacker must hurt the defense at least as much as
+        the oblivious one (gradients flow through the STE chain), with
+        all counter invariants intact."""
+        import jax
+
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from image_recognition_adversarial_example_attack_tpu.defenses.detector import (
+            make_features_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            DefenseEvalConfig,
+            aggregate_stats,
+            make_defense_eval_fn,
+        )
+
+        model, variables = tiny_resnet
+        lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+        ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+        y = jnp.argmax(lf(x), -1)
+        key = jax.random.PRNGKey(0)
+
+        stats = {}
+        for adaptive in (False, True):
+            cfg = DefenseEvalConfig(attack_name="pgd", eps=8 / 255,
+                                    alpha=2 / 255, steps=10,
+                                    adaptive=adaptive)
+            fn = make_defense_eval_fn(lf, ffn, cfg)
+            out = fn(x, y, 2.0, key)
+            stats[adaptive] = aggregate_stats(out, n_valid=8)
+            bypass = np.asarray(out["detector_attack_success"])
+            succ = np.asarray(out["attack_success"])
+            flag = np.asarray(out["detector_flags_adv"])
+            np.testing.assert_array_equal(bypass, succ * (1 - flag))
+        # defended accuracy under the adaptive attack <= oblivious attack
+        assert (stats[True]["defense_preproc_success"]
+                <= stats[False]["defense_preproc_success"])
+
+    def test_split_jpeg_factory_rejects_adaptive(self, tiny_resnet):
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from image_recognition_adversarial_example_attack_tpu.defenses.detector import (
+            make_features_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            DefenseEvalConfig,
+            make_defense_eval_fn_split_jpeg,
+        )
+
+        model, variables = tiny_resnet
+        lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+        ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        cfg = DefenseEvalConfig(attack_name="pgd", eps=8 / 255, alpha=2 / 255,
+                                steps=2, adaptive=True,
+                                defense=DefenseConfig(use_jpeg=True))
+        with pytest.raises(ValueError, match="adaptive"):
+            make_defense_eval_fn_split_jpeg(lf, ffn, cfg)
+
+    @pytest.mark.slow
+    def test_defense_cli_adaptive(self, tmp_path, capsys):
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main,
+        )
+
+        rng = np.random.RandomState(6)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.jpg")
+        rc = main(["--image_dir", str(d), "--attacks", "pgd",
+                   "--eps_list", "0.03137", "--steps", "3",
+                   "--model", "resnet_tiny", "--adaptive",
+                   "--use_jpeg", "--jpeg_mode", "dct",
+                   "--viz_samples", "0", "--detector_threshold", "2.0",
+                   "--output_dir", str(tmp_path / "out")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "ADAPTIVE (through the defense)" in out
+        assert "attack=pgd" in out
