@@ -11,7 +11,7 @@ from .tim import tim_attack
 from .apgd import (apgd_attack, apgd_ce_attack, apgd_dlr_attack,
                    apgd_targeted_attack, dlr_loss, dlr_loss_targeted)
 from .fab import fab_targeted_attack, project_box_hyperplane
-from .square import square_attack
+from .square import square_attack, square_l2_attack
 from .deepfool import deepfool_attack
 from .grad_est import nes_attack, spsa_attack
 from .hsja import hsja_attack

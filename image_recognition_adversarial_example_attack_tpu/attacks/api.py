@@ -271,14 +271,15 @@ def run_attack(
         # (eval/robust_eval.py applies the same in_ball mask).
         in_ball = jnp.max(jnp.abs(x_fab - x), axis=(1, 2, 3)) <= params.eps + 1e-6
         return jnp.where(in_ball[:, None, None, None], x_fab, x)
-    if attack_name == "square":
-        from .square import square_attack
+    if attack_name in ("square", "square_l2"):
+        from .square import square_attack, square_l2_attack
 
         if y_target is not None:
             raise ValueError("square is the untargeted margin-loss variant")
         if key is None:
             key = jax.random.PRNGKey(0)
-        return square_attack(
+        fn = square_attack if attack_name == "square" else square_l2_attack
+        return fn(
             logits_fn, x, y_true, eps=params.eps, steps=params.square_steps,
             key=key,
         )

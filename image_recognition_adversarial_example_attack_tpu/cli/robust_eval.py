@@ -56,8 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--norm", type=str, default="linf",
                         choices=["linf", "l2"],
                         help="threat-model ball: L-inf (reference "
-                             "convention) or L2 (AutoAttack-L2; the "
-                             "Square arm is skipped — no L2 sampler)")
+                             "convention) or L2 (AutoAttack-L2: APGD-L2, "
+                             "FAB-L2, Square-L2)")
     parser.add_argument("--apgd_steps", type=int, default=100)
     parser.add_argument("--square_steps", type=int, default=1000)
     parser.add_argument("--deepfool_steps", type=int, default=30,
@@ -139,8 +139,7 @@ def main(argv=None) -> int:
         arm_desc = (f"apgd-ce-{args.apgd_steps} "
                     f"apgd-t-{args.apgd_steps}x{args.n_target_classes} "
                     f"fab-t-{args.fab_steps}x{args.n_target_classes} "
-                    + (f"square-{args.square_steps}" if args.norm == "linf"
-                       else "square-SKIPPED(l2)"))
+                    + f"square-{args.square_steps}")
     else:
         arm_names = ("apgd", "square", "deepfool")
 
@@ -156,10 +155,8 @@ def main(argv=None) -> int:
             return (res.success, res.success_apgd, res.success_square,
                     res.success_deepfool)
 
-        arm_desc = (f"apgd-{args.apgd_steps} "
-                    + (f"square-{args.square_steps} " if args.norm == "linf"
-                       else "square-SKIPPED(l2) ")
-                    + f"deepfool-{args.deepfool_steps}")
+        arm_desc = (f"apgd-{args.apgd_steps} square-{args.square_steps} "
+                    f"deepfool-{args.deepfool_steps}")
 
     key = key_from_seed(args.seed)
     rows = []

@@ -67,9 +67,8 @@ def autoattack_lite(
     correctly-classified clean samples.  DeepFool is unconstrained
     minimal-norm: its success counts only when the found iterate lies in
     the eps ball of the chosen ``norm`` (the role FAB plays in full
-    AutoAttack).  With ``norm='l2'`` the Square arm is skipped (the
-    L2-Square sampler is not implemented; its mask is all-False) — the
-    protocol is then APGD-CE-L2 + in-L2-ball DeepFool.
+    AutoAttack).  ``norm='l2'`` swaps in the L2 variants (APGD-CE-L2,
+    Square-L2 mass redistribution, in-L2-ball DeepFool).
     """
     from ..attacks.deepfool import deepfool_attack
 
@@ -82,10 +81,12 @@ def autoattack_lite(
     if norm == "linf":
         x_square = square_attack(logits_fn, x, y_true, eps=eps,
                                  steps=square_steps, key=k_square)
-        succ_square = jnp.argmax(logits_fn(x_square), -1) != y_true
     else:
-        x_square = x
-        succ_square = jnp.zeros(x.shape[:1], bool)
+        from ..attacks.square import square_l2_attack
+
+        x_square = square_l2_attack(logits_fn, x, y_true, eps=eps,
+                                    steps=square_steps, key=k_square)
+    succ_square = jnp.argmax(logits_fn(x_square), -1) != y_true
 
     x_df = deepfool_attack(logits_fn, x, steps=deepfool_steps)
     in_ball = _ball_dist(x_df, x, norm) <= eps + 1e-6
@@ -136,9 +137,9 @@ def autoattack(
     when its iterate lies inside the eps ball of ``norm``.  Robust
     accuracy = ``1 - mean(success)`` over clean-correct samples.  Defaults
     mirror the reference implementation of AutoAttack (100-step APGD/FAB,
-    9 target classes, 5000 Square queries).  With ``norm='l2'`` the
-    Square arm is skipped (no L2-Square sampler; mask all-False) — the
-    protocol is the three gradient/minimal-norm arms.
+    9 target classes, 5000 Square queries).  ``norm='l2'`` swaps in the
+    L2 arm variants (APGD-L2 steps/projection, FAB-L2 projection,
+    Square-L2 mass redistribution).
     """
     from ..attacks.fab import fab_targeted_attack
 
@@ -161,10 +162,12 @@ def autoattack(
     if norm == "linf":
         x_sq = square_attack(logits_fn, x, y_true, eps=eps,
                              steps=square_steps, key=k_sq)
-        succ_sq = jnp.argmax(logits_fn(x_sq), -1) != y_true
     else:
-        x_sq = x
-        succ_sq = jnp.zeros(x.shape[:1], bool)
+        from ..attacks.square import square_l2_attack
+
+        x_sq = square_l2_attack(logits_fn, x, y_true, eps=eps,
+                                steps=square_steps, key=k_sq)
+    succ_sq = jnp.argmax(logits_fn(x_sq), -1) != y_true
 
     # first-successful-arm selection, in protocol order
     x_adv = x_ce

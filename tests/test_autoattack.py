@@ -350,8 +350,6 @@ class TestL2Protocol:
             apgd_t_steps=3, apgd_t_targets=2, fab_steps=3, fab_targets=2,
             square_steps=5, norm="l2",
         ))(x, y, rng_key)
-        # L2 mode skips the Square arm entirely
-        assert not np.asarray(res.success_square).any()
         succ = np.asarray(res.success)
         mis = np.asarray(_labels(tiny_logits_fn, res.x_adv) != y)
         assert np.all(mis[succ])
@@ -386,7 +384,65 @@ class TestL2Protocol:
                    "--output", str(out)])
         assert rc == 0
         text = capsys.readouterr().out
-        assert "norm=l2" in text and "square-SKIPPED(l2)" in text
+        assert "norm=l2" in text
         data = json.loads(out.read_text())
         assert data["norm"] == "l2"
-        assert data["results"][0]["success_square"] == 0
+        assert 0 <= data["results"][0]["success_square"] <= 3
+
+
+class TestSquareL2:
+    def test_ball_range_and_never_worse(self, tiny_logits_fn, image_batch,
+                                        rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            square_l2_attack,
+        )
+        from image_recognition_adversarial_example_attack_tpu.attacks.square import (
+            _margin_loss,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 1.0
+        x_adv = jax.jit(lambda x, y, k: square_l2_attack(
+            tiny_logits_fn, x, y, eps=eps, steps=30, key=k))(x, y, rng_key)
+        d = jnp.sqrt(jnp.sum(jnp.square(x_adv - x), axis=(1, 2, 3)))
+        assert float(jnp.max(d)) <= eps + 1e-4
+        assert float(jnp.min(x_adv)) >= 0.0 and float(jnp.max(x_adv)) <= 1.0
+        # greedy accept: the returned iterate's margin never exceeds clean
+        m_adv = np.asarray(_margin_loss(tiny_logits_fn(x_adv), y))
+        m_clean = np.asarray(_margin_loss(tiny_logits_fn(x), y))
+        assert np.all(m_adv <= m_clean + 1e-5)
+
+    def test_deterministic_and_effective(self, tiny_logits_fn, image_batch,
+                                         rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            square_l2_attack,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        from image_recognition_adversarial_example_attack_tpu.attacks.square import (
+            _margin_loss,
+        )
+
+        f = jax.jit(lambda x, y, k: square_l2_attack(
+            tiny_logits_fn, x, y, eps=2.0, steps=50, key=k))
+        a = f(x, y, rng_key)
+        b = f(x, y, rng_key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # random search at a 50-query budget: assert strict PROGRESS on
+        # every sample's margin (the same bar the L-inf Square tests set —
+        # high fooling rates need orders more queries)
+        m_adv = np.asarray(_margin_loss(tiny_logits_fn(a), y))
+        m_clean = np.asarray(_margin_loss(tiny_logits_fn(x), y))
+        assert np.all(m_adv < m_clean)
+
+    def test_dispatch(self, tiny_logits_fn, image_batch, rng_key):
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        p = AttackParams(eps=1.0, square_steps=5)
+        x_adv = run_attack("square_l2", tiny_logits_fn, x, y, p, rng_key)
+        assert x_adv.shape == x.shape
+        with pytest.raises(ValueError):
+            run_attack("square_l2", tiny_logits_fn, x, y, p, rng_key,
+                       y_target=(y + 1) % 8)
