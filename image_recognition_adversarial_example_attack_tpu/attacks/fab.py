@@ -159,10 +159,19 @@ def fab_targeted_attack(
         best_adv, best_dist = carry
         y_t, k = inp
 
-        # restart: the clean point, jittered inside the eps ball (the
-        # classic implementation jitters restarts within the current best
-        # distance; eps is our static stand-in — shapes stay fixed)
-        noise = jax.random.uniform(k, x.shape, x.dtype, -eps, eps)
+        # restart: the clean point, jittered inside the eps ball OF THE
+        # CHOSEN NORM (the classic implementation jitters restarts within
+        # the current best distance; eps is our static stand-in — shapes
+        # stay fixed).  L2 jitter must be sphere-scaled: per-pixel
+        # uniform(-eps,eps) noise has L2 norm ~eps*sqrt(HWC), which would
+        # start every restart far outside the threat ball.
+        if norm == "linf":
+            noise = jax.random.uniform(k, x.shape, x.dtype, -eps, eps)
+        else:
+            g_n = jax.random.normal(k, x.shape, x.dtype)
+            g_nrm = jnp.sqrt(jnp.sum(jnp.square(g_n), axis=dist_axes,
+                                     keepdims=True))
+            noise = eps * g_n / (g_nrm + 1e-12)
         x_k0 = jnp.clip(x_orig + 0.5 * noise, 0.0, 1.0)
 
         def step(inner, _):

@@ -182,6 +182,15 @@ def main(argv=None) -> int:
     # programs around one host codec stage — eval/defense_eval.py::
     # make_defense_eval_fn_split_jpeg); non-JPEG cells are one fused program.
     engine = Engine(use_mesh=True)
+    # fail fast, before any decode/calibration work: the host codec
+    # cannot sit inside a SHARDED adaptive attack loop (io_callback
+    # aborts SPMD programs); single-device adaptive+host works (BPDA)
+    if (args.adaptive and args.use_jpeg and args.jpeg_mode == "host"
+            and engine.mesh is not None):
+        raise SystemExit(
+            "--adaptive with the host JPEG codec cannot run on a mesh "
+            "(the codec must sit inside the sharded attack loop); "
+            "use --jpeg_mode dct")
     max_batch = int(args.max_batch)
     streaming = max_batch > 0 and len(image_paths) > max_batch
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
@@ -298,19 +307,12 @@ def main(argv=None) -> int:
                     )
                     if (defense_cfg.use_jpeg
                             and defense_cfg.jpeg_mode == "host"
-                            and engine.mesh is not None
-                            and not cfg.adaptive):
+                            and engine.mesh is not None):
+                        # (adaptive+host+mesh was rejected up front)
                         from ..eval.defense_eval import make_defense_eval_fn_split_jpeg
 
                         eval_fns[attack_name] = make_defense_eval_fn_split_jpeg(
                             logits_fn, features_fn, cfg)
-                    elif (cfg.adaptive and defense_cfg.use_jpeg
-                            and defense_cfg.jpeg_mode == "host"
-                            and engine.mesh is not None):
-                        raise SystemExit(
-                            "--adaptive with the host JPEG codec cannot run "
-                            "on a mesh (the codec must sit inside the "
-                            "sharded attack loop); use --jpeg_mode dct")
                     else:
                         from ..eval.defense_eval import make_defense_eval_fn_dynamic_eps
 

@@ -19,10 +19,11 @@ the codec on device:
   evaluation standard for preprocessing defenses (Athalye et al. 2018:
   non-differentiable preprocessing must be attacked adaptively, not
   declared robust);
-- deviations from libjpeg, documented: nearest-neighbor chroma upsampling
-  (libjpeg's default is triangular "fancy" upsampling) and float DCT
-  (libjpeg integer DCT approximations) — measured ~1-2/255 MAE against
-  PIL at the same quality (tests/test_jpeg_dct.py).
+- deviations from libjpeg, documented: float DCT (libjpeg uses integer
+  DCT approximations) and no entropy-coding rounding of DC prediction;
+  chroma upsampling DOES match libjpeg's triangular "fancy" default —
+  measured ~1.2/255 MAE against PIL at matched quality
+  (tests/test_jpeg_dct.py).
 """
 
 from __future__ import annotations
@@ -87,10 +88,16 @@ def _blockwise(channel: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     b, h, w = channel.shape
     d = jnp.asarray(_dct_matrix())
     x5 = channel.reshape(b, h // 8, 8, w // 8, 8)
-    coef = jnp.einsum("ij,bajck,lk->baicl", d, x5, d)
+    # HIGHEST precision: TPU matmuls run bf16 by default; centered blocks
+    # reach |128| and coefficients ~1000, so bf16's ~2^-8 relative error
+    # crosses rounding boundaries of the small quant-table entries
+    # (CLAUDE.md precision rule for numerically sensitive reductions)
+    coef = jnp.einsum("ij,bajck,lk->baicl", d, x5, d,
+                      precision=jax.lax.Precision.HIGHEST)
     t = table[None, None, :, None, :]  # block dims sit at axes 2 and 4
     coef = _ste_round(coef / t) * t
-    x5 = jnp.einsum("ij,baicl,lk->bajck", d, coef, d)
+    x5 = jnp.einsum("ij,baicl,lk->bajck", d, coef, d,
+                    precision=jax.lax.Precision.HIGHEST)
     return x5.reshape(b, h, w)
 
 

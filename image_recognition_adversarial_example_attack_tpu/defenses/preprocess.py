@@ -94,9 +94,14 @@ def defend_input(x: jnp.ndarray, config: DefenseConfig = DefenseConfig()) -> jnp
 
             # BPDA-identity: the host codec has no VJP (io_callback);
             # exact forward, identity backward — adaptive attacks remain
-            # possible against the parity path too
+            # possible against the parity path too.  The codec INPUT must
+            # itself be stop_gradient'ed: io_callback rejects JVP tracers
+            # outright, so the callback may never see the differentiated
+            # value (x + sg(cb(x)-x) still traces cb with a tracer;
+            # x + sg(cb(sg(x))-x) does not)
+            x_sg = lax.stop_gradient(x01)
             x01 = x01 + lax.stop_gradient(
-                jpeg_compress_batch(x01, quality=config.jpeg_quality) - x01)
+                jpeg_compress_batch(x_sg, quality=config.jpeg_quality) - x_sg)
         else:
             raise ValueError(f"unknown jpeg_mode '{config.jpeg_mode}'")
     return jnp.clip(x01, 0.0, 1.0)

@@ -244,3 +244,39 @@ class TestAdaptiveEvaluation:
         out = capsys.readouterr().out
         assert "ADAPTIVE (through the defense)" in out
         assert "attack=pgd" in out
+
+
+class TestHostJpegBPDA:
+    """Review-r3b regressions: the host-codec BPDA path must be
+    differentiable (io_callback may never see a JVP tracer), and the
+    adaptive+host+mesh incompatibility fails fast."""
+
+    def test_adaptive_gradient_through_host_codec(self, tiny_logits_fn):
+        cfg = DefenseConfig(use_jpeg=True, jpeg_quality=75, jpeg_mode="host")
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.uniform(0.2, 0.8, (2, 32, 32, 3)), jnp.float32)
+
+        def defended(xx):
+            return jnp.sum(tiny_logits_fn(defend_input(xx, cfg)))
+
+        g = jax.grad(defended)(x)  # crashed pre-fix: 'IO callbacks do not
+        assert bool(jnp.all(jnp.isfinite(g)))       # support JVP'
+        assert float(jnp.abs(g).sum()) > 0.0
+
+    def test_cli_rejects_adaptive_host_jpeg_on_mesh_before_work(self,
+                                                                tmp_path):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(d / "a.jpg")
+        with pytest.raises(SystemExit, match="jpeg_mode dct"):
+            main(["--image_dir", str(d), "--attacks", "pgd",
+                  "--eps_list", "0.03", "--steps", "1",
+                  "--model", "resnet_tiny", "--adaptive", "--use_jpeg",
+                  "--viz_samples", "0",
+                  "--output_dir", str(tmp_path / "o")])
