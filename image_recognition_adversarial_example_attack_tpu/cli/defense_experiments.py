@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "differentiable baseline codec — fully fused, "
                              "SPMD-safe, adaptive-attack-capable")
 
+    parser.add_argument("--labels_json", type=str, default=None,
+                        help="JSON {path-or-basename: class id} ground-truth "
+                             "labels; default = pseudo-labels (the model's "
+                             "clean predictions, the reference convention "
+                             ":818-819); partial files fall back per image")
     parser.add_argument("--adaptive", action="store_true",
                         help="generate attacks against the DEFENDED pipeline "
                              "(gradients through the STE-differentiable "
@@ -251,8 +256,29 @@ def main(argv=None) -> int:
                                 jpeg_mode=str(args.jpeg_mode))
 
     # clean predictions = pseudo-labels (reference :818-819); the
-    # streaming path derives them per chunk with the same program
-    y_true = pseudo_fn(x) if not streaming else None
+    # streaming path derives them per chunk with the same program.
+    # --labels_json overrides with ground truth (partial files fall back
+    # per image: -1 sentinel -> pseudo-label, resolved per chunk when
+    # streaming)
+    from .common import resolve_labels
+
+    labels_np = None
+    if streaming:
+        y_true = None
+        if args.labels_json:
+            labels_np = np.asarray(resolve_labels(
+                args.labels_json, image_paths,
+                np.full(len(image_paths), -1, np.int64)))
+    else:
+        pseudo = np.asarray(jax.device_get(pseudo_fn(x)))
+        if args.labels_json:
+            y_true = jnp.asarray(resolve_labels(
+                args.labels_json, list(image_paths), pseudo[:n]).tolist()
+                + pseudo[n:].tolist()).astype(jnp.int32)
+            acc = float(np.mean(np.asarray(y_true)[:n] == pseudo[:n]))
+            print(f"clean accuracy vs ground truth: {acc:.3f}")
+        else:
+            y_true = jnp.asarray(pseudo)
 
     output_dir = Path(args.output_dir)
     partial = _load_partial(output_dir) if args.resume else {}
@@ -328,7 +354,8 @@ def main(argv=None) -> int:
                         stats = stream_defense_cell(
                             fn, image_paths, detector_threshold, sub,
                             jnp.float32(eps), chunk_size=chunk,
-                            pseudo_label_fn=pseudo_fn, place=place,
+                            pseudo_label_fn=pseudo_fn, labels=labels_np,
+                            place=place,
                         )
                     else:
                         out = fn(x, y_true, detector_threshold, sub,

@@ -74,8 +74,10 @@ def stream_defense_cell(
     ``eval_fn(x, y, threshold, key, eps) -> {counter: [B] int32, ...}`` is
     the compiled cell program (dynamic-eps or split-JPEG).  Labels default
     to per-chunk pseudo-labels from ``pseudo_label_fn`` (the model's own
-    clean predictions — reference :818-819 semantics).  Returns the six
-    summed counters plus ``count``.
+    clean predictions — reference :818-819 semantics); ``labels`` entries
+    of ``-1`` mean "unlabeled — use the pseudo-label" (the resolve_labels
+    partial-file convention).  Returns the six summed counters plus
+    ``count``.
     """
     if labels is None and pseudo_label_fn is None:
         raise ValueError("need labels or pseudo_label_fn")
@@ -86,7 +88,13 @@ def stream_defense_cell(
     n_chunks = pipe.n_chunks
     for step, x_np, y_np, n_valid in pipe:
         x = place(x_np)
-        y = (pseudo_label_fn(x) if y_np is None else jnp.asarray(y_np))
+        if y_np is None:
+            y = pseudo_label_fn(x)
+        elif pseudo_label_fn is not None and np.any(np.asarray(y_np) < 0):
+            pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+            y = jnp.asarray(np.where(np.asarray(y_np) < 0, pseudo, y_np))
+        else:
+            y = jnp.asarray(y_np)
         out = eval_fn(x, y, threshold, jax.random.fold_in(key, step), eps)
         # fetch ONLY the counter vectors (6 x chunk int32) — x_adv stays on
         # device; this is the whole host<->device traffic of a chunk

@@ -340,3 +340,39 @@ def test_streaming_clis_reject_all_unreadable(tmp_path):
         bb_main(["--image_dir", str(d), "--attacks", "fgsm",
                  "--source", "resnet_tiny", "--targets", "tiny",
                  "--steps", "1", "--visualize_n", "0", "--max_batch", "2"])
+
+
+def test_defense_cli_labels_json(eval_dataset, tmp_path, capsys):
+    """--labels_json on the defense grid: ground truth drives
+    clean_correct; streamed and one-batch paths agree (fgsm
+    deterministic); partial files fall back to pseudo-labels."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+        main,
+    )
+
+    image_dir = eval_dataset[0].parent
+    # label half the images with a surely-wrong class, leave the rest to
+    # the pseudo-label fallback
+    lbl = tmp_path / "labels.json"
+    lbl.write_text(json.dumps(
+        {eval_dataset[i].name: 999 for i in range(5)}))
+
+    outs = []
+    for mb in (4, 0):
+        rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+                   "--eps_list", "0.03137", "--steps", "2",
+                   "--model", "resnet_tiny", "--viz_samples", "0",
+                   "--max_batch", str(mb), "--labels_json", str(lbl),
+                   "--detector_threshold", "2.0",
+                   "--output_dir", str(tmp_path / f"o{mb}")])
+        assert rc == 0
+        outs.append(capsys.readouterr().out)
+    rows = [sorted(ln for ln in o.splitlines() if ln.startswith("attack="))
+            for o in outs]
+    assert rows[0] and rows[0] == rows[1]
+    assert "clean accuracy vs ground truth" in outs[1]
+    # 5 images labeled class 999 (tiny model can't predict it) -> at most
+    # 5 of 10 clean-correct; results_partial carries the counter
+    part = json.loads((tmp_path / "o0" / "results_partial.json").read_text())
+    cell = next(iter(part.values()))
+    assert cell["clean_correct"] <= 5
