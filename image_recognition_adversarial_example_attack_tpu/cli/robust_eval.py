@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "fixed-shape chunks at constant memory (0 = "
                              "always one resident batch)")
     parser.add_argument("--output", type=str, default="robust_eval.json")
+    parser.add_argument("--save_adv_dir", type=str, default=None,
+                        help="save each image's per-sample WORST-CASE "
+                             "adversarial example (first successful arm in "
+                             "protocol order) as PNGs here, one subdir per "
+                             "eps; one-resident-batch mode only (ignored "
+                             "with a streaming-size image set)")
     parser.add_argument("--plot", type=str, default=None,
                         help="write the robust-accuracy-vs-eps figure here")
     add_model_args(parser)
@@ -118,6 +124,10 @@ def main(argv=None) -> int:
             print(f"clean accuracy vs ground truth: {clean_correct.mean():.3f}")
 
     standard = args.protocol == "standard"
+    save_adv = args.save_adv_dir is not None and not streaming
+    if args.save_adv_dir is not None and streaming:
+        print("(--save_adv_dir ignored: streaming mode keeps x_adv "
+              "on-device per chunk; rerun with --max_batch 0 to save)")
     if standard:
         arm_names = ("apgd_ce", "apgd_t", "fab", "square")
 
@@ -133,8 +143,9 @@ def main(argv=None) -> int:
                 square_steps=int(args.square_steps),
                 norm=args.norm,
             )
-            return (res.success, res.success_apgd_ce, res.success_apgd_t,
-                    res.success_fab, res.success_square)
+            masks = (res.success, res.success_apgd_ce, res.success_apgd_t,
+                     res.success_fab, res.success_square)
+            return masks + (res.x_adv,) if save_adv else masks
 
         arm_desc = (f"apgd-ce-{args.apgd_steps} "
                     f"apgd-t-{args.apgd_steps}x{args.n_target_classes} "
@@ -152,8 +163,9 @@ def main(argv=None) -> int:
                 deepfool_steps=int(args.deepfool_steps),
                 norm=args.norm,
             )
-            return (res.success, res.success_apgd, res.success_square,
-                    res.success_deepfool)
+            masks = (res.success, res.success_apgd, res.success_square,
+                     res.success_deepfool)
+            return masks + (res.x_adv,) if save_adv else masks
 
         arm_desc = (f"apgd-{args.apgd_steps} square-{args.square_steps} "
                     f"deepfool-{args.deepfool_steps}")
@@ -182,6 +194,14 @@ def main(argv=None) -> int:
                 n = len(succ)
             else:
                 outs = jax.device_get(run(x, y, sub, jnp.float32(eps)))
+                if save_adv:
+                    *outs, x_adv_np = outs
+                    from ..core.images import save_image_01
+
+                    adv_dir = Path(args.save_adv_dir) / f"eps_{float(eps):.5f}"
+                    for img, p in zip(np.asarray(x_adv_np), kept):
+                        save_image_01(img, adv_dir / f"adv_{Path(p).stem}.png")
+                    print(f"  saved {len(kept)} worst-case examples to {adv_dir}")
                 succ, arms = outs[0], list(outs[1:])
                 cc = clean_correct
             dt = time.perf_counter() - t0

@@ -1,6 +1,7 @@
 """Input-preprocessing defenses + adversarial detectors + certified smoothing."""
 
 from .preprocess import defense_smoothing, defense_quantization, defend_input, DefenseConfig
+from .jpeg_dct import jpeg_dct_roundtrip
 from .detector import (
     calibrate_feature_threshold,
     calibrate_squeezing_threshold,

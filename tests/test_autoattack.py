@@ -446,3 +446,44 @@ class TestSquareL2:
         with pytest.raises(ValueError):
             run_attack("square_l2", tiny_logits_fn, x, y, p, rng_key,
                        y_target=(y + 1) % 8)
+
+
+def test_robust_cli_save_adv_dir(tmp_path, capsys):
+    """--save_adv_dir exports per-sample worst-case examples, one subdir
+    per eps; every saved PNG round-trips inside the L-inf ball."""
+    import json as _json
+
+    from PIL import Image
+
+    from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+        main,
+    )
+
+    rng = np.random.RandomState(2)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            d / f"i{i}.jpg")
+    adv_dir = tmp_path / "adv"
+    rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+               "--eps_list", "0.03137", "--apgd_steps", "2",
+               "--square_steps", "2", "--deepfool_steps", "2",
+               "--save_adv_dir", str(adv_dir),
+               "--output", str(tmp_path / "r.json")])
+    assert rc == 0
+    capsys.readouterr()
+    pngs = sorted((adv_dir / "eps_0.03137").glob("adv_*.png"))
+    assert len(pngs) == 3
+    # uint8 round-trip keeps the perturbation within eps + quantization
+    from image_recognition_adversarial_example_attack_tpu.core.images import (
+        load_image,
+    )
+
+    for p, src in zip(pngs, sorted(d.glob("*.jpg"))):
+        # the PNG is already at pipeline size — read it raw (re-running
+        # load_image would re-apply the 256->224 resize/crop)
+        a = np.asarray(Image.open(p), np.float32) / 255.0
+        c = np.asarray(load_image(src))[0]
+        assert a.shape == c.shape
+        assert np.abs(a - c).max() <= 0.03137 + 2 / 255
