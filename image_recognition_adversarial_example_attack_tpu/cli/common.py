@@ -180,6 +180,22 @@ def resolve_image_inputs(image_dir: str | None, image: str,
     return [p]
 
 
+# Sentinel for "unlabeled — substitute the model's pseudo-label at use
+# time".  The single holder of the convention shared by every streaming
+# harness (eval/streaming.py) and label-resolving CLI.
+UNLABELED = -1
+
+
+def resolve_labels_sentinel(labels_json: str | None, paths):
+    """Ground-truth label vector with ``UNLABELED`` (-1) where the file has
+    no entry, for streaming paths that substitute pseudo-labels per chunk.
+    Returns None when no label file is given (pure pseudo-label mode)."""
+    if not labels_json:
+        return None
+    return np.asarray(resolve_labels(
+        labels_json, paths, np.full(len(paths), UNLABELED, np.int64)))
+
+
 def resolve_labels(labels_json: str | None, paths, pseudo) -> "np.ndarray":
     """Evaluation labels: ground truth from a JSON mapping when given,
     else the model's clean predictions (the air-gapped pseudo-label

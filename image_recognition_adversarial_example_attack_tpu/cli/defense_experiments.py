@@ -258,27 +258,29 @@ def main(argv=None) -> int:
     # clean predictions = pseudo-labels (reference :818-819); the
     # streaming path derives them per chunk with the same program.
     # --labels_json overrides with ground truth (partial files fall back
-    # per image: -1 sentinel -> pseudo-label, resolved per chunk when
-    # streaming)
-    from .common import resolve_labels
+    # per image via the shared UNLABELED sentinel, resolved per chunk
+    # when streaming)
+    from .common import resolve_labels, resolve_labels_sentinel
 
     labels_np = None
+    y_viz_dev = None  # the viz figure always shows CLEAN PREDICTIONS
     if streaming:
         y_true = None
-        if args.labels_json:
-            labels_np = np.asarray(resolve_labels(
-                args.labels_json, image_paths,
-                np.full(len(image_paths), -1, np.int64)))
-    else:
+        labels_np = resolve_labels_sentinel(args.labels_json, image_paths)
+    elif args.labels_json:
         pseudo = np.asarray(jax.device_get(pseudo_fn(x)))
-        if args.labels_json:
-            y_true = jnp.asarray(resolve_labels(
-                args.labels_json, list(image_paths), pseudo[:n]).tolist()
-                + pseudo[n:].tolist()).astype(jnp.int32)
-            acc = float(np.mean(np.asarray(y_true)[:n] == pseudo[:n]))
-            print(f"clean accuracy vs ground truth: {acc:.3f}")
-        else:
-            y_true = jnp.asarray(pseudo)
+        y_true = jnp.asarray(resolve_labels(
+            args.labels_json, list(image_paths), pseudo[:n]).tolist()
+            + pseudo[n:].tolist()).astype(jnp.int32)
+        acc = float(np.mean(np.asarray(y_true)[:n] == pseudo[:n]))
+        print(f"clean accuracy vs ground truth: {acc:.3f}")
+        y_viz_dev = jnp.asarray(pseudo)
+    else:
+        # no ground truth: keep the pseudo-labels device-resident (a
+        # host round-trip here costs ~150ms over the relay and drops
+        # the mesh sharding)
+        y_true = pseudo_fn(x)
+        y_viz_dev = y_true
 
     output_dir = Path(args.output_dir)
     partial = _load_partial(output_dir) if args.resume else {}
@@ -307,7 +309,14 @@ def main(argv=None) -> int:
                 cell_id = f"{attack_name}:{float(eps):.6f}"
                 tag = " | ADAPTIVE (through the defense)" if args.adaptive else ""
                 print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}{tag}]")
-                if cell_id in partial and partial[cell_id].get("count") == n:
+                # resume only cells computed under the SAME label source:
+                # --labels_json changes counter semantics, so mixing
+                # pseudo-label and ground-truth cells in one summary would
+                # be silently inconsistent
+                label_fp = Path(args.labels_json).name if args.labels_json else None
+                if (cell_id in partial
+                        and partial[cell_id].get("count") == n
+                        and partial[cell_id].get("labels_json") == label_fp):
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
                     continue
@@ -372,6 +381,7 @@ def main(argv=None) -> int:
                 results[(attack_name, float(eps))] = stats
                 if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = stats
+                stats["labels_json"] = label_fp  # resume fingerprint
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)
 
@@ -397,7 +407,10 @@ def main(argv=None) -> int:
             x_viz = jnp.asarray(x_viz_np)
             y_viz = pseudo_fn(x_viz)
         else:
-            x_viz, y_viz = x[:n_viz], y_true[:n_viz]
+            # clean PREDICTIONS, never ground-truth labels: the figure's
+            # pred_clean/conf_clean fields mean "what the model said"
+            # (and a >=num_classes label would index out of bounds)
+            x_viz, y_viz = x[:n_viz], y_viz_dev[:n_viz]
         if (defense_cfg.use_jpeg and defense_cfg.jpeg_mode == "host"
                 and engine.mesh is not None):
             # the viz program embeds the fused io_callback JPEG, which XLA

@@ -38,7 +38,8 @@ from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack, autoattack_lite
 from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs, resolve_labels)
+                     resolve_image_inputs, resolve_labels,
+                     resolve_labels_sentinel)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -103,13 +104,9 @@ def main(argv=None) -> int:
         kept = list(paths)  # per-chunk decode handles failures
         x = y = None
         clean_correct = None
-        labels_np = None
-        if args.labels_json:
-            # resolve ground-truth labels against the full path list once;
-            # -1 = unlabeled, replaced per chunk by that image's
-            # pseudo-label (resolve_labels partial-file convention)
-            labels_np = np.asarray(resolve_labels(
-                args.labels_json, kept, np.full(len(kept), -1, np.int64)))
+        # ground truth with the shared UNLABELED sentinel, replaced per
+        # chunk by that image's pseudo-label (resolve_labels convention)
+        labels_np = resolve_labels_sentinel(args.labels_json, kept)
         print(f"Streaming evaluation: {len(paths)} images in fixed chunks "
               f"of {max_batch} (constant memory)")
     else:
@@ -199,8 +196,12 @@ def main(argv=None) -> int:
                     from ..core.images import save_image_01
 
                     adv_dir = Path(args.save_adv_dir) / f"eps_{float(eps):.5f}"
-                    for img, p in zip(np.asarray(x_adv_np), kept):
-                        save_image_01(img, adv_dir / f"adv_{Path(p).stem}.png")
+                    # index prefix: distinct sources with equal stems
+                    # (a.jpg vs a.png) must not overwrite each other
+                    for i, (img, p) in enumerate(zip(np.asarray(x_adv_np),
+                                                     kept)):
+                        save_image_01(
+                            img, adv_dir / f"adv_{i:04d}_{Path(p).stem}.png")
                     print(f"  saved {len(kept)} worst-case examples to {adv_dir}")
                 succ, arms = outs[0], list(outs[1:])
                 cc = clean_correct

@@ -81,6 +81,11 @@ def stream_defense_cell(
     """
     if labels is None and pseudo_label_fn is None:
         raise ValueError("need labels or pseudo_label_fn")
+    if (pseudo_label_fn is None and labels is not None
+            and np.any(np.asarray(labels) < 0)):
+        raise ValueError(
+            "labels contain the UNLABELED (-1) sentinel but no "
+            "pseudo_label_fn was given to substitute for them")
     place = place or jnp.asarray
     totals = {k: 0 for k in STAT_KEYS}
     count = 0

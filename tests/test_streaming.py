@@ -376,3 +376,47 @@ def test_defense_cli_labels_json(eval_dataset, tmp_path, capsys):
     part = json.loads((tmp_path / "o0" / "results_partial.json").read_text())
     cell = next(iter(part.values()))
     assert cell["clean_correct"] <= 5
+
+
+def test_stream_defense_cell_rejects_sentinel_without_pseudo(tiny_resnet,
+                                                             eval_dataset):
+    """Review-r3c regression: -1 sentinel labels without a pseudo_label_fn
+    must raise instead of silently evaluating against class -1."""
+    model, variables = tiny_resnet
+    lf = lambda xx: model.apply(variables, xx)  # noqa: E731
+    ffn = make_features_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+    cfg = DefenseEvalConfig(attack_name="fgsm", eps=0.0, alpha=2 / 255,
+                            steps=1, cw_steps=1)
+    fn = make_defense_eval_fn_dynamic_eps(lf, ffn, cfg)
+    labels = [-1] + [0] * (len(eval_dataset) - 1)
+    with pytest.raises(ValueError, match="UNLABELED"):
+        stream_defense_cell(fn, eval_dataset, 2.0, jax.random.PRNGKey(0),
+                            jnp.float32(0.03), chunk_size=4, size=32,
+                            labels=labels, pseudo_label_fn=None)
+
+
+def test_defense_cli_resume_rejects_label_mismatch(eval_dataset, tmp_path,
+                                                   capsys):
+    """Review-r3c regression: --resume must not reuse cells computed under
+    a different label source (counter semantics differ)."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+        main,
+    )
+
+    image_dir = eval_dataset[0].parent
+    out = tmp_path / "res"
+    base = ["--image_dir", str(image_dir), "--attacks", "fgsm",
+            "--eps_list", "0.03137", "--steps", "1",
+            "--model", "resnet_tiny", "--viz_samples", "0",
+            "--detector_threshold", "2.0", "--output_dir", str(out)]
+    assert main(base) == 0
+    capsys.readouterr()
+    # same cells, now with ground-truth labels: must RECOMPUTE
+    lbl = tmp_path / "labels.json"
+    lbl.write_text(json.dumps({eval_dataset[0].name: 999}))
+    assert main(base + ["--resume", "--labels_json", str(lbl)]) == 0
+    text = capsys.readouterr().out
+    assert "(resumed from partial results)" not in text
+    # and with the SAME label source (the run-2 cells) it does resume
+    assert main(base + ["--resume", "--labels_json", str(lbl)]) == 0
+    assert "(resumed from partial results)" in capsys.readouterr().out
