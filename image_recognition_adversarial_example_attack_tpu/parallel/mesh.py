@@ -111,24 +111,34 @@ def tensor_parallel_spec(path: tuple, leaf) -> P | None:
 
     if _is_head_kernel(path, leaf):
         return P(None, "model")
-    in_attention = any(n == "self_attention" for n in names)
+    # attention qkv/proj pairs: ViT ('self_attention'/qkv + out) and Swin
+    # ('attn'/qkv + proj) — column-parallel packed qkv, row-parallel
+    # output projection
+    in_attention = any(n in ("self_attention", "attn") for n in names)
     if in_attention and parent == "qkv":
         if last == "kernel" and ndim == 2:
             return P(None, "model")
         if last == "bias" and ndim == 1:
             return P("model")
-    if in_attention and parent == "out" and last == "kernel" and ndim == 2:
+    if (in_attention and parent in ("out", "proj")
+            and last == "kernel" and ndim == 2):
         return P("model", None)  # row-parallel; bias replicated
-    if parent == "mlp_linear_1":
+    # MLP column/row pairs: ViT mlp_linear_1/2, Swin mlp_0/mlp_3, VGG's
+    # giant classifier_0/classifier_3 pair (25088x4096 / 4096x4096 — the
+    # bulk of VGG-19's 143M parameters)
+    if parent in ("mlp_linear_1", "mlp_0", "classifier_0"):
         if last == "kernel" and ndim == 2:
             return P(None, "model")
         if last == "bias" and ndim == 1:
             return P("model")
-    if parent == "mlp_linear_2" and last == "kernel" and ndim == 2:
+    if (parent in ("mlp_linear_2", "mlp_3", "classifier_3")
+            and last == "kernel" and ndim == 2):
         return P("model", None)
-    # ResNet stage convs: 4-D kernels inside layerN_i bottleneck blocks
+    # stage/block convs, out-channel sharded: ResNet layerN_i bottlenecks,
+    # DenseNet denseblockB_denselayerL, EfficientNet stageS_blockB
     if (last == "kernel" and ndim == 4
-            and any(n.startswith("layer") for n in names)):
+            and any(n.startswith(("layer", "denseblock", "stage"))
+                    for n in names)):
         return P(None, None, None, "model")
     return None
 
@@ -142,11 +152,21 @@ def shard_model_variables(variables: dict, mesh: Mesh, tensor_parallel: bool = F
     heads) are sharded over 'model'; XLA inserts the collectives.
     """
     repl = replicated_sharding(mesh)
-    if not tensor_parallel or mesh.shape.get("model", 1) == 1:
+    n_model = mesh.shape.get("model", 1)
+    if not tensor_parallel or n_model == 1:
         return jax.device_put(variables, repl)
 
     def place(path, leaf):
         spec = tensor_parallel_spec(path, leaf)
+        if spec is not None:
+            # replicate instead of shard when the partitioned dim does
+            # not divide the model axis (e.g. EfficientNet's tiny SE
+            # squeeze channels) — partial tensors are never worth uneven
+            # sharding here
+            for dim, axis in enumerate(spec):
+                if axis == "model" and leaf.shape[dim] % n_model:
+                    spec = None
+                    break
         sh = repl if spec is None else NamedSharding(mesh, spec)
         return jax.device_put(leaf, sh)
 

@@ -277,3 +277,69 @@ class TestRealTensorParallel:
         want = np.asarray(jax.jit(lambda xx, yy: attack(lf, xx, yy))(
             jnp.asarray(x_np), y))
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+class TestTPAllFamilies:
+    """Round-3 extension: TP rules cover every model family's dominant
+    tensors (Swin attention/MLP, VGG's classifier pair, DenseNet /
+    EfficientNet block convs) and still match the replicated forward."""
+
+    @pytest.mark.parametrize("family", ["swin", "vgg", "densenet",
+                                        "efficientnet"])
+    def test_tp_forward_matches_replicated(self, mesh8, family):
+        import jax.numpy as jnp
+
+        from image_recognition_adversarial_example_attack_tpu.models.densenet import (
+            densenet_tiny,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.efficientnet import (
+            efficientnet_tiny,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.swin import (
+            swin_tiny_test,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.vgg import (
+            vgg_tiny,
+        )
+
+        model = {"swin": swin_tiny_test, "vgg": vgg_tiny,
+                 "densenet": densenet_tiny,
+                 "efficientnet": efficientnet_tiny}[family](num_classes=8)
+        size = 32
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, size, size, 3)))
+        placed = shard_model_variables(variables, mesh8, tensor_parallel=True)
+        # at least one parameter actually partitioned over 'model'
+        shard_fracs = []
+        def collect(p, leaf):
+            if hasattr(leaf, "addressable_shards"):
+                shard_fracs.append(leaf.addressable_shards[0].data.size
+                                   / leaf.size)
+            return leaf
+        jax.tree_util.tree_map_with_path(collect, placed)
+        assert min(shard_fracs) <= 0.5, f"nothing partitioned for {family}"
+
+        lf_tp = make_logits_fn(model, placed, IMAGENET_MEAN, IMAGENET_STD)
+        lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
+        rng = np.random.RandomState(4)
+        x_np = rng.rand(8, size, size, 3).astype(np.float32)
+        got = np.asarray(jax.jit(lf_tp)(shard_batch(x_np, mesh8)))
+        want = np.asarray(jax.jit(lf)(jnp.asarray(x_np)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def test_vgg_classifier_pair_specs(self, mesh8):
+        import jax.numpy as jnp
+
+        from image_recognition_adversarial_example_attack_tpu.models.vgg import (
+            vgg_tiny,
+        )
+
+        model = vgg_tiny(num_classes=8)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 32, 32, 3)))
+        placed = shard_model_variables(variables, mesh8, tensor_parallel=True)
+        p = placed["params"]
+        assert p["classifier_0"]["kernel"].sharding.spec == P(None, "model")
+        assert p["classifier_0"]["bias"].sharding.spec == P("model")
+        assert p["classifier_3"]["kernel"].sharding.spec == P("model", None)
+        assert p["classifier_6"]["kernel"].sharding.spec == P(None, "model")
