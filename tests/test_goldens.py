@@ -25,10 +25,13 @@ def _generate():
 
     from image_recognition_adversarial_example_attack_tpu.attacks import (
         apgd_ce_attack,
+        apgd_dlr_attack,
+        apgd_targeted_attack,
         cw_l2_attack,
         deepfool_attack,
         dim_attack,
         ead_attack,
+        fab_targeted_attack,
         fgsm_attack,
         hsja_attack,
         make_logits_fn,
@@ -37,6 +40,7 @@ def _generate():
         pgd_linf_attack,
         spsa_attack,
         square_attack,
+        square_l2_attack,
         tim_attack,
     )
     from image_recognition_adversarial_example_attack_tpu.core.constants import (
@@ -79,6 +83,19 @@ def _generate():
                                 init_trials=8, key=key),
         "adv_ead": ead_attack(lf, x, y, c=50.0, beta=1e-3, steps=60,
                               lr=0.05).x_adv,
+        # round-3 AutoAttack completion + L2 protocol, same fixed seeds
+        "adv_apgd_dlr": apgd_dlr_attack(lf, x, y, eps=8 / 255, steps=20,
+                                        key=key),
+        "adv_apgd_t": apgd_targeted_attack(lf, x, y, eps=8 / 255, steps=10,
+                                           n_targets=2, key=key)[0],
+        "adv_fab": fab_targeted_attack(lf, x, y, eps=8 / 255, steps=10,
+                                       n_targets=2, key=key),
+        "adv_apgd_l2": apgd_ce_attack(lf, x, y, eps=1.0, steps=20, key=key,
+                                      norm="l2"),
+        "adv_fab_l2": fab_targeted_attack(lf, x, y, eps=1.0, steps=10,
+                                          n_targets=2, key=key, norm="l2"),
+        "adv_square_l2": square_l2_attack(lf, x, y, eps=1.0, steps=40,
+                                          key=key),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
