@@ -448,6 +448,7 @@ class TestSquareL2:
                        y_target=(y + 1) % 8)
 
 
+@pytest.mark.slow
 def test_robust_cli_save_adv_dir(tmp_path, capsys):
     """--save_adv_dir exports per-sample worst-case examples, one subdir
     per eps; every saved PNG round-trips inside the L-inf ball."""

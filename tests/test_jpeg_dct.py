@@ -263,6 +263,7 @@ class TestHostJpegBPDA:
         assert bool(jnp.all(jnp.isfinite(g)))       # support JVP'
         assert float(jnp.abs(g).sum()) > 0.0
 
+    @pytest.mark.slow
     def test_cli_rejects_adaptive_host_jpeg_on_mesh_before_work(self,
                                                                 tmp_path):
         if len(jax.devices()) < 2:

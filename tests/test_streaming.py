@@ -315,6 +315,7 @@ def test_blackbox_cli_streams(eval_dataset, capsys):
     assert row.search(out_stream).group() == row.search(out_one).group()
 
 
+@pytest.mark.slow
 def test_streaming_clis_reject_all_unreadable(tmp_path):
     """Review regression: an all-corrupt image set in streaming mode must
     exit with the same clear 'no loadable images' error as the one-batch
@@ -342,6 +343,7 @@ def test_streaming_clis_reject_all_unreadable(tmp_path):
                  "--steps", "1", "--visualize_n", "0", "--max_batch", "2"])
 
 
+@pytest.mark.slow
 def test_defense_cli_labels_json(eval_dataset, tmp_path, capsys):
     """--labels_json on the defense grid: ground truth drives
     clean_correct; streamed and one-batch paths agree (fgsm
@@ -395,6 +397,7 @@ def test_stream_defense_cell_rejects_sentinel_without_pseudo(tiny_resnet,
                             labels=labels, pseudo_label_fn=None)
 
 
+@pytest.mark.slow
 def test_defense_cli_resume_rejects_label_mismatch(eval_dataset, tmp_path,
                                                    capsys):
     """Review-r3c regression: --resume must not reuse cells computed under
