@@ -94,6 +94,11 @@ def main(argv=None) -> int:
         base_pred = jax.device_get(
             jax.jit(lambda xx: jnp.argmax(logits_fn(xx), axis=-1))(x))
         y_eval = resolve_labels(args.labels_json, kept, base_pred)
+        if args.labels_json:
+            from .common import check_label_range, n_classes_of
+
+            check_label_range(np.asarray(y_eval),
+                              n_classes_of(logits_fn, int(x.shape[1])))
         for si, sigma in enumerate(sigmas):
             config = SmoothingConfig(
                 sigma=sigma, n0=int(args.n0), n=int(args.n),

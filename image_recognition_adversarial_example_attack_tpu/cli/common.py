@@ -186,6 +186,48 @@ def resolve_image_inputs(image_dir: str | None, image: str,
 UNLABELED = -1
 
 
+def check_label_range(labels, n_classes: int, *, source: str = "labels_json"):
+    """Out-of-range class ids silently corrupt every counter (one_hot of
+    an invalid id is all-zeros, ``pred != id`` always holds) — fail loud
+    instead.  The UNLABELED sentinel is always legal."""
+    arr = np.asarray(labels)
+    bad = arr[(arr >= int(n_classes)) | (arr < UNLABELED)]
+    if bad.size:
+        ids = sorted(set(int(v) for v in bad))[:5]
+        raise SystemExit(
+            f"{source} contains out-of-range class ids {ids} for a "
+            f"{int(n_classes)}-class model")
+
+
+def n_classes_of(logits_fn, input_size: int) -> int:
+    """Class count via abstract evaluation — no device work."""
+    shape = jax.eval_shape(
+        logits_fn, jax.ShapeDtypeStruct((1, input_size, input_size, 3),
+                                        jnp.float32))
+    return int(shape.shape[-1])
+
+
+def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
+                                      "profile_dir")) -> str:
+    """Short hash of every result-semantics-defining CLI argument plus the
+    CONTENT of the labels file (a same-named file with edited labels must
+    not resume stale cells).  Used to gate --resume: a cell computed under
+    a different configuration recomputes instead of silently mixing
+    semantics in one summary."""
+    import hashlib
+    import json as _json
+    from pathlib import Path as _Path
+
+    payload = {k: v for k, v in sorted(vars(args).items())
+               if k not in exclude}
+    if getattr(args, "labels_json", None):
+        payload["__labels_content__"] = hashlib.sha256(
+            _Path(args.labels_json).read_bytes()).hexdigest()
+        payload.pop("labels_json", None)
+    blob = _json.dumps(payload, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def resolve_labels_sentinel(labels_json: str | None, paths):
     """Ground-truth label vector with ``UNLABELED`` (-1) where the file has
     no entry, for streaming paths that substitute pseudo-labels per chunk.

@@ -260,18 +260,24 @@ def main(argv=None) -> int:
     # --labels_json overrides with ground truth (partial files fall back
     # per image via the shared UNLABELED sentinel, resolved per chunk
     # when streaming)
-    from .common import resolve_labels, resolve_labels_sentinel
+    from .common import (check_label_range, config_fingerprint, n_classes_of,
+                         resolve_labels, resolve_labels_sentinel)
 
+    config_fp = config_fingerprint(args)
     labels_np = None
     y_viz_dev = None  # the viz figure always shows CLEAN PREDICTIONS
     if streaming:
         y_true = None
         labels_np = resolve_labels_sentinel(args.labels_json, image_paths)
+        if labels_np is not None:
+            check_label_range(labels_np, n_classes_of(logits_fn, 224))
     elif args.labels_json:
         pseudo = np.asarray(jax.device_get(pseudo_fn(x)))
         y_true = jnp.asarray(resolve_labels(
             args.labels_json, list(image_paths), pseudo[:n]).tolist()
             + pseudo[n:].tolist()).astype(jnp.int32)
+        check_label_range(np.asarray(y_true)[:n],
+                          n_classes_of(logits_fn, int(x.shape[1])))
         acc = float(np.mean(np.asarray(y_true)[:n] == pseudo[:n]))
         print(f"clean accuracy vs ground truth: {acc:.3f}")
         y_viz_dev = jnp.asarray(pseudo)
@@ -309,16 +315,19 @@ def main(argv=None) -> int:
                 cell_id = f"{attack_name}:{float(eps):.6f}"
                 tag = " | ADAPTIVE (through the defense)" if args.adaptive else ""
                 print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}{tag}]")
-                # resume only cells computed under the SAME label source:
-                # --labels_json changes counter semantics, so mixing
-                # pseudo-label and ground-truth cells in one summary would
-                # be silently inconsistent
-                label_fp = Path(args.labels_json).name if args.labels_json else None
+                # resume only cells computed under the SAME configuration:
+                # --labels_json (by CONTENT), --adaptive, detector/defense/
+                # attack knobs all change counter semantics, so mixing
+                # them in one summary would be silently inconsistent
                 if (cell_id in partial
                         and partial[cell_id].get("count") == n
-                        and partial[cell_id].get("labels_json") == label_fp):
+                        and partial[cell_id].get("config_fp") == config_fp):
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
+                    if attack_name in ("cw", "deepfool", "ead"):
+                        # the resumed cell serves every other eps too
+                        eps_independent_cache.setdefault(
+                            attack_name, partial[cell_id])
                     continue
                 if attack_name in eps_independent_cache:
                     print(f"  ({attack_name} is eps-independent: reusing the computed cell)")
@@ -381,7 +390,7 @@ def main(argv=None) -> int:
                 results[(attack_name, float(eps))] = stats
                 if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = stats
-                stats["labels_json"] = label_fp  # resume fingerprint
+                stats["config_fp"] = config_fp  # resume fingerprint
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)
 

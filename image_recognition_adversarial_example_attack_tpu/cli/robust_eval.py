@@ -37,7 +37,8 @@ from ..core.constants import DEFAULT_EPS_LIST
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack, autoattack_lite
-from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
+from .common import (add_model_args, check_label_range, load_bundle,
+                     make_fns, maybe_profile, n_classes_of,
                      resolve_image_inputs, resolve_labels,
                      resolve_labels_sentinel)
 
@@ -107,6 +108,8 @@ def main(argv=None) -> int:
         # ground truth with the shared UNLABELED sentinel, replaced per
         # chunk by that image's pseudo-label (resolve_labels convention)
         labels_np = resolve_labels_sentinel(args.labels_json, kept)
+        if labels_np is not None:
+            check_label_range(labels_np, n_classes_of(logits_fn, 224))
         print(f"Streaming evaluation: {len(paths)} images in fixed chunks "
               f"of {max_batch} (constant memory)")
     else:
@@ -116,6 +119,9 @@ def main(argv=None) -> int:
         x = jnp.asarray(x_np)
         pseudo = jax.device_get(pseudo_fn(x))
         y = jnp.asarray(resolve_labels(args.labels_json, kept, pseudo))
+        if args.labels_json:
+            check_label_range(np.asarray(y),
+                              n_classes_of(logits_fn, int(x.shape[1])))
         clean_correct = pseudo == np.asarray(y)
         if args.labels_json:
             print(f"clean accuracy vs ground truth: {clean_correct.mean():.3f}")

@@ -402,9 +402,30 @@ def test_robust_eval_cli_with_ground_truth_labels(image_dir, tmp_path, capsys):
     accuracy denominator (the standard protocol's clean-correct subset)."""
     from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import main
 
-    # intentionally wrong labels: clean accuracy vs ground truth near 0
+    # intentionally wrong IN-RANGE labels (pseudo+1 mod classes): clean
+    # accuracy vs ground truth exactly 0 (out-of-range ids are rejected)
+    import jax
+    import jax.numpy as jnp
+
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        make_logits_fn,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.images import (
+        list_images,
+        load_image_batch,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        load_model,
+    )
+
+    paths = list_images(image_dir)
+    b = load_model("resnet_tiny")
+    lf = make_logits_fn(b.module, b.variables, b.mean, b.std)
+    preds = np.asarray(jax.jit(lambda x: jnp.argmax(lf(x), -1))(
+        jnp.asarray(load_image_batch(paths))))
     lbl = tmp_path / "labels.json"
-    lbl.write_text(json.dumps({f"img_{i}.jpg": 999 for i in range(3)}))
+    lbl.write_text(json.dumps(
+        {p.name: int((preds[i] + 1) % 10) for i, p in enumerate(paths)}))
     out = tmp_path / "robust_gt.json"
     rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
                "--eps_list", "0.03137", "--apgd_steps", "2",

@@ -353,11 +353,25 @@ def test_defense_cli_labels_json(eval_dataset, tmp_path, capsys):
     )
 
     image_dir = eval_dataset[0].parent
-    # label half the images with a surely-wrong class, leave the rest to
-    # the pseudo-label fallback
+    # label half the images with a guaranteed-wrong IN-RANGE class
+    # (pseudo+1 mod classes), leave the rest to the pseudo-label fallback
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        make_logits_fn,
+    )
+    from image_recognition_adversarial_example_attack_tpu.core.images import (
+        load_image_batch,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        load_model,
+    )
+
+    b = load_model("resnet_tiny")
+    lf = make_logits_fn(b.module, b.variables, b.mean, b.std)
+    preds = np.asarray(jax.jit(lambda x: jnp.argmax(lf(x), -1))(
+        jnp.asarray(load_image_batch(eval_dataset[:5]))))
     lbl = tmp_path / "labels.json"
     lbl.write_text(json.dumps(
-        {eval_dataset[i].name: 999 for i in range(5)}))
+        {eval_dataset[i].name: int((preds[i] + 1) % 10) for i in range(5)}))
 
     outs = []
     for mb in (4, 0):
@@ -377,7 +391,7 @@ def test_defense_cli_labels_json(eval_dataset, tmp_path, capsys):
     # 5 of 10 clean-correct; results_partial carries the counter
     part = json.loads((tmp_path / "o0" / "results_partial.json").read_text())
     cell = next(iter(part.values()))
-    assert cell["clean_correct"] <= 5
+    assert cell["clean_correct"] == 5  # the 5 mislabeled images miss
 
 
 def test_stream_defense_cell_rejects_sentinel_without_pseudo(tiny_resnet,
@@ -416,10 +430,65 @@ def test_defense_cli_resume_rejects_label_mismatch(eval_dataset, tmp_path,
     capsys.readouterr()
     # same cells, now with ground-truth labels: must RECOMPUTE
     lbl = tmp_path / "labels.json"
-    lbl.write_text(json.dumps({eval_dataset[0].name: 999}))
+    lbl.write_text(json.dumps({eval_dataset[0].name: 3}))
     assert main(base + ["--resume", "--labels_json", str(lbl)]) == 0
     text = capsys.readouterr().out
     assert "(resumed from partial results)" not in text
     # and with the SAME label source (the run-2 cells) it does resume
     assert main(base + ["--resume", "--labels_json", str(lbl)]) == 0
+    assert "(resumed from partial results)" in capsys.readouterr().out
+
+
+def test_labels_json_out_of_range_rejected(eval_dataset, tmp_path):
+    """Review-r3d regression: out-of-range class ids silently corrupted
+    every counter (one_hot of an invalid id is all-zeros); the CLIs now
+    fail loud."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+        main as def_main,
+    )
+    from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+        main as rob_main,
+    )
+
+    image_dir = eval_dataset[0].parent
+    lbl = tmp_path / "labels.json"
+    lbl.write_text(json.dumps({eval_dataset[0].name: 999}))
+    with pytest.raises(SystemExit, match="out-of-range"):
+        def_main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+                  "--eps_list", "0.03", "--steps", "1",
+                  "--model", "resnet_tiny", "--viz_samples", "0",
+                  "--detector_threshold", "2.0",
+                  "--labels_json", str(lbl),
+                  "--output_dir", str(tmp_path / "o")])
+    with pytest.raises(SystemExit, match="out-of-range"):
+        rob_main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+                  "--eps_list", "0.03", "--apgd_steps", "1",
+                  "--square_steps", "1", "--deepfool_steps", "1",
+                  "--labels_json", str(lbl),
+                  "--output", str(tmp_path / "r.json")])
+
+
+@pytest.mark.slow
+def test_defense_cli_resume_rejects_config_change(eval_dataset, tmp_path,
+                                                  capsys):
+    """Review-r3d regression: --resume must not reuse cells computed under
+    a different --adaptive (or any other semantics-defining) config."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+        main,
+    )
+
+    image_dir = eval_dataset[0].parent
+    out = tmp_path / "res"
+    base = ["--image_dir", str(image_dir), "--attacks", "pgd",
+            "--eps_list", "0.03137", "--steps", "1",
+            "--model", "resnet_tiny", "--viz_samples", "0",
+            "--detector_threshold", "2.0", "--output_dir", str(out)]
+    assert main(base) == 0
+    capsys.readouterr()
+    # same cells, now adaptive: must RECOMPUTE (oblivious numbers would
+    # otherwise be reported under the ADAPTIVE header)
+    assert main(base + ["--resume", "--adaptive"]) == 0
+    assert "(resumed from partial results)" not in capsys.readouterr().out
+    # identical config resumes
+    assert main(base + ["--resume", "--adaptive"]) == 0
     assert "(resumed from partial results)" in capsys.readouterr().out
