@@ -207,17 +207,58 @@ def n_classes_of(logits_fn, input_size: int) -> int:
     return int(shape.shape[-1])
 
 
+# CLI arg names each attack's compiled program actually reads, mirrored
+# from the run_attack dispatch (attacks/api.py:run_attack).  Used to scope
+# the resume fingerprint per grid cell: changing --cw_steps must not
+# invalidate an fgsm cell, and dropping 'pgd' from --attacks must not
+# invalidate the fgsm cells computed alongside it.
+ATTACK_KNOB_ARGS: dict[str, frozenset] = {
+    "fgsm": frozenset(),
+    "pgd": frozenset({"steps", "alpha"}),
+    "pgd_l2": frozenset({"steps", "alpha"}),
+    "mifgsm": frozenset({"steps", "alpha", "mu"}),
+    "dim": frozenset({"steps", "alpha", "mu"}),
+    "tim": frozenset({"steps", "alpha", "mu"}),
+    "apgd": frozenset({"steps"}),
+    "apgd_dlr": frozenset({"steps"}),
+    "apgd_t": frozenset({"steps", "n_target_classes"}),
+    "fab": frozenset({"steps", "n_target_classes"}),
+    "square": frozenset({"square_steps"}),
+    "square_l2": frozenset({"square_steps"}),
+    "deepfool": frozenset(
+        {"deepfool_steps", "deepfool_classes", "deepfool_overshoot"}),
+    "nes": frozenset({"steps", "alpha", "est_samples", "nes_sigma"}),
+    "spsa": frozenset({"steps", "alpha", "est_samples", "spsa_delta"}),
+    "hsja": frozenset({"hsja_steps", "hsja_probes"}),
+    "ead": frozenset({"cw_steps", "cw_kappa", "ead_beta", "ead_c", "ead_lr"}),
+    "cw": frozenset({"cw_c", "cw_kappa", "cw_steps", "cw_lr"}),
+}
+_ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
+
+
 def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
-                                      "profile_dir")) -> str:
+                                      "profile_dir"),
+                       attack_name: str | None = None) -> str:
     """Short hash of every result-semantics-defining CLI argument plus the
     CONTENT of the labels file (a same-named file with edited labels must
     not resume stale cells).  Used to gate --resume: a cell computed under
     a different configuration recomputes instead of silently mixing
-    semantics in one summary."""
+    semantics in one summary.
+
+    With ``attack_name`` the hash is scoped to ONE grid cell: the attack
+    grid (``attacks``/``eps_list`` — already encoded in the cell id) and
+    every attack knob the named attack's program never reads are dropped,
+    so e.g. rerunning with a different --cw_steps resumes the untouched
+    fgsm cells.  Unknown attack names keep every knob (safe default)."""
     import hashlib
     import json as _json
     from pathlib import Path as _Path
 
+    exclude = set(exclude)
+    if attack_name is not None:
+        exclude |= {"attacks", "eps_list"}
+        exclude |= _ALL_KNOB_ARGS - ATTACK_KNOB_ARGS.get(
+            attack_name, _ALL_KNOB_ARGS)
     payload = {k: v for k, v in sorted(vars(args).items())
                if k not in exclude}
     if getattr(args, "labels_json", None):

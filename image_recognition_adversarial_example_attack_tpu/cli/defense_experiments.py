@@ -263,7 +263,11 @@ def main(argv=None) -> int:
     from .common import (check_label_range, config_fingerprint, n_classes_of,
                          resolve_labels, resolve_labels_sentinel)
 
-    config_fp = config_fingerprint(args)
+    # one fingerprint PER ATTACK: scoped to the knobs that attack's
+    # program reads, so editing --cw_steps or dropping an attack from
+    # the grid leaves the other attacks' finished cells resumable
+    config_fps = {a: config_fingerprint(args, attack_name=a)
+                  for a in args.attacks}
     labels_np = None
     y_viz_dev = None  # the viz figure always shows CLEAN PREDICTIONS
     if streaming:
@@ -321,7 +325,8 @@ def main(argv=None) -> int:
                 # them in one summary would be silently inconsistent
                 if (cell_id in partial
                         and partial[cell_id].get("count") == n
-                        and partial[cell_id].get("config_fp") == config_fp):
+                        and partial[cell_id].get("config_fp")
+                        == config_fps[attack_name]):
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
                     if attack_name in ("cw", "deepfool", "ead"):
@@ -390,7 +395,7 @@ def main(argv=None) -> int:
                 results[(attack_name, float(eps))] = stats
                 if attack_name in ("cw", "deepfool", "ead"):
                     eps_independent_cache[attack_name] = stats
-                stats["config_fp"] = config_fp  # resume fingerprint
+                stats["config_fp"] = config_fps[attack_name]  # resume gate
                 partial[cell_id] = stats
                 _save_partial(output_dir, partial)
 

@@ -506,3 +506,46 @@ def test_serve_cli_sigterm_drain(image_dir):
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
+
+
+def test_config_fingerprint_scopes_to_the_cell_attack():
+    """--resume gate: a cell's fingerprint covers exactly the knobs its
+    attack's program reads (cli/common.py:ATTACK_KNOB_ARGS), so editing an
+    unrelated attack's budget or shrinking --attacks keeps finished cells
+    resumable, while shared-semantics args still invalidate everything."""
+    from argparse import Namespace
+
+    from image_recognition_adversarial_example_attack_tpu.cli.common import (
+        config_fingerprint)
+
+    base = dict(image_dir="imgs", attacks=["fgsm", "pgd"], eps_list=[0.03137],
+                steps=2, alpha=0.01, cw_c=1.0, cw_kappa=0.0, cw_steps=4,
+                cw_lr=0.01, square_steps=16, model="resnet_tiny", seed=0,
+                detector="feature", adaptive=False, labels_json=None,
+                output_dir="o1", resume=False, viz_samples=2,
+                profile_dir=None)
+    a = Namespace(**base)
+    b = Namespace(**{**base, "cw_steps": 100, "attacks": ["fgsm"],
+                     "viz_samples": 0, "output_dir": "o2", "resume": True})
+
+    # fgsm cell survives cw-budget / grid-shape / output-location changes
+    assert (config_fingerprint(a, attack_name="fgsm")
+            == config_fingerprint(b, attack_name="fgsm"))
+    # the cw cell itself must NOT survive a cw_steps change
+    assert (config_fingerprint(a, attack_name="cw")
+            != config_fingerprint(b, attack_name="cw"))
+    # pgd reads steps/alpha: an alpha change invalidates pgd, not fgsm
+    c = Namespace(**{**base, "alpha": 0.02})
+    assert (config_fingerprint(a, attack_name="pgd")
+            != config_fingerprint(c, attack_name="pgd"))
+    assert (config_fingerprint(a, attack_name="fgsm")
+            == config_fingerprint(c, attack_name="fgsm"))
+    # shared semantics (detector choice) invalidate every cell
+    d = Namespace(**{**base, "detector": "squeezing"})
+    for name in ("fgsm", "pgd", "cw"):
+        assert (config_fingerprint(a, attack_name=name)
+                != config_fingerprint(d, attack_name=name))
+    # unknown attack names keep every knob (safe default)
+    e = Namespace(**{**base, "cw_steps": 100})
+    assert (config_fingerprint(a, attack_name="someday_attack")
+            != config_fingerprint(e, attack_name="someday_attack"))
