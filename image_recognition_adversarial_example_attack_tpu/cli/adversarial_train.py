@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from dataclasses import replace
 from pathlib import Path
 
 import jax
@@ -66,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "augmentation). pgd-at objective only.")
     parser.add_argument("--noise_samples", type=int, default=4,
                         help="EOT noise draws for the SmoothAdv inner attack")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="micro-batches per optimizer step: the batch is "
+                             "scanned in N slices inside the one compiled "
+                             "step, bounding activation memory at batch/N "
+                             "(effective batch and update count unchanged)")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the model forward: the backward "
+                             "recomputes activations instead of holding them "
+                             "in HBM (one extra forward per backward)")
     parser.add_argument("--out", type=str, default=None,
                         help="output .msgpack (default: weights/<model>_robust.msgpack)")
     parser.add_argument("--checkpoint_path", type=str, default=None,
@@ -143,6 +153,8 @@ def main(argv=None) -> int:
         trades_beta=float(args.trades_beta),
         noise_sigma=float(args.noise_sigma),
         noise_samples=int(args.noise_samples),
+        grad_accum=int(args.grad_accum),
+        remat=bool(args.remat),
     )
     state = train_state_from_bundle(bundle, config)
     if args.objective == "trades" and float(args.noise_sigma) > 0.0:
@@ -173,6 +185,17 @@ def main(argv=None) -> int:
     # schedule an uninterrupted run would have used
     key0 = key_from_seed(args.seed)
     batch = min(int(args.batch_size), n)
+    accum = max(1, min(int(args.grad_accum), batch))
+    if accum != int(args.grad_accum):
+        print(f"grad_accum clamped to {accum} (batch is only {batch})")
+        config = replace(config, grad_accum=accum)
+        train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
+    if batch % accum:
+        # the scan needs equal micro-batches; round down so grad_accum
+        # still divides (never below one image per micro-batch)
+        batch = (batch // accum) * accum
+        print(f"batch_size rounded to {batch} "
+              f"(must divide by grad_accum={accum})")
     steps_per_epoch = max(1, n // batch)
 
     def end_epoch(epoch, metrics, dt):

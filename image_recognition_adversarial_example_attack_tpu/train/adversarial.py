@@ -59,6 +59,17 @@ class AdvTrainConfig:
     # plain Gaussian augmentation.
     noise_sigma: float = 0.0
     noise_samples: int = 4
+    # The two standard TPU memory levers, both inside the ONE jitted step:
+    # grad_accum>1 scans the batch in grad_accum micro-batches, so only one
+    # micro-batch's activations are ever live (effective batch unchanged —
+    # grads are averaged across micro-batches before the single optimizer
+    # update); remat wraps the model forward in jax.checkpoint, trading one
+    # extra forward in the backward pass for dropping all intermediate
+    # activations from HBM.  Together they bound peak memory at
+    # O(model + batch/grad_accum inputs) instead of O(model + batch
+    # activations) — how ImageNet-scale effective batches fit one chip.
+    grad_accum: int = 1
+    remat: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -100,6 +111,64 @@ def _ce_loss(logits: jnp.ndarray, y: jnp.ndarray, smoothing: float) -> jnp.ndarr
     return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
 
+def _finish_step(state: TrainState, grads, metrics):
+    """Shared tail of every objective: one optimizer update + grad_norm."""
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(params=params, opt_state=opt_state,
+                              step=state.step + 1)
+    metrics = dict(metrics)
+    # on the AVERAGED gradient — the one the optimizer actually consumes
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def _with_grad_accum(grads_fn, accum: int):
+    """Lift ``grads_fn(state, x01, y, key) -> (grads, metrics)`` from one
+    micro-batch to a full batch of ``accum`` micro-batches via lax.scan.
+
+    The scan serializes the micro-batches inside the SAME compiled program,
+    so peak activation memory is one micro-batch's worth while the returned
+    gradient is the exact mean over the full batch (mean-of-means with
+    equal micro sizes; batch must divide evenly — checked at trace time).
+    Scalar metrics average the same way.  Each micro-batch folds its index
+    into the step key, so PGD random starts/noise draws stay independent.
+    """
+    if accum <= 1:
+        return grads_fn
+
+    def accum_fn(state: TrainState, x01, y, key):
+        b = int(x01.shape[0])
+        if b % accum:
+            raise ValueError(
+                f"batch size {b} is not divisible by grad_accum={accum}")
+        micro = b // accum
+        xs = x01.reshape(accum, micro, *x01.shape[1:])
+        ys = y.reshape(accum, micro)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(accum, dtype=jnp.uint32))
+
+        g_shape, m_shape = jax.eval_shape(
+            grads_fn, state, xs[0], ys[0], keys[0])
+        zeros = lambda tree: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        def body(carry, inp):
+            g_acc, m_acc = carry
+            x_i, y_i, k_i = inp
+            g, m = grads_fn(state, x_i, y_i, k_i)
+            return (jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, m_acc, m)), None
+
+        (g_sum, m_sum), _ = jax.lax.scan(
+            body, (zeros(g_shape), zeros(m_shape)), (xs, ys, keys))
+        inv = 1.0 / accum
+        return (jax.tree.map(lambda t: t * jnp.asarray(inv, t.dtype), g_sum),
+                jax.tree.map(lambda t: t * inv, m_sum))
+
+    return accum_fn
+
+
 def make_train_step(config: AdvTrainConfig,
                     mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """One fused PGD-AT step: (state, x01, y, key) -> (state, metrics).
@@ -111,15 +180,23 @@ def make_train_step(config: AdvTrainConfig,
     """
 
     def apply_logits(state: TrainState, params, x01):
-        variables = {"params": params, **state.extra_variables}
-        out = state.apply_fn(variables, normalize_batch(x01, mean, std))
-        return out.astype(jnp.float32)
+        def fwd(params, x01):
+            variables = {"params": params, **state.extra_variables}
+            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+            return out.astype(jnp.float32)
+
+        if config.remat:
+            # backward recomputes the forward instead of keeping its
+            # activations in HBM; applies to the attack's bwd-to-input
+            # steps AND the parameter backward below
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, x01)
 
     def loss_fn(params, state: TrainState, x01, y):
         logits = apply_logits(state, params, x01)
         return _ce_loss(logits, y, config.label_smoothing), logits
 
-    def step(state: TrainState, x01, y, key):
+    def grads_fn(state: TrainState, x01, y, key):
         k_attack, k_eot, k_noise = jax.random.split(key, 3)
 
         # 1) craft adversarial examples against the CURRENT parameters
@@ -169,18 +246,18 @@ def make_train_step(config: AdvTrainConfig,
 
         (loss, adv_logits), grads = jax.value_and_grad(
             total_loss, has_aux=True)(state.params)
-
-        # 3) optimizer update (XLA fuses; grads psum'd by pjit when sharded)
-        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state,
-                                  step=state.step + 1)
         metrics = {
             "loss": loss,
-            "adv_accuracy": jnp.mean(jnp.argmax(adv_logits, -1) == y),
-            "grad_norm": optax.global_norm(grads),
+            "adv_accuracy": jnp.mean(
+                (jnp.argmax(adv_logits, -1) == y).astype(jnp.float32)),
         }
-        return new_state, metrics
+        return grads, metrics
+
+    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+
+    def step(state: TrainState, x01, y, key):
+        # optimizer update (XLA fuses; grads psum'd by pjit when sharded)
+        return _finish_step(state, *grads_full(state, x01, y, key))
 
     return step
 
@@ -201,11 +278,16 @@ def make_trades_step(config: AdvTrainConfig,
     """
 
     def apply_logits(state: TrainState, params, x01):
-        variables = {"params": params, **state.extra_variables}
-        out = state.apply_fn(variables, normalize_batch(x01, mean, std))
-        return out.astype(jnp.float32)
+        def fwd(params, x01):
+            variables = {"params": params, **state.extra_variables}
+            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+            return out.astype(jnp.float32)
 
-    def step(state: TrainState, x01, y, key):
+        if config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, x01)
+
+    def grads_fn(state: TrainState, x01, y, key):
         # 1) inner maximization: PGD on KL(p_clean || p(x_adv)), p_clean frozen
         p_clean = jax.lax.stop_gradient(
             jax.nn.softmax(apply_logits(state, state.params, x01), axis=-1)
@@ -244,20 +326,20 @@ def make_trades_step(config: AdvTrainConfig,
 
         (loss, (natural, robust, adv_logits)), grads = jax.value_and_grad(
             total_loss, has_aux=True)(state.params)
-
-        # 3) optimizer update
-        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state,
-                                  step=state.step + 1)
         metrics = {
             "loss": loss,
             "natural_loss": natural,
             "robust_kl": robust,
-            "adv_accuracy": jnp.mean(jnp.argmax(adv_logits, -1) == y),
-            "grad_norm": optax.global_norm(grads),
+            "adv_accuracy": jnp.mean(
+                (jnp.argmax(adv_logits, -1) == y).astype(jnp.float32)),
         }
-        return new_state, metrics
+        return grads, metrics
+
+    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+
+    def step(state: TrainState, x01, y, key):
+        # 3) optimizer update
+        return _finish_step(state, *grads_full(state, x01, y, key))
 
     return step
 

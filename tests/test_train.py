@@ -384,3 +384,133 @@ def test_checkpoint_exact_resume():
     for a, b in zip(jax.tree_util.tree_leaves(straight.opt_state),
                     jax.tree_util.tree_leaves(resumed.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMemoryLevers:
+    """grad_accum + remat (AdvTrainConfig): the two standard TPU levers for
+    fitting large effective batches — both must leave the training
+    semantics intact (beyond-reference; the reference has no trainer)."""
+
+    def _setup(self, **cfg_kwargs):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny)
+
+        model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+        config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255,
+                                learning_rate=5e-3, **cfg_kwargs)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        return config, state
+
+    def test_grad_accum_matches_whole_batch(self):
+        # attack_steps=0 removes the only key-dependent piece, so the
+        # scanned micro-batches must reproduce the whole-batch gradient
+        # exactly (mean of equal-size micro means == global mean)
+        x, y = _toy_data(n=16)
+        key = jax.random.PRNGKey(3)
+        results = {}
+        for accum in (1, 4):
+            config, state = self._setup(attack_steps=0, grad_accum=accum)
+            step = jax.jit(make_train_step(config))
+            new_state, metrics = step(state, x, y, key)
+            results[accum] = (new_state, metrics)
+        p1 = jax.tree.leaves(results[1][0].params)
+        p4 = jax.tree.leaves(results[4][0].params)
+        for a, b in zip(p1, p4):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        for k in ("loss", "adv_accuracy", "grad_norm"):
+            np.testing.assert_allclose(results[1][1][k], results[4][1][k],
+                                       atol=1e-5)
+
+    def test_grad_accum_with_pgd_learns(self):
+        # with the attack on, micro-batches draw independent PGD keys —
+        # not bitwise-comparable to accum=1, but training must still work
+        x, y = _toy_data(n=32)
+        config, state = self._setup(attack_steps=3, grad_accum=4)
+        step = jax.jit(make_train_step(config))
+        key = jax.random.PRNGKey(0)
+        state, first = step(state, x, y, key)
+        for i in range(40):
+            state, metrics = step(state, x, y, jax.random.fold_in(key, i))
+        assert int(state.step) == 41
+        assert float(metrics["loss"]) < float(first["loss"])
+        assert float(metrics["adv_accuracy"]) > 0.9
+
+    def test_grad_accum_rejects_indivisible_batch(self):
+        x, y = _toy_data(n=10)
+        config, state = self._setup(attack_steps=0, grad_accum=4)
+        step = jax.jit(make_train_step(config))
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, x, y, jax.random.PRNGKey(0))
+
+    @pytest.mark.parametrize("objective", ["pgd-at", "trades"])
+    def test_remat_is_semantically_invisible(self, objective):
+        # jax.checkpoint recomputes the SAME forward: params after one
+        # step must match the un-remat program to fp noise
+        from image_recognition_adversarial_example_attack_tpu.train import (
+            make_trades_step)
+
+        x, y = _toy_data(n=8)
+        key = jax.random.PRNGKey(7)
+        out = {}
+        for remat in (False, True):
+            config, state = self._setup(attack_steps=2, remat=remat)
+            maker = make_trades_step if objective == "trades" else make_train_step
+            step = jax.jit(maker(config))
+            new_state, metrics = step(state, x, y, key)
+            out[remat] = (new_state, metrics)
+        for a, b in zip(jax.tree.leaves(out[False][0].params),
+                        jax.tree.leaves(out[True][0].params)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        np.testing.assert_allclose(out[False][1]["loss"], out[True][1]["loss"],
+                                   atol=1e-6)
+
+    def test_trades_grad_accum_smoke(self):
+        from image_recognition_adversarial_example_attack_tpu.train import (
+            make_trades_step)
+
+        x, y = _toy_data(n=16)
+        config, state = self._setup(attack_steps=2, grad_accum=2)
+        step = jax.jit(make_trades_step(config))
+        state, metrics = step(state, x, y, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["robust_kl"]))
+        assert int(state.step) == 1
+
+
+def test_sharded_accum_remat_step_matches_single_device():
+    """grad_accum's micro-batch scan and the checkpointed backward must
+    compose with the data-axis gradient psum: same key, same update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+        make_tiny)
+    from image_recognition_adversarial_example_attack_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model, variables = make_tiny(seed=0, image_size=16, num_classes=2)
+    config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=2,
+                            learning_rate=5e-3, grad_accum=2, remat=True)
+    state0 = train_state_from_bundle(_Bundle(model, variables), config)
+    x, y = _toy_data(n=16)
+    key = jax.random.PRNGKey(5)
+    train_step = make_train_step(config)
+
+    ref_state, ref_metrics = jax.jit(train_step)(state0, x, y, key)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    xs = data_sharding(mesh)
+    got_state, got_metrics = jax.jit(
+        train_step,
+        in_shardings=(None, xs, NamedSharding(mesh, P("data")), None),
+        out_shardings=(None, None),
+    )(state0, jax.device_put(x, xs),
+      jax.device_put(y, NamedSharding(mesh, P("data"))), key)
+
+    np.testing.assert_allclose(float(got_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
