@@ -36,7 +36,7 @@ from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
                                  make_eval_step, make_train_step,
                                  make_trades_step, save_train_checkpoint,
                                  train_state_from_bundle)
-from .common import add_model_args, load_bundle, maybe_profile
+from .common import add_model_args, load_bundle, maybe_profile, positive_int
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "augmentation). pgd-at objective only.")
     parser.add_argument("--noise_samples", type=int, default=4,
                         help="EOT noise draws for the SmoothAdv inner attack")
-    parser.add_argument("--grad_accum", type=int, default=1,
+    parser.add_argument("--grad_accum", type=positive_int, default=1,
                         help="micro-batches per optimizer step: the batch is "
                              "scanned in N slices inside the one compiled "
                              "step, bounding activation memory at batch/N "
@@ -185,7 +185,8 @@ def main(argv=None) -> int:
     # schedule an uninterrupted run would have used
     key0 = key_from_seed(args.seed)
     batch = min(int(args.batch_size), n)
-    accum = max(1, min(int(args.grad_accum), batch))
+    # parser guarantees grad_accum >= 1; the only clamp left is batch size
+    accum = min(int(args.grad_accum), batch)
     if accum != int(args.grad_accum):
         print(f"grad_accum clamped to {accum} (batch is only {batch})")
         config = replace(config, grad_accum=accum)

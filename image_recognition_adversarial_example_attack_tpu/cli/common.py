@@ -199,6 +199,17 @@ def check_label_range(labels, n_classes: int, *, source: str = "labels_json"):
             f"{int(n_classes)}-class model")
 
 
+def positive_int(value: str) -> int:
+    """argparse type: a strictly positive integer (rejects 0 and negatives
+    at parse time, where the error names the flag, instead of silently
+    clamping deep in the run)."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            f"expected a positive integer, got {value}")
+    return n
+
+
 def n_classes_of(logits_fn, input_size: int) -> int:
     """Class count via abstract evaluation — no device work."""
     shape = jax.eval_shape(
@@ -236,9 +247,38 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
 _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 
 
+def cell_key(key0, cell_id: str):
+    """Per-cell PRNG key that depends only on (seed key, cell id) — never on
+    which other grid cells ran first.
+
+    A sequential ``jax.random.split`` walk would make a cell's randomness a
+    function of its position in the ``attacks x eps`` grid, so a cell resumed
+    under the scoped fingerprint (``config_fingerprint(attack_name=...)``,
+    which deliberately ignores the grid composition) could disagree with a
+    fresh run of the narrower grid.  Folding a stable hash of the cell id
+    into the seed key makes resumed and fresh cells bitwise-identical."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.sha256(cell_id.encode()).digest()[:4],
+                       "big") & 0x7FFFFFFF
+    return jax.random.fold_in(key0, h)
+
+
+def labels_digest(labels_json: str | None) -> str | None:
+    """Content hash of the labels file, or None.  Compute once and pass to
+    ``config_fingerprint`` when fingerprinting many cells of one run."""
+    import hashlib
+    from pathlib import Path as _Path
+
+    if not labels_json:
+        return None
+    return hashlib.sha256(_Path(labels_json).read_bytes()).hexdigest()
+
+
 def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
                                       "profile_dir"),
-                       attack_name: str | None = None) -> str:
+                       attack_name: str | None = None,
+                       labels_content: str | None = None) -> str:
     """Short hash of every result-semantics-defining CLI argument plus the
     CONTENT of the labels file (a same-named file with edited labels must
     not resume stale cells).  Used to gate --resume: a cell computed under
@@ -262,8 +302,10 @@ def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
     payload = {k: v for k, v in sorted(vars(args).items())
                if k not in exclude}
     if getattr(args, "labels_json", None):
-        payload["__labels_content__"] = hashlib.sha256(
-            _Path(args.labels_json).read_bytes()).hexdigest()
+        payload["__labels_content__"] = (
+            labels_content if labels_content is not None
+            else hashlib.sha256(
+                _Path(args.labels_json).read_bytes()).hexdigest())
         payload.pop("labels_json", None)
     blob = _json.dumps(payload, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]

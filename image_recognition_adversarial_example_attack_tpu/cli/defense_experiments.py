@@ -46,7 +46,7 @@ from ..eval.defense_eval import (
     aggregate_stats,
     summary_line,
 )
-from .common import (add_extended_attack_args, add_model_args,
+from .common import (add_extended_attack_args, add_model_args, cell_key,
                      extended_attack_kwargs, load_bundle, make_fns,
                      maybe_profile, resolve_image_inputs)
 
@@ -260,13 +260,16 @@ def main(argv=None) -> int:
     # --labels_json overrides with ground truth (partial files fall back
     # per image via the shared UNLABELED sentinel, resolved per chunk
     # when streaming)
-    from .common import (check_label_range, config_fingerprint, n_classes_of,
-                         resolve_labels, resolve_labels_sentinel)
+    from .common import (check_label_range, config_fingerprint, labels_digest,
+                         n_classes_of, resolve_labels, resolve_labels_sentinel)
 
     # one fingerprint PER ATTACK: scoped to the knobs that attack's
     # program reads, so editing --cw_steps or dropping an attack from
     # the grid leaves the other attacks' finished cells resumable
-    config_fps = {a: config_fingerprint(args, attack_name=a)
+    # (labels hashed once, not once per attack)
+    _labels_fp = labels_digest(getattr(args, "labels_json", None))
+    config_fps = {a: config_fingerprint(args, attack_name=a,
+                                        labels_content=_labels_fp)
                   for a in args.attacks}
     labels_np = None
     y_viz_dev = None  # the viz figure always shows CLEAN PREDICTIONS
@@ -369,7 +372,9 @@ def main(argv=None) -> int:
                             logits_fn, features_fn, cfg)
                 fn = eval_fns[attack_name]
                 t0 = time.perf_counter()
-                key, sub = jax.random.split(key)
+                # position-independent: resuming a subset grid must agree
+                # with a fresh run of that subset (see common.cell_key)
+                sub = cell_key(key, cell_id)
                 with timer.phase(cell_id, examples=n):
                     if streaming:
                         from ..eval.streaming import stream_defense_cell

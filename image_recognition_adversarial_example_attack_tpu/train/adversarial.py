@@ -169,6 +169,26 @@ def _with_grad_accum(grads_fn, accum: int):
     return accum_fn
 
 
+def _make_apply_logits(config: AdvTrainConfig, mean, std):
+    """(state, params, x01) -> float32 logits, shared by both objectives.
+
+    Under ``config.remat`` the forward is wrapped in ``jax.checkpoint`` so
+    every backward (the attack's bwd-to-input steps and the parameter
+    backward) recomputes activations instead of keeping them in HBM."""
+
+    def apply_logits(state: TrainState, params, x01):
+        def fwd(params, x01):
+            variables = {"params": params, **state.extra_variables}
+            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+            return out.astype(jnp.float32)
+
+        if config.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, x01)
+
+    return apply_logits
+
+
 def make_train_step(config: AdvTrainConfig,
                     mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """One fused PGD-AT step: (state, x01, y, key) -> (state, metrics).
@@ -178,19 +198,7 @@ def make_train_step(config: AdvTrainConfig,
     pjit with the batch sharded over 'data') — `config` is closed over as
     a static.
     """
-
-    def apply_logits(state: TrainState, params, x01):
-        def fwd(params, x01):
-            variables = {"params": params, **state.extra_variables}
-            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
-            return out.astype(jnp.float32)
-
-        if config.remat:
-            # backward recomputes the forward instead of keeping its
-            # activations in HBM; applies to the attack's bwd-to-input
-            # steps AND the parameter backward below
-            fwd = jax.checkpoint(fwd)
-        return fwd(params, x01)
+    apply_logits = _make_apply_logits(config, mean, std)
 
     def loss_fn(params, state: TrainState, x01, y):
         logits = apply_logits(state, params, x01)
@@ -276,16 +284,7 @@ def make_trades_step(config: AdvTrainConfig,
     update compile into a single XLA program; under a mesh the batch shards
     over 'data' and gradients psum over ICI.
     """
-
-    def apply_logits(state: TrainState, params, x01):
-        def fwd(params, x01):
-            variables = {"params": params, **state.extra_variables}
-            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
-            return out.astype(jnp.float32)
-
-        if config.remat:
-            fwd = jax.checkpoint(fwd)
-        return fwd(params, x01)
+    apply_logits = _make_apply_logits(config, mean, std)
 
     def grads_fn(state: TrainState, x01, y, key):
         # 1) inner maximization: PGD on KL(p_clean || p(x_adv)), p_clean frozen

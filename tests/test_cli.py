@@ -80,6 +80,21 @@ def test_defense_experiments_cli(image_dir, tmp_path, capsys):
     assert rc == 0
     assert "(resumed from partial results)" in capsys.readouterr().out
 
+    # grid-position independence: a FRESH run of a narrower grid must
+    # reproduce the cells the wide grid computed — this is what makes
+    # resuming them under the scoped fingerprint sound (common.cell_key
+    # derives each cell's PRNG key from the cell id, not the walk order)
+    fresh_dir = tmp_path / "defres_fresh"
+    rc = main(["--image_dir", str(image_dir), "--attacks", "pgd",
+               "--eps_list", "0.03137", "--steps", "2",
+               "--model", "resnet_tiny", "--viz_samples", "0",
+               "--output_dir", str(fresh_dir)])
+    assert rc == 0
+    capsys.readouterr()
+    wide = json.loads((out_dir / "results_partial.json").read_text())
+    narrow = json.loads((fresh_dir / "results_partial.json").read_text())
+    assert narrow["pgd:0.031370"] == wide["pgd:0.031370"]
+
 
 @pytest.mark.slow
 def test_blackbox_transfer_cli(image_dir, capsys):
@@ -252,6 +267,39 @@ def test_adversarial_train_cli(tmp_path, capsys):
 
     bundle = load_model("resnet_tiny", weights=out)
     assert bundle.source == "cache"
+
+
+@pytest.mark.slow
+def test_adversarial_train_cli_grad_accum_clamp(tmp_path, capsys):
+    """--grad_accum larger than the batch: the CLI must clamp it, re-jit the
+    step under the clamped config, and still train + save (this is the only
+    place the clamp/re-jit path runs).  --grad_accum 0 is rejected at parse
+    time rather than silently clamped."""
+    from image_recognition_adversarial_example_attack_tpu.cli.adversarial_train import (
+        main,
+    )
+
+    rng = np.random.RandomState(1)
+    for name, base in (("class_a", 0.25), ("class_b", 0.75)):
+        d = tmp_path / "data" / name
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = np.clip(base + rng.uniform(-0.08, 0.08, (32, 32, 3)), 0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(d / f"im{i}.jpg")
+
+    out = tmp_path / "clamp.msgpack"
+    rc = main(["--data_dir", str(tmp_path / "data"), "--model", "resnet_tiny",
+               "--epochs", "1", "--batch_size", "4", "--attack_steps", "1",
+               "--grad_accum", "8", "--out", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "grad_accum clamped to 4 (batch is only 4)" in text
+    assert out.is_file()
+
+    with pytest.raises(SystemExit):
+        main(["--data_dir", str(tmp_path / "data"), "--model", "resnet_tiny",
+              "--grad_accum", "0", "--out", str(out)])
+    assert "positive integer" in capsys.readouterr().err
 
 
 @pytest.mark.slow
