@@ -68,6 +68,20 @@ def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
         scale(_CHROMA_BASE).astype(np.float32)
 
 
+def _quant_tables_traced(quality: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The same libjpeg quality scaling with a TRACED quality scalar, so one
+    compiled program can serve a quality sweep (the dynamic-eps convention;
+    used by eval/corruptions.py's jpeg_compression severity sweep)."""
+    q = jnp.clip(jnp.asarray(quality, jnp.float32), 1.0, 100.0)
+    s = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)
+
+    def scale(base):
+        return jnp.clip(jnp.floor((jnp.asarray(base) * s + 50.0) / 100.0),
+                        1.0, 255.0)
+
+    return scale(_LUMA_BASE), scale(_CHROMA_BASE)
+
+
 @lru_cache(maxsize=None)
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II matrix D (DCT = D X D^T)."""
@@ -114,11 +128,13 @@ def _up2(c: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(c, (b, 2 * h, 2 * w), method="linear")
 
 
-def jpeg_dct_roundtrip(x: jnp.ndarray, quality: int = 75) -> jnp.ndarray:
+def jpeg_dct_roundtrip(x: jnp.ndarray, quality=75) -> jnp.ndarray:
     """[B,H,W,3] in [0,1] -> baseline-JPEG-compressed batch in [0,1].
 
     Pure jnp, jit/vmap/pjit-safe, differentiable (STE rounding).
-    ``quality`` must be static under jit (it selects quant tables).
+    ``quality`` may be a static Python int (tables precomputed on the host)
+    or a TRACED scalar (tables computed in-graph via the same libjpeg
+    formula, so a quality sweep shares one compiled program).
     Arbitrary H,W: edge-padded to a multiple of 16, cropped after.
     """
     if x.ndim != 4 or x.shape[-1] != 3:
@@ -134,7 +150,10 @@ def jpeg_dct_roundtrip(x: jnp.ndarray, quality: int = 75) -> jnp.ndarray:
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
 
-    luma_t, chroma_t = map(jnp.asarray, _quant_tables(int(quality)))
+    if isinstance(quality, (jnp.ndarray, jax.Array)):
+        luma_t, chroma_t = _quant_tables_traced(quality)
+    else:
+        luma_t, chroma_t = map(jnp.asarray, _quant_tables(int(quality)))
     y = _blockwise(y - 128.0, luma_t) + 128.0
     cb = _up2(_blockwise(_down2(cb) - 128.0, chroma_t) + 128.0)
     cr = _up2(_blockwise(_down2(cr) - 128.0, chroma_t) + 128.0)

@@ -2,3 +2,4 @@
 
 from .metrics import attack_metrics, ssim, psnr
 from .defense_eval import DefenseEvalConfig, evaluate_defenses_batch, aggregate_stats
+from .corruptions import CORRUPTION_NAMES, apply_corruption, make_corruption_run

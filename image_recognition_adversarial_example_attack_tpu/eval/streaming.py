@@ -164,6 +164,45 @@ def stream_transfer_cell(
     }
 
 
+def stream_correctness_cell(
+    run_fn,
+    paths: Sequence,
+    key: jax.Array,
+    severity: int,
+    *,
+    chunk_size: int,
+    size: int = 224,
+    pseudo_label_fn,
+    labels: Sequence[int] | None = None,
+    place: Callable[[np.ndarray], jax.Array] | None = None,
+) -> dict[str, np.ndarray]:
+    """One (corruption, severity) cell of the corruption benchmark, streamed.
+
+    ``run_fn(x, y, severity, key) -> bool[B]`` is the compiled correctness
+    program (eval/corruptions.py::make_corruption_run).  Label semantics
+    match stream_robust_cell: ``labels`` carries ground truth with the
+    UNLABELED(-1) sentinel meaning "use this image's pseudo-label".
+    Returns concatenated ``correct`` and ``clean_correct`` vectors.
+    """
+    place = place or jnp.asarray
+    parts: list[dict[str, np.ndarray]] = []
+    pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
+    for step, x_np, y_np, n_valid in pipe:
+        x = place(x_np)
+        pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+        y_eff = (pseudo if y_np is None
+                 else np.where(np.asarray(y_np) < 0, pseudo, y_np))
+        correct = jax.device_get(run_fn(x, jnp.asarray(y_eff),
+                                        jnp.int32(severity),
+                                        jax.random.fold_in(key, step)))
+        parts.append({
+            "correct": np.asarray(correct[:n_valid]),
+            "clean_correct": pseudo[:n_valid] == y_eff[:n_valid],
+        })
+    keys = parts[0].keys() if parts else []
+    return {k: np.concatenate([p[k] for p in parts]) for k in keys}
+
+
 def stream_robust_cell(
     run_fn,
     paths: Sequence,

@@ -245,6 +245,35 @@ def plot_transfer_heatmap(
     plt.close()
 
 
+def plot_corruption_heatmap(
+    matrix: np.ndarray,
+    corruption_names: Sequence[str],
+    severities: Sequence[int],
+    clean_acc: float,
+    out_path: Path,
+) -> None:
+    """corruption x severity accuracy heatmap (cli/corruption_eval.py).
+
+    Beyond-reference figure family (the reference has no corruption
+    benchmark); follows the house heatmap conventions: single-hue
+    sequential ramp, accuracy = green (more is better defended)."""
+    import seaborn as sns
+
+    _ensure_dir(Path(out_path))
+    plt.figure(figsize=(8, max(4.0, 0.45 * len(corruption_names) + 2.0)))
+    sns.heatmap(np.asarray(matrix), annot=True, fmt=".2f", cmap=_CMAP_ACC,
+                vmin=0.0, vmax=1.0, linewidths=0.5, linecolor="white",
+                xticklabels=[f"s{s}" for s in severities],
+                yticklabels=list(corruption_names))
+    plt.title(f"Accuracy under common corruptions (clean {clean_acc:.3f})",
+              **_TITLE)
+    plt.xlabel("Severity", **_LABEL)
+    plt.ylabel("Corruption", **_LABEL)
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=_DPI)
+    plt.close()
+
+
 def plot_blackbox_pair(
     img_clean: np.ndarray,
     img_adv: np.ndarray,
