@@ -37,7 +37,7 @@ import numpy as np
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.corruptions import CORRUPTION_NAMES, make_corruption_run
-from .common import (add_model_args, check_label_range, load_bundle,
+from .common import (add_model_args, cell_key, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of, positive_int,
                      resolve_image_inputs, resolve_labels,
                      resolve_labels_sentinel)
@@ -91,14 +91,36 @@ def main(argv=None) -> int:
 
     streaming = len(paths) > int(args.max_batch)
     if streaming:
-        kept = list(paths)
-        x = y = None
-        labels_np = resolve_labels_sentinel(args.labels_json, kept)
+        labels_np = resolve_labels_sentinel(args.labels_json, paths)
         if labels_np is not None:
             check_label_range(labels_np, n_classes_of(logits_fn, 224))
         print(f"Streaming evaluation: {len(paths)} images in fixed chunks "
               f"of {args.max_batch} (constant memory)")
-        clean_correct = None
+        # One clean prelude pass resolves pseudo-labels and clean accuracy
+        # for EVERY cell: a corruption cell is only corrupt+forward, so
+        # re-deriving pseudo-labels per chunk in each of the
+        # |corruptions| x |severities| cells would nearly double total
+        # device time.  Host memory cost: one int per image.
+        from ..utils.pipeline import EvalBatchPipeline
+
+        kept, label_rows, clean_rows = [], [], []
+        pipe = EvalBatchPipeline(paths, int(args.max_batch),
+                                 labels=range(len(paths)))
+        for _step, x_np, idx_np, n_valid in pipe:
+            pseudo = np.asarray(jax.device_get(
+                pseudo_fn(jnp.asarray(x_np))))[:n_valid]
+            idx = np.asarray(idx_np)[:n_valid]
+            gt = (labels_np[idx] if labels_np is not None
+                  else np.full(len(idx), -1, np.int64))
+            y_eff = np.where(gt < 0, pseudo, gt)
+            kept.extend(paths[i] for i in idx)
+            label_rows.append(y_eff)
+            clean_rows.append(pseudo == y_eff)
+        if not kept:
+            raise SystemExit("no loadable images")
+        resolved_labels = np.concatenate(label_rows)
+        clean_correct = np.concatenate(clean_rows)
+        x = y = None
     else:
         x_np, kept = load_image_batch_tolerant(paths)
         if not kept:
@@ -119,26 +141,23 @@ def main(argv=None) -> int:
 
     cells: dict[str, dict[str, float]] = {}
     matrix = np.zeros((len(names), len(severities)), np.float64)
-    clean_parts: list[np.ndarray] = []
     with maybe_profile(args.profile_dir):
         for ci, name in enumerate(names):
             run = jax.jit(make_corruption_run(logits_fn, name))
             row: dict[str, float] = {}
             t0 = time.perf_counter()
             for si, sev in enumerate(severities):
-                sub = jax.random.fold_in(jax.random.fold_in(key, ci), sev)
+                # key depends only on (seed, corruption NAME, severity) —
+                # never on grid position, so a narrowed re-run reproduces
+                # the full run's cells (the cell_key convention)
+                sub = jax.random.fold_in(cell_key(key, name), sev)
                 if streaming:
                     from ..eval.streaming import stream_correctness_cell
 
                     got = stream_correctness_cell(
                         run, kept, sub, sev, chunk_size=int(args.max_batch),
-                        pseudo_label_fn=pseudo_fn, labels=labels_np)
-                    if not got:
-                        raise SystemExit("no loadable images")
+                        labels=resolved_labels)
                     correct = got["correct"]
-                    if clean_correct is None:
-                        clean_parts.append(got["clean_correct"])
-                        n_imgs = len(correct)
                 else:
                     correct = np.asarray(jax.device_get(
                         run(x, y, jnp.int32(sev), sub)))
@@ -152,10 +171,7 @@ def main(argv=None) -> int:
                   f"(err {1.0 - float(np.mean(list(row.values()))):.3f}, "
                   f"{dt:.1f}s)")
 
-    if clean_correct is None and clean_parts:
-        clean_correct = clean_parts[0]
-    clean_acc = float(np.mean(clean_correct)) if clean_correct is not None \
-        and len(clean_correct) else 0.0
+    clean_acc = float(np.mean(clean_correct)) if len(clean_correct) else 0.0
     mean_acc = float(matrix.mean()) if matrix.size else 0.0
     retained = mean_acc / clean_acc if clean_acc > 0 else 0.0
     print(f"\nclean accuracy: {clean_acc:.3f}")

@@ -24,9 +24,9 @@ host-side numpy/PIL/Wand — per-image, unbatchable, and shape-dynamic):
 
 - ``frost`` and ``spatter`` are NOT implemented: frost composites five
   bundled frost photographs (asset-dependent; this container is
-  air-gapped) and spatter is similarly texture-based.  15 of the 17
-  remaining corruptions are implemented, plus the ImageNet-C "extra"
-  set's speckle_noise / gaussian_blur / saturate.
+  air-gapped) and spatter is similarly texture-based.  That leaves 14 of
+  the 15 standard ImageNet-C corruptions, plus the "extra" set's
+  speckle_noise / gaussian_blur / saturate — 17 in total, all below.
 - ``brightness``/``saturate`` operate in RGB (additive value shift /
   gray-axis scaling) rather than an HSV round-trip; ``glass_blur`` uses
   two vectorized jitter-gather passes instead of the serial per-pixel

@@ -172,7 +172,7 @@ def stream_correctness_cell(
     *,
     chunk_size: int,
     size: int = 224,
-    pseudo_label_fn,
+    pseudo_label_fn=None,
     labels: Sequence[int] | None = None,
     place: Callable[[np.ndarray], jax.Array] | None = None,
 ) -> dict[str, np.ndarray]:
@@ -181,24 +181,39 @@ def stream_correctness_cell(
     ``run_fn(x, y, severity, key) -> bool[B]`` is the compiled correctness
     program (eval/corruptions.py::make_corruption_run).  Label semantics
     match stream_robust_cell: ``labels`` carries ground truth with the
-    UNLABELED(-1) sentinel meaning "use this image's pseudo-label".
-    Returns concatenated ``correct`` and ``clean_correct`` vectors.
+    UNLABELED(-1) sentinel meaning "use this image's pseudo-label".  When
+    ``labels`` is fully resolved (no sentinel — e.g. the caller already
+    merged pseudo-labels in a prelude pass, cli/corruption_eval.py), the
+    per-chunk clean forward is SKIPPED — a corruption cell is itself only
+    corrupt+forward, so a redundant pseudo pass would nearly double the
+    cell's device time.  Returns the concatenated ``correct`` vector,
+    plus ``clean_correct`` when the pseudo pass ran.
     """
+    if labels is None and pseudo_label_fn is None:
+        raise ValueError("need labels or pseudo_label_fn")
+    need_pseudo = labels is None or np.any(np.asarray(labels) < 0)
+    if need_pseudo and pseudo_label_fn is None:
+        raise ValueError(
+            "labels contain the UNLABELED (-1) sentinel but no "
+            "pseudo_label_fn was given to substitute for them")
     place = place or jnp.asarray
     parts: list[dict[str, np.ndarray]] = []
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:
         x = place(x_np)
-        pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
-        y_eff = (pseudo if y_np is None
-                 else np.where(np.asarray(y_np) < 0, pseudo, y_np))
+        rec: dict[str, np.ndarray] = {}
+        if need_pseudo:
+            pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+            y_eff = (pseudo if y_np is None
+                     else np.where(np.asarray(y_np) < 0, pseudo, y_np))
+            rec["clean_correct"] = pseudo[:n_valid] == y_eff[:n_valid]
+        else:
+            y_eff = np.asarray(y_np)
         correct = jax.device_get(run_fn(x, jnp.asarray(y_eff),
                                         jnp.int32(severity),
                                         jax.random.fold_in(key, step)))
-        parts.append({
-            "correct": np.asarray(correct[:n_valid]),
-            "clean_correct": pseudo[:n_valid] == y_eff[:n_valid],
-        })
+        rec["correct"] = np.asarray(correct[:n_valid])
+        parts.append(rec)
     keys = parts[0].keys() if parts else []
     return {k: np.concatenate([p[k] for p in parts]) for k in keys}
 

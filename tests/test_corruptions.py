@@ -194,6 +194,60 @@ class TestEvalCell:
         np.testing.assert_array_equal(got["correct"], one)
         assert got["clean_correct"].all()
 
+    def test_stream_resolved_labels_skips_pseudo(self, tiny_logits_fn,
+                                                 tmp_path, rng_key):
+        """Fully-resolved labels must skip the per-chunk clean forward
+        (the prelude-pass optimization) and agree with the pseudo path."""
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_correctness_cell,
+        )
+
+        rng = np.random.RandomState(2)
+        paths = []
+        for i in range(5):
+            p = tmp_path / f"r_{i}.jpg"
+            Image.fromarray((rng.rand(20, 20, 3) * 255).astype(np.uint8)
+                            ).save(p)
+            paths.append(p)
+        calls = []
+
+        def pseudo_fn(xx):
+            calls.append(1)
+            return jnp.argmax(tiny_logits_fn(xx), -1)
+
+        run = jax.jit(make_corruption_run(tiny_logits_fn, "pixelate"))
+        with_pseudo = stream_correctness_cell(
+            run, paths, rng_key, 3, chunk_size=2, size=16,
+            pseudo_label_fn=pseudo_fn)
+        # resolved labels = the model's own clean predictions
+        from image_recognition_adversarial_example_attack_tpu.core.images import (
+            load_image_batch_tolerant,
+        )
+
+        x_np, _ = load_image_batch_tolerant(paths, size=16)
+        labels = np.asarray(
+            jnp.argmax(tiny_logits_fn(jnp.asarray(x_np)), -1))
+        calls.clear()
+        no_pseudo = stream_correctness_cell(
+            run, paths, rng_key, 3, chunk_size=2, size=16, labels=labels)
+        assert not calls  # pseudo_fn absent AND not needed
+        assert "clean_correct" not in no_pseudo
+        np.testing.assert_array_equal(no_pseudo["correct"],
+                                      with_pseudo["correct"])
+
+    def test_stream_requires_label_source(self, tiny_logits_fn, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_correctness_cell,
+        )
+
+        run = jax.jit(make_corruption_run(tiny_logits_fn, "contrast"))
+        with pytest.raises(ValueError, match="labels or pseudo_label_fn"):
+            stream_correctness_cell(run, [], jax.random.PRNGKey(0), 1,
+                                    chunk_size=2, size=16)
+        with pytest.raises(ValueError, match="UNLABELED"):
+            stream_correctness_cell(run, [], jax.random.PRNGKey(0), 1,
+                                    chunk_size=2, size=16, labels=[-1, 2])
+
     def test_streamed_ground_truth_labels(self, tiny_logits_fn,
                                           tmp_path, rng_key):
         from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
@@ -221,6 +275,7 @@ class TestEvalCell:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_corruption_eval_cli(self, tmp_path, capsys):
         from image_recognition_adversarial_example_attack_tpu.cli.corruption_eval import (
             main,
@@ -246,6 +301,58 @@ class TestCLI:
         assert 0.0 <= report["mean_corruption_accuracy"] <= 1.0
         assert report["label_source"] == "pseudo"
         assert report["n_images"] == 3
+
+    @pytest.mark.slow
+    def test_cli_cell_keys_position_independent(self, tmp_path):
+        """A narrowed re-run must reproduce the full run's cells: the
+        per-cell key depends on the corruption NAME, not its position in
+        --corruptions (the cell_key convention)."""
+        from image_recognition_adversarial_example_attack_tpu.cli.corruption_eval import (
+            main,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(1)
+        for i in range(3):
+            Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                            ).save(d / f"img_{i}.jpg")
+        accs = []
+        for corruptions in (["gaussian_noise"],
+                            ["contrast", "brightness", "gaussian_noise"]):
+            out = tmp_path / f"rep_{len(corruptions)}.json"
+            rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                       "--corruptions", *corruptions, "--severities", "3",
+                       "--seed", "7", "--output", str(out)])
+            assert rc == 0
+            accs.append(json.loads(out.read_text())
+                        ["cells"]["gaussian_noise"]["s3"])
+        assert accs[0] == accs[1]
+
+    @pytest.mark.slow
+    def test_corruption_eval_cli_streaming(self, tmp_path, capsys):
+        """Image sets beyond --max_batch stream through the prelude-pass
+        path; the report matches the shape of the one-batch path."""
+        from image_recognition_adversarial_example_attack_tpu.cli.corruption_eval import (
+            main,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(4)
+        for i in range(5):
+            Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                            ).save(d / f"img_{i}.jpg")
+        out = tmp_path / "stream.json"
+        rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                   "--corruptions", "contrast", "--severities", "2",
+                   "--max_batch", "2", "--output", str(out)])
+        assert rc == 0
+        assert "Streaming evaluation" in capsys.readouterr().out
+        report = json.loads(out.read_text())
+        assert report["n_images"] == 5
+        assert report["clean_accuracy"] == 1.0  # pseudo-labels by definition
+        assert set(report["cells"]) == {"contrast"}
 
     def test_corruption_eval_cli_rejects_unknown(self, tmp_path):
         from image_recognition_adversarial_example_attack_tpu.cli.corruption_eval import (
