@@ -18,3 +18,6 @@ from .hsja import hsja_attack
 from .ead import EADResult, ead_attack
 from .eot import (gaussian_noise_transform, make_eot_logits_fn,
                   universal_perturbation)
+from .uap import UAPResult, apply_uap, uap_attack, uap_fooling_rate
+from .patch import (PatchResult, apply_patch, patch_attack,
+                    patch_success_rate, sample_placements)

@@ -29,7 +29,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .api import LogitsFn
 
@@ -104,23 +103,15 @@ def universal_perturbation(
     optimization is one fused scan; applying the shared delta broadcasts
     on-device, so batch size only changes the compiled program's batch
     dimension, not the host-side structure.
+
+    This is the full-batch convenience form; the canonical trainer (epochs,
+    mini-batch shuffling, targeted mode, loss history, fooling-rate metric)
+    lives in ``attacks/uap.py`` — ``steps`` full-batch updates are exactly
+    ``steps`` one-batch epochs there.
     """
-    from .api import cross_entropy_sum
+    from .uap import uap_attack
 
-    shape = x.shape[1:]
-    if random_start:
-        delta = jax.random.uniform(key, shape, x.dtype, minval=-eps, maxval=eps)
-    else:
-        delta = jnp.zeros(shape, x.dtype)
-
-    def loss(d):
-        x_adv = jnp.clip(x + d[None], 0.0, 1.0)
-        return cross_entropy_sum(logits_fn(x_adv), y_true)
-
-    def body(d, _):
-        g = jax.grad(loss)(d)
-        d = jnp.clip(d + alpha * jnp.sign(g).astype(d.dtype), -eps, eps)
-        return d, None
-
-    delta, _ = lax.scan(body, delta, None, length=int(steps))
-    return delta
+    return uap_attack(
+        logits_fn, x, y_true,
+        eps=eps, alpha=alpha, epochs=steps, key=key, random_start=random_start,
+    ).delta

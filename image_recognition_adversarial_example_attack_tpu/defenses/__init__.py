@@ -10,4 +10,6 @@ from .detector import (
     is_adversarial_by_squeezing,
     squeezing_score,
 )
+from .randomization import (random_resize_pad, resize_pad,
+                            resize_pad_transform)
 from .smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
