@@ -37,8 +37,10 @@ from .api import LogitsFn, cross_entropy_sum
 
 
 class PatchResult(NamedTuple):
-    """patch: [P,P,C] in [0,1]; loss_per_step: [steps] EOT surrogate loss
-    (decreasing means the attack objective is improving)."""
+    """patch: [P,P,C] in [0,1]; loss_per_step: [steps] EOT surrogate
+    objective, sign-normalized so INCREASING means the attack is improving
+    (untargeted: CE of the true labels rises; targeted: -CE of the target
+    rises as the target's CE falls)."""
 
     patch: jnp.ndarray
     loss_per_step: jnp.ndarray
@@ -91,19 +93,30 @@ def apply_patch(
 ) -> jnp.ndarray:
     """Paste the patch into a batch ``x [B,H,W,C]``.
 
-    Either pass explicit per-sample ``rows/cols/rots`` (deterministic eval)
-    or a ``key`` to sample them uniformly.
+    Either pass explicit per-sample ``rows/cols`` (deterministic eval;
+    ``rots`` defaults to zeros when ``rotations=False``) or a ``key`` to
+    sample everything uniformly — not both.
     """
     b, h, w, _ = x.shape
     p = patch.shape[0]
-    if rows is None:
+    if rows is None or cols is None:
+        if rows is not None or cols is not None:
+            raise ValueError("rows/cols must be passed together")
         if key is None:
             raise ValueError("apply_patch needs either explicit placements or a key")
         rows, cols, rots = sample_placements(
             key, b, (h, w), p, rotations=rotations
         )
-    elif cols is None or rots is None:
-        raise ValueError("rows/cols/rots must be passed together")
+    else:
+        if key is not None:
+            raise ValueError(
+                "pass either explicit placements or a key, not both")
+        if rots is None:
+            if rotations:
+                raise ValueError(
+                    "rots is required with explicit placements unless "
+                    "rotations=False")
+            rots = jnp.zeros((b,), jnp.int32)
     return jax.vmap(_paste_one, in_axes=(0, None, 0, 0, 0))(
         x, patch, rows, cols, rots
     )

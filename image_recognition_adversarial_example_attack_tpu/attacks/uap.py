@@ -21,7 +21,7 @@ TPU design:
 - The gradient w.r.t. the shared delta is the SUM of per-sample input
   gradients — under a batch-sharded ('data') mesh XLA lowers that reduction
   to a single ``psum`` over ICI, so UAP training data-parallelizes with no
-  extra code (exercised in tests/test_sharding.py).
+  extra code (tests/test_sharding.py::test_uap_sharded_equals_single_device).
 - ``batch_size`` trades HBM for arithmetic intensity exactly like training;
   a remainder tail would force a second program shape, so the tail is
   dropped (documented; shuffle re-draws it every epoch).
@@ -44,7 +44,9 @@ from .api import LogitsFn, cross_entropy_sum
 class UAPResult(NamedTuple):
     """delta: [H,W,C] universal perturbation (|delta| <= eps, x+delta may
     still be clipped to [0,1] at apply time); loss_per_epoch: [epochs] mean
-    surrogate loss after each epoch (ascent diagnostic)."""
+    surrogate objective on each epoch's LAST mini-batch (pre-update),
+    sign-normalized so INCREASING means the attack is improving — a free
+    ascent diagnostic (reuses the training forward, costs nothing)."""
 
     delta: jnp.ndarray
     loss_per_epoch: jnp.ndarray
@@ -103,23 +105,30 @@ def uap_attack(
         logits = logits_fn(apply_uap(xb, delta))
         return cross_entropy_sum(logits, yb) / xb.shape[0]
 
-    grad_fn = jax.grad(batch_loss)
+    grad_fn = jax.value_and_grad(batch_loss)
+    full_batch = n_batches == 1 and batch_size == n
 
     def epoch_body(delta, epoch_key):
-        perm = jax.random.permutation(epoch_key, n)
-        idx = perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+        if full_batch:
+            # shuffling a single full batch is a mathematical no-op on the
+            # summed gradient — skip the permutation + gather entirely
+            idx = jnp.arange(n)[None]
+        else:
+            perm = jax.random.permutation(epoch_key, n)
+            idx = perm[: n_batches * batch_size].reshape(n_batches, batch_size)
 
         def batch_body(delta, bidx):
-            xb = jnp.take(xs, bidx, axis=0)
-            yb = jnp.take(y_all, bidx, axis=0)
-            g = grad_fn(delta, xb, yb)
+            if full_batch:  # static: the gather would be an identity
+                xb, yb = xs, y_all
+            else:
+                xb = jnp.take(xs, bidx, axis=0)
+                yb = jnp.take(y_all, bidx, axis=0)
+            loss, g = grad_fn(delta, xb, yb)
             delta = delta + alpha * direction * jnp.sign(g).astype(delta.dtype)
-            return jnp.clip(delta, -eps, eps), None
+            return jnp.clip(delta, -eps, eps), loss
 
-        delta, _ = lax.scan(batch_body, delta, idx)
-        # ascent diagnostic on the (unshuffled) head batch — one fixed shape
-        loss = batch_loss(delta, xs[:batch_size], y_all[:batch_size])
-        return delta, direction * loss
+        delta, losses = lax.scan(batch_body, delta, idx)
+        return delta, direction * losses[-1]
 
     if random_start:
         delta0 = jax.random.uniform(

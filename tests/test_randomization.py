@@ -94,6 +94,7 @@ class TestRandomizationDefenseEffect:
         np.testing.assert_allclose(
             np.asarray(jnp.sum(jnp.exp(logp), axis=-1)), 1.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_oblivious_attack_weakened_adaptive_restores(self, tiny_logits_fn, big_batch):
         """The headline claim of any randomization defense, end-to-end:
         PGD vs the PLAIN model transfers worse to the randomized model

@@ -93,6 +93,36 @@ class TestShardedEquality:
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
                                    rtol=0, atol=1e-6)
 
+    def test_uap_sharded_equals_single_device(self, mesh8, setup):
+        """The shared-delta gradient is a batch SUM — under a data-sharded
+        batch XLA lowers it to a psum, and the trained delta must match the
+        single-device run (attacks/uap.py's data-parallel claim)."""
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            uap_attack,
+        )
+
+        _, _, lf, _, x, y = setup
+        key = jax.random.PRNGKey(5)
+
+        def train(x, y, k):
+            res = uap_attack(lf, x, y, eps=8 / 255, alpha=2 / 255,
+                             epochs=3, key=k)
+            return res.delta, res.loss_per_epoch
+
+        ref_delta, ref_loss = jax.jit(train)(x, y, key)
+
+        xs = data_sharding(mesh8)
+        got_delta, got_loss = jax.jit(
+            train,
+            in_shardings=(xs, NamedSharding(mesh8, P("data")), None),
+            out_shardings=None,
+        )(shard_batch(np.asarray(x), mesh8),
+          jax.device_put(y, NamedSharding(mesh8, P("data"))), key)
+        np.testing.assert_allclose(np.asarray(got_delta),
+                                   np.asarray(ref_delta), rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_loss),
+                                   np.asarray(ref_loss), rtol=0, atol=1e-5)
+
     def test_eval_counters_sharded_equal(self, mesh8, setup):
         """The six defense counters agree between sharded and single-device
         execution (the psum-reduced cross-chip path)."""

@@ -50,6 +50,7 @@ class TestUAPTrainer:
                          batch_size=3, key=rng_key)  # 8 // 3 = 2 batches, tail dropped
         assert float(jnp.max(jnp.abs(res.delta))) <= 0.05 + 1e-6
 
+    @pytest.mark.slow
     def test_targeted_moves_predictions_to_target(self, tiny_logits_fn, uap_data, rng_key):
         x = uap_data
         y = _labels(tiny_logits_fn, x)
@@ -65,6 +66,7 @@ class TestUAPTrainer:
         assert hit > clean_hit
         assert hit >= 0.5
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self, tiny_logits_fn, uap_data, rng_key):
         x = uap_data
         y = _labels(tiny_logits_fn, x)
@@ -131,6 +133,7 @@ class TestAdversarialPatch:
                                          rotations=False)
         assert int(jnp.max(no_rot)) == 0
 
+    @pytest.mark.slow
     def test_targeted_patch_trains_toward_target(self, tiny_logits_fn, uap_data, rng_key):
         x = uap_data
         y = _labels(tiny_logits_fn, x)
@@ -151,6 +154,7 @@ class TestAdversarialPatch:
         assert hit > clean_hit
         assert hit >= 0.5
 
+    @pytest.mark.slow
     def test_untargeted_patch_and_success_rate(self, tiny_logits_fn, uap_data, rng_key):
         x = uap_data
         y = _labels(tiny_logits_fn, x)
@@ -161,6 +165,7 @@ class TestAdversarialPatch:
             key=jax.random.fold_in(rng_key, 9), ys=y))
         assert 0.0 <= fooled <= 1.0
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
         x = jnp.asarray(image_batch)
         y = _labels(tiny_logits_fn, x)
@@ -169,6 +174,17 @@ class TestAdversarialPatch:
         b = patch_attack(tiny_logits_fn, x, y, patch_size=4, steps=5,
                          key=rng_key, y_target=1)
         np.testing.assert_array_equal(np.asarray(a.patch), np.asarray(b.patch))
+
+    def test_explicit_placement_api(self, image_batch):
+        x = jnp.asarray(image_batch)
+        patch = jnp.zeros((4, 4, 3))
+        rows = cols = jnp.full((4,), 2, jnp.int32)
+        # rots defaults to zeros when rotations=False
+        out = apply_patch(x, patch, rows=rows, cols=cols, rotations=False)
+        np.testing.assert_array_equal(
+            np.asarray(out),
+            np.asarray(apply_patch(x, patch, rows=rows, cols=cols,
+                                   rots=jnp.zeros((4,), jnp.int32))))
 
     def test_errors(self, tiny_logits_fn, image_batch, rng_key):
         x = jnp.asarray(image_batch)
@@ -180,3 +196,11 @@ class TestAdversarialPatch:
             apply_patch(x, patch)
         with pytest.raises(ValueError, match="together"):
             apply_patch(x, patch, rows=jnp.zeros((4,), jnp.int32))
+        rows = cols = jnp.zeros((4,), jnp.int32)
+        # rotations=True (default) needs explicit rots with explicit rows/cols
+        with pytest.raises(ValueError, match="rots is required"):
+            apply_patch(x, patch, rows=rows, cols=cols)
+        # key alongside explicit placements is a caller bug, not a silent drop
+        with pytest.raises(ValueError, match="not both"):
+            apply_patch(x, patch, key=rng_key, rows=rows, cols=cols,
+                        rots=rows)
