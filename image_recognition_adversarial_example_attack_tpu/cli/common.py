@@ -49,6 +49,10 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
     parser.add_argument("--model-dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="compute dtype (default: bfloat16 on TPU, float32 on CPU)")
+    parser.add_argument("--int8", action="store_true",
+                        help="quantized inference on the int8 MXU (conv "
+                             "families; measured 2.0x forward throughput on "
+                             "v5e at 100%% top-1 agreement — ops/int8.py)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax profiler trace here")
@@ -123,7 +127,8 @@ def load_bundle(args: argparse.Namespace, name: str | None = None):
     explicit = getattr(args, "weights", None)
     if name is not None and name != getattr(args, "model", None):
         explicit = None
-    return load_model(target, dtype=dtype, weights=explicit)
+    return load_model(target, dtype=dtype, weights=explicit,
+                      int8=bool(getattr(args, "int8", False)))
 
 
 def make_fns(bundle):

@@ -18,6 +18,12 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+
+
+def _qkw(int8):
+    return {"conv_general_dilated": int8_conv_general_dilated} if int8 else {}
+
 
 class DenseLayer(nn.Module):
     """BN-ReLU-Conv1x1 (bottleneck 4k) -> BN-ReLU-Conv3x3 (k new channels)."""
@@ -25,11 +31,12 @@ class DenseLayer(nn.Module):
     growth_rate: int
     bn_size: int = 4
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+                       param_dtype=jnp.float32, **_qkw(self.int8))
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      dtype=self.dtype, param_dtype=jnp.float32)
         y = nn.relu(bn(name="norm1")(x))
@@ -42,6 +49,7 @@ class DenseLayer(nn.Module):
 class Transition(nn.Module):
     out_features: int
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +57,7 @@ class Transition(nn.Module):
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name="norm")(x))
         x = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
+                    param_dtype=jnp.float32, name="conv", **_qkw(self.int8))(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -59,6 +67,7 @@ class DenseNet(nn.Module):
     init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +76,8 @@ class DenseNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
                     padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="features_conv0")(x)
+                    param_dtype=jnp.float32, name="features_conv0",
+                    **_qkw(self.int8))(x)
         x = nn.relu(bn(name="features_norm0")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -75,24 +85,28 @@ class DenseNet(nn.Module):
         for b, n_layers in enumerate(self.block_config, start=1):
             for l in range(1, n_layers + 1):
                 x = DenseLayer(growth_rate=self.growth_rate, dtype=self.dtype,
+                               int8=self.int8,
                                name=f"denseblock{b}_denselayer{l}")(x)
             features += n_layers * self.growth_rate
             if b != len(self.block_config):
                 features //= 2
                 x = Transition(out_features=features, dtype=self.dtype,
-                               name=f"transition{b}")(x)
+                               int8=self.int8, name=f"transition{b}")(x)
 
         x = nn.relu(bn(name="features_norm5")(x))
         x = jnp.mean(x, axis=(1, 2))
+        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="classifier")(x)
+                     name="classifier", **dkw)(x)
         return x.astype(jnp.float32)
 
 
-def densenet121(num_classes: int = 1000, dtype: Any = jnp.float32) -> DenseNet:
-    return DenseNet(num_classes=num_classes, dtype=dtype)
+def densenet121(num_classes: int = 1000, dtype: Any = jnp.float32,
+                int8: bool = False) -> DenseNet:
+    return DenseNet(num_classes=num_classes, dtype=dtype, int8=int8)
 
 
-def densenet_tiny(num_classes: int = 10, dtype: Any = jnp.float32) -> DenseNet:
+def densenet_tiny(num_classes: int = 10, dtype: Any = jnp.float32,
+                  int8: bool = False) -> DenseNet:
     return DenseNet(block_config=(2, 2), growth_rate=8, init_features=16,
-                    num_classes=num_classes, dtype=dtype)
+                    num_classes=num_classes, dtype=dtype, int8=int8)

@@ -19,6 +19,8 @@ from typing import Any, NamedTuple, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+
 
 class MBConvSpec(NamedTuple):
     expand_ratio: int
@@ -61,9 +63,15 @@ class MBConv(nn.Module):
     stride: int
     in_ch: int
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # int8 hits the MXU-bound expand/project 1x1 convs; the depthwise
+        # conv is VPU-bound (no int8 win) and the SE block is negligible
+        # FLOPs through a sigmoid — both stay float.
+        qkw = ({"conv_general_dilated": int8_conv_general_dilated}
+               if self.int8 else {})
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
@@ -74,7 +82,8 @@ class MBConv(nn.Module):
 
         y = x
         if spec.expand_ratio != 1:
-            y = nn.silu(bn(name="expand_bn")(conv(mid, (1, 1), name="expand_conv")(y)))
+            y = nn.silu(bn(name="expand_bn")(
+                conv(mid, (1, 1), name="expand_conv", **qkw)(y)))
 
         k = spec.kernel
         pad = (k - 1) // 2
@@ -86,7 +95,8 @@ class MBConv(nn.Module):
         y = SqueezeExcite(channels=mid, squeeze_channels=max(1, self.in_ch // 4),
                           dtype=self.dtype, name="se")(y)
 
-        y = bn(name="project_bn")(conv(spec.out_ch, (1, 1), name="project_conv")(y))
+        y = bn(name="project_bn")(
+            conv(spec.out_ch, (1, 1), name="project_conv", **qkw)(y))
 
         if self.stride == 1 and self.in_ch == spec.out_ch:
             y = y + identity
@@ -99,11 +109,14 @@ class EfficientNet(nn.Module):
     head_ch: int = 1280
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        qkw = ({"conv_general_dilated": int8_conv_general_dilated}
+               if self.int8 else {})
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+                       param_dtype=jnp.float32, **qkw)
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      momentum=0.9, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
@@ -116,25 +129,29 @@ class EfficientNet(nn.Module):
             for b in range(spec.repeats):
                 stride = spec.stride if b == 0 else 1
                 x = MBConv(spec=spec, stride=stride, in_ch=in_ch,
-                           dtype=self.dtype, name=f"stage{s}_block{b}")(x)
+                           dtype=self.dtype, int8=self.int8,
+                           name=f"stage{s}_block{b}")(x)
                 in_ch = spec.out_ch
 
         x = conv(self.head_ch, (1, 1), name="head_conv")(x)
         x = nn.silu(bn(name="head_bn")(x))
         x = jnp.mean(x, axis=(1, 2))
+        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="classifier")(x)
+                     name="classifier", **dkw)(x)
         return x.astype(jnp.float32)
 
 
-def efficientnet_b0(num_classes: int = 1000, dtype: Any = jnp.float32) -> EfficientNet:
-    return EfficientNet(num_classes=num_classes, dtype=dtype)
+def efficientnet_b0(num_classes: int = 1000, dtype: Any = jnp.float32,
+                    int8: bool = False) -> EfficientNet:
+    return EfficientNet(num_classes=num_classes, dtype=dtype, int8=int8)
 
 
-def efficientnet_tiny(num_classes: int = 10, dtype: Any = jnp.float32) -> EfficientNet:
+def efficientnet_tiny(num_classes: int = 10, dtype: Any = jnp.float32,
+                      int8: bool = False) -> EfficientNet:
     plan = (
         MBConvSpec(1, 3, 1, 8, 8, 1),
         MBConvSpec(6, 3, 2, 8, 16, 1),
     )
     return EfficientNet(plan=plan, stem_ch=8, head_ch=32,
-                        num_classes=num_classes, dtype=dtype)
+                        num_classes=num_classes, dtype=dtype, int8=int8)

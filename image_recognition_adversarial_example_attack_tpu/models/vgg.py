@@ -14,6 +14,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+
 # Config "E" (VGG19): conv channel plan with 'M' = 2x2 max pool.
 _VGG19_PLAN: Sequence = (
     64, 64, "M",
@@ -29,11 +31,13 @@ class VGG(nn.Module):
     num_classes: int = 1000
     classifier_width: int = 4096
     dtype: Any = jnp.float32
+    int8: bool = False  # quantized inference (ops/int8.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        qkw = {"conv_general_dilated": int8_conv_general_dilated} if self.int8 else {}
         conv = partial(nn.Conv, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, param_dtype=jnp.float32)
+                       dtype=self.dtype, param_dtype=jnp.float32, **qkw)
         x = x.astype(self.dtype)
         idx = 0  # torchvision sequential index (conv at idx, relu at idx+1)
         for item in self.plan:
@@ -50,18 +54,22 @@ class VGG(nn.Module):
         # per image — XLA folds it into the following matmul's layout.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
 
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32, **dkw)
         x = nn.relu(dense(self.classifier_width, name="classifier_0")(x))
         x = nn.relu(dense(self.classifier_width, name="classifier_3")(x))
         x = dense(self.num_classes, name="classifier_6")(x)
         return x.astype(jnp.float32)
 
 
-def vgg19(num_classes: int = 1000, dtype: Any = jnp.float32) -> VGG:
-    return VGG(plan=_VGG19_PLAN, num_classes=num_classes, dtype=dtype)
+def vgg19(num_classes: int = 1000, dtype: Any = jnp.float32,
+          int8: bool = False) -> VGG:
+    return VGG(plan=_VGG19_PLAN, num_classes=num_classes, dtype=dtype,
+               int8=int8)
 
 
-def vgg_tiny(num_classes: int = 10, dtype: Any = jnp.float32) -> VGG:
+def vgg_tiny(num_classes: int = 10, dtype: Any = jnp.float32,
+             int8: bool = False) -> VGG:
     """Miniature VGG (same code path) for CPU tests."""
     return VGG(plan=(8, "M", 16, "M"), num_classes=num_classes,
-               classifier_width=32, dtype=dtype)
+               classifier_width=32, dtype=dtype, int8=int8)

@@ -59,23 +59,23 @@ def register(name: str):
     return deco
 
 
-register("resnet50")(lambda dtype: resnet50(dtype=dtype))
+register("resnet50")(lambda dtype, **kw: resnet50(dtype=dtype, **kw))
 # Adversarially-trained arm (reference defense_experiments.py:674-686 loads
 # RobustBench Engstrom2019Robustness): same architecture, separate weights,
 # identity normalization applied by the caller.
-register("resnet50_robust")(lambda dtype: resnet50(dtype=dtype))
-register("resnet_tiny")(lambda dtype: resnet_tiny(dtype=dtype))
+register("resnet50_robust")(lambda dtype, **kw: resnet50(dtype=dtype, **kw))
+register("resnet_tiny")(lambda dtype, **kw: resnet_tiny(dtype=dtype, **kw))
 register("tiny")(lambda dtype: TinyCNN(num_classes=1000, dtype=dtype))
 
 
 def register_lazy(name: str, import_path: str, factory_name: str) -> None:
     """Register a model whose module is imported on first use."""
 
-    def factory(dtype):
+    def factory(dtype, **kw):
         import importlib
 
         mod = importlib.import_module(import_path, package=__package__)
-        return getattr(mod, factory_name)(dtype=dtype)
+        return getattr(mod, factory_name)(dtype=dtype, **kw)
 
     _REGISTRY[name] = factory
 
@@ -129,11 +129,22 @@ def load_model(
     weights: str | Path | None = None,
     input_size: int = IMAGE_SIZE,
     cache_converted: bool = True,
+    int8: bool = False,
 ) -> ModelBundle:
-    """Resolve a model by name; see module docstring for the search order."""
+    """Resolve a model by name; see module docstring for the search order.
+
+    ``int8=True`` builds the model in quantized-inference mode (convs and
+    classifier matmuls on the int8 MXU, ops/int8.py) — same parameter
+    tree, so every weight-resolution path below works unchanged.
+    """
     if name not in _REGISTRY:
         raise ValueError(f"unknown model '{name}'; known: {list_models()}")
-    module = _REGISTRY[name](dtype)
+    kw = {"int8": True} if int8 else {}
+    try:
+        module = _REGISTRY[name](dtype, **kw)
+    except TypeError as e:
+        raise ValueError(
+            f"model '{name}' does not support int8 inference yet") from e
     template = _init_variables(module, input_size)
 
     candidates: list[Path] = []
