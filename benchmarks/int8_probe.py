@@ -60,7 +60,10 @@ def conv_chain_int8(x, w, iters):
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        # requantize: >>7 keeps the chain in int8 range (values stay small)
+        # requantize for TIMING only: >>7 then a wrapping int8 cast (the
+        # accumulator does NOT fit int8 — values wrap mod 256, which is
+        # fine here because the probe measures throughput, not numerics;
+        # the real inference path in ops/int8.py rescales in float)
         return lax.shift_right_arithmetic(acc, 7).astype(jnp.int8), None
 
     y, _ = lax.scan(body, x, None, length=iters)
@@ -73,6 +76,7 @@ def matmul_chain(x, w, iters, int8):
             acc = lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
+            # wrapping requant — timing only, see conv_chain_int8
             return lax.shift_right_arithmetic(acc, 7).astype(jnp.int8), None
         return jnp.dot(x, w), None
 

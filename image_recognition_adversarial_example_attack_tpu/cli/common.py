@@ -50,8 +50,8 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
                         choices=["float32", "bfloat16"],
                         help="compute dtype (default: bfloat16 on TPU, float32 on CPU)")
     parser.add_argument("--int8", action="store_true",
-                        help="quantized inference on the int8 MXU (conv "
-                             "families; measured 2.0x forward throughput on "
+                        help="quantized inference on the int8 MXU (every zoo "
+                             "family; measured 2.0x forward throughput on "
                              "v5e at 100%% top-1 agreement — ops/int8.py)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
     parser.add_argument("--profile-dir", type=str, default=None,

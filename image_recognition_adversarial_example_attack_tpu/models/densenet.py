@@ -18,11 +18,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
-
-
-def _qkw(int8):
-    return {"conv_general_dilated": int8_conv_general_dilated} if int8 else {}
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
 
 
 class DenseLayer(nn.Module):
@@ -36,7 +32,7 @@ class DenseLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32, **_qkw(self.int8))
+                       param_dtype=jnp.float32, **quant_conv_kwargs(self.int8))
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      dtype=self.dtype, param_dtype=jnp.float32)
         y = nn.relu(bn(name="norm1")(x))
@@ -57,7 +53,7 @@ class Transition(nn.Module):
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name="norm")(x))
         x = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv", **_qkw(self.int8))(x)
+                    param_dtype=jnp.float32, name="conv", **quant_conv_kwargs(self.int8))(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -77,7 +73,7 @@ class DenseNet(nn.Module):
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
                     padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="features_conv0",
-                    **_qkw(self.int8))(x)
+                    **quant_conv_kwargs(self.int8))(x)
         x = nn.relu(bn(name="features_norm0")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -95,9 +91,8 @@ class DenseNet(nn.Module):
 
         x = nn.relu(bn(name="features_norm5")(x))
         x = jnp.mean(x, axis=(1, 2))
-        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="classifier", **dkw)(x)
+                     name="classifier", **quant_dense_kwargs(self.int8))(x)
         return x.astype(jnp.float32)
 
 

@@ -19,7 +19,7 @@ from typing import Any, NamedTuple, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
 
 
 class MBConvSpec(NamedTuple):
@@ -70,8 +70,7 @@ class MBConv(nn.Module):
         # int8 hits the MXU-bound expand/project 1x1 convs; the depthwise
         # conv is VPU-bound (no int8 win) and the SE block is negligible
         # FLOPs through a sigmoid — both stay float.
-        qkw = ({"conv_general_dilated": int8_conv_general_dilated}
-               if self.int8 else {})
+        qkw = quant_conv_kwargs(self.int8)
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
@@ -113,10 +112,9 @@ class EfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        qkw = ({"conv_general_dilated": int8_conv_general_dilated}
-               if self.int8 else {})
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32, **qkw)
+                       param_dtype=jnp.float32,
+                       **quant_conv_kwargs(self.int8))
         bn = partial(nn.BatchNorm, use_running_average=True, epsilon=1e-5,
                      momentum=0.9, dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
@@ -136,9 +134,8 @@ class EfficientNet(nn.Module):
         x = conv(self.head_ch, (1, 1), name="head_conv")(x)
         x = nn.silu(bn(name="head_bn")(x))
         x = jnp.mean(x, axis=(1, 2))
-        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="classifier", **dkw)(x)
+                     name="classifier", **quant_dense_kwargs(self.int8))(x)
         return x.astype(jnp.float32)
 
 

@@ -33,16 +33,14 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
 
 ModuleDef = Any
 
 
 def _conv_partial(dtype, int8):
-    kw = dict(use_bias=False, dtype=dtype, param_dtype=jnp.float32)
-    if int8:
-        kw["conv_general_dilated"] = int8_conv_general_dilated
-    return partial(nn.Conv, **kw)
+    return partial(nn.Conv, use_bias=False, dtype=dtype,
+                   param_dtype=jnp.float32, **quant_conv_kwargs(int8))
 
 
 class Bottleneck(nn.Module):
@@ -129,10 +127,9 @@ class ResNet(nn.Module):
             blocks.append(stage_blocks)
         self.stages = blocks
 
-        dense_kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
-        if self.int8:
-            dense_kw["dot_general"] = int8_dot_general
-        self.fc = nn.Dense(self.num_classes, name="fc", **dense_kw)
+        self.fc = nn.Dense(self.num_classes, name="fc", dtype=self.dtype,
+                           param_dtype=jnp.float32,
+                           **quant_dense_kwargs(self.int8))
 
     def stem(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)

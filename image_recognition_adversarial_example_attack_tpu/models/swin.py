@@ -24,6 +24,8 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
 import numpy as np
 
 
@@ -62,6 +64,10 @@ class WindowAttention(nn.Module):
     window: int
     shift: int
     dtype: Any = jnp.float32
+    # quantize qkv/proj matmuls; attention einsums stay float.  Per-example
+    # activation scales here are per-WINDOW (batch axis is B*nW) — windows
+    # never mix samples, so cross-request isolation still holds.
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +88,8 @@ class WindowAttention(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wsq, c)
         nw = (h // ws) * (w // ws)
 
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
+                        **quant_dense_kwargs(self.int8))
         qkv = dense(3 * self.dim, name="qkv")(x)  # one fused GEMM
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -129,17 +136,19 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype,
                      param_dtype=jnp.float32)
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
+                        **quant_dense_kwargs(self.int8))
 
         y = ln(name="norm1")(x)
         y = WindowAttention(dim=self.dim, num_heads=self.num_heads,
                             window=self.window, shift=self.shift,
-                            dtype=self.dtype, name="attn")(y)
+                            dtype=self.dtype, int8=self.int8, name="attn")(y)
         x = x + y
 
         y = ln(name="norm2")(x)
@@ -154,6 +163,7 @@ class PatchMerging(nn.Module):
 
     dim: int  # input channel count C
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +176,8 @@ class PatchMerging(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="reduction")(x)
+                     param_dtype=jnp.float32, name="reduction",
+                     **quant_dense_kwargs(self.int8))(x)
         return x
 
 
@@ -178,41 +189,46 @@ class SwinTransformer(nn.Module):
     window: int = 7
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="patch_conv")(x)
+                    param_dtype=jnp.float32, name="patch_conv",
+                    **quant_conv_kwargs(self.int8))(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="patch_norm")(x)
 
         dim = self.embed_dim
         for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads), start=1):
             if s > 1:
-                x = PatchMerging(dim=dim, dtype=self.dtype, name=f"merge{s - 1}")(x)
+                x = PatchMerging(dim=dim, dtype=self.dtype, int8=self.int8,
+                                 name=f"merge{s - 1}")(x)
                 dim *= 2
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 else self.window // 2
                 x = SwinBlock(dim=dim, num_heads=heads, window=self.window,
-                              shift=shift, dtype=self.dtype,
+                              shift=shift, dtype=self.dtype, int8=self.int8,
                               name=f"stage{s}_block{blk}")(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="head")(x)
+                     name="head", **quant_dense_kwargs(self.int8))(x)
         return x.astype(jnp.float32)
 
 
-def swin_t(num_classes: int = 1000, dtype: Any = jnp.float32) -> SwinTransformer:
-    return SwinTransformer(num_classes=num_classes, dtype=dtype)
+def swin_t(num_classes: int = 1000, dtype: Any = jnp.float32,
+           int8: bool = False) -> SwinTransformer:
+    return SwinTransformer(num_classes=num_classes, dtype=dtype, int8=int8)
 
 
-def swin_tiny_test(num_classes: int = 10, dtype: Any = jnp.float32) -> SwinTransformer:
+def swin_tiny_test(num_classes: int = 10, dtype: Any = jnp.float32,
+                   int8: bool = False) -> SwinTransformer:
     """Miniature Swin (same code path) for CPU tests: 32x32 input, window 4."""
     return SwinTransformer(patch_size=2, embed_dim=16, depths=(2, 2),
                            num_heads=(2, 4), window=4,
-                           num_classes=num_classes, dtype=dtype)
+                           num_classes=num_classes, dtype=dtype, int8=int8)

@@ -14,7 +14,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.int8 import int8_conv_general_dilated, int8_dot_general
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
 
 # Config "E" (VGG19): conv channel plan with 'M' = 2x2 max pool.
 _VGG19_PLAN: Sequence = (
@@ -35,9 +35,9 @@ class VGG(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        qkw = {"conv_general_dilated": int8_conv_general_dilated} if self.int8 else {}
         conv = partial(nn.Conv, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, param_dtype=jnp.float32, **qkw)
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       **quant_conv_kwargs(self.int8))
         x = x.astype(self.dtype)
         idx = 0  # torchvision sequential index (conv at idx, relu at idx+1)
         for item in self.plan:
@@ -54,8 +54,8 @@ class VGG(nn.Module):
         # per image — XLA folds it into the following matmul's layout.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
 
-        dkw = {"dot_general": int8_dot_general} if self.int8 else {}
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32, **dkw)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
+                        **quant_dense_kwargs(self.int8))
         x = nn.relu(dense(self.classifier_width, name="classifier_0")(x))
         x = nn.relu(dense(self.classifier_width, name="classifier_3")(x))
         x = dense(self.num_classes, name="classifier_6")(x)

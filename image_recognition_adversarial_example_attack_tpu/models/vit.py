@@ -23,6 +23,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.int8 import quant_conv_kwargs, quant_dense_kwargs
+
 
 class MHSA(nn.Module):
     """Multi-head self-attention with a fused qkv GEMM."""
@@ -30,12 +32,14 @@ class MHSA(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    int8: bool = False  # quantize qkv/out matmuls; attention einsums stay float
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, d = x.shape
         head_dim = self.dim // self.num_heads
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
+                        **quant_dense_kwargs(self.int8))
 
         qkv = dense(3 * self.dim, name="qkv")(x)  # [B, T, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -58,16 +62,18 @@ class EncoderBlock(nn.Module):
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype,
                      param_dtype=jnp.float32)
-        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
+                        **quant_dense_kwargs(self.int8))
 
         y = ln(name="ln_1")(x)
         y = MHSA(dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
-                 name="self_attention")(y)
+                 int8=self.int8, name="self_attention")(y)
         x = x + y
 
         y = ln(name="ln_2")(x)
@@ -88,6 +94,7 @@ class ViT(nn.Module):
     num_classes: int = 1000
     image_size: int = 224
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -95,7 +102,8 @@ class ViT(nn.Module):
         x = x.astype(self.dtype)
         p = self.patch_size
         x = nn.Conv(self.dim, (p, p), strides=(p, p), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv_proj")(x)
+                    param_dtype=jnp.float32, name="conv_proj",
+                    **quant_conv_kwargs(self.int8))(x)
         x = x.reshape(b, -1, self.dim)  # [B, T, D], row-major patches
 
         n_tokens = x.shape[1] + 1
@@ -111,21 +119,23 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(dim=self.dim, num_heads=self.num_heads,
                              mlp_dim=self.mlp_dim, dtype=self.dtype,
-                             name=f"encoder_layer_{i}")(x)
+                             int8=self.int8, name=f"encoder_layer_{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
                          name="ln")(x)
         x = x[:, 0]  # class token
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="head")(x)
+                     name="head", **quant_dense_kwargs(self.int8))(x)
         return x.astype(jnp.float32)
 
 
-def vit_b_16(num_classes: int = 1000, dtype: Any = jnp.float32) -> ViT:
-    return ViT(num_classes=num_classes, dtype=dtype)
+def vit_b_16(num_classes: int = 1000, dtype: Any = jnp.float32,
+             int8: bool = False) -> ViT:
+    return ViT(num_classes=num_classes, dtype=dtype, int8=int8)
 
 
-def vit_tiny(num_classes: int = 10, dtype: Any = jnp.float32) -> ViT:
+def vit_tiny(num_classes: int = 10, dtype: Any = jnp.float32,
+             int8: bool = False) -> ViT:
     """Miniature ViT (same code path) for CPU tests: 32x32/8, depth 2."""
     return ViT(patch_size=8, dim=32, depth=2, num_heads=2, mlp_dim=64,
-               num_classes=num_classes, image_size=32, dtype=dtype)
+               num_classes=num_classes, image_size=32, dtype=dtype, int8=int8)

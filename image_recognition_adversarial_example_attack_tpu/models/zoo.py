@@ -65,7 +65,7 @@ register("resnet50")(lambda dtype, **kw: resnet50(dtype=dtype, **kw))
 # identity normalization applied by the caller.
 register("resnet50_robust")(lambda dtype, **kw: resnet50(dtype=dtype, **kw))
 register("resnet_tiny")(lambda dtype, **kw: resnet_tiny(dtype=dtype, **kw))
-register("tiny")(lambda dtype: TinyCNN(num_classes=1000, dtype=dtype))
+register("tiny")(lambda dtype, **kw: TinyCNN(num_classes=1000, dtype=dtype, **kw))
 
 
 def register_lazy(name: str, import_path: str, factory_name: str) -> None:
@@ -139,12 +139,14 @@ def load_model(
     """
     if name not in _REGISTRY:
         raise ValueError(f"unknown model '{name}'; known: {list_models()}")
-    kw = {"int8": True} if int8 else {}
-    try:
-        module = _REGISTRY[name](dtype, **kw)
-    except TypeError as e:
-        raise ValueError(
-            f"model '{name}' does not support int8 inference yet") from e
+    if int8:
+        try:
+            module = _REGISTRY[name](dtype, int8=True)
+        except TypeError as e:
+            raise ValueError(
+                f"model '{name}' does not support int8 inference yet") from e
+    else:
+        module = _REGISTRY[name](dtype)
     template = _init_variables(module, input_size)
 
     candidates: list[Path] = []

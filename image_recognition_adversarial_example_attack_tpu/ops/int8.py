@@ -11,9 +11,12 @@ mode for any checkpoint:
   channel) — the standard PTQ recipe; quantized from the float params at
   trace time (an O(params) elementwise pass, negligible next to the conv
   FLOPs it feeds, and requiring NO change to checkpoints or param trees).
-- **activations**: symmetric per-tensor DYNAMIC int8 — the scale is a
-  traced scalar computed per forward, so no calibration data is needed
-  (none exists in this container).
+- **activations**: symmetric PER-EXAMPLE dynamic int8 — the scale reduces
+  over every axis EXCEPT batch, so each example's quantization grid is a
+  function of that example alone.  This keeps serve's per-request
+  isolation and makes results independent of co-batching / --max_batch
+  chunking (a per-tensor scale would couple each prediction to the
+  loudest activation anywhere in its batch).  No calibration data needed.
 - **gradients**: the whole quantized op carries a custom VJP that
   differentiates the FLOAT operation at the same point (the
   straight-through treatment at op granularity), so the attack zoo runs
@@ -22,9 +25,11 @@ mode for any checkpoint:
 
 The functions match the exact signatures flax injects
 (``nn.Conv(conv_general_dilated=...)``, ``nn.Dense(dot_general=...)``,
-flax 0.12 injection hooks), which is how the model zoo's ``int8=True``
-flag threads them in without touching parameter structure or the
-torchvision-name converter.
+flax 0.12 injection hooks); models opt in via the ``quant_conv_kwargs`` /
+``quant_dense_kwargs`` helpers so every family threads the same two
+dicts.  Transformer families quantize their Dense matmuls (qkv / proj /
+MLP — where the FLOPs are); attention score einsums stay float, the
+standard W8 treatment.
 """
 
 from __future__ import annotations
@@ -36,17 +41,54 @@ from jax import lax
 _EPS = 1e-8
 
 
+def quant_conv_kwargs(int8: bool) -> dict:
+    """kwargs for ``nn.Conv`` construction: the int8 hook, or nothing."""
+    return {"conv_general_dilated": int8_conv_general_dilated} if int8 else {}
+
+
+def quant_dense_kwargs(int8: bool) -> dict:
+    """kwargs for ``nn.Dense`` construction: the int8 hook, or nothing."""
+    return {"dot_general": int8_dot_general} if int8 else {}
+
+
 def quantize_symmetric(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int8 quantization reducing absmax over ``axes``.
 
-    Returns (q int8, scale float32) with x ≈ q * scale.  ``axes=None``
-    reduces everything (per-tensor); a tuple keeps the remaining axes
-    (e.g. per-output-channel for an HWIO kernel with axes=(0,1,2)).
+    Returns (q int8, scale float32 with kept dims) with x ≈ q * scale.
+    ``axes=None`` reduces everything (per-tensor); a tuple keeps the
+    remaining axes (e.g. per-output-channel for an HWIO kernel with
+    axes=(0,1,2), or per-example for an NHWC activation with axes=(1,2,3)).
     """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
     scale = jnp.maximum(absmax, _EPS) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
+
+
+def _batch_axes(ndim: int) -> tuple[int, ...]:
+    """All axes except the leading batch axis (per-example reduction)."""
+    return tuple(range(1, ndim))
+
+
+def _with_float_vjp(quantized, float_fn, out_dtype):
+    """Wrap a quantized binary op so its VJP is the float op's at the same
+    primal point.  Under jit the float forward inside ``jax.vjp`` is dead
+    code on the fwd pass (only its linearization survives), so this costs
+    nothing extra at inference."""
+
+    @jax.custom_vjp
+    def op(l, r):
+        return quantized(l, r)
+
+    def fwd(l, r):
+        return quantized(l, r), (l, r)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(float_fn, *res)
+        return vjp(g.astype(out_dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 def int8_conv_general_dilated(
@@ -65,12 +107,11 @@ def int8_conv_general_dilated(
 ):
     """lax.conv_general_dilated signature, int8 MXU execution, float-VJP.
 
-    Forward: per-tensor dynamic activation quant x per-out-channel weight
+    Forward: per-example dynamic activation quant x per-out-channel weight
     quant -> int8 conv accumulating in int32 -> dequantize.  Backward:
-    the VJP of the float conv at the same primal point (straight-through
-    at op granularity), so attacks/gradients flow as for the float model.
-    Assumes the feature dimension is LAST in the conv output (NHWC /
-    '...C' dimension_numbers — this repo's convention everywhere).
+    the VJP of the float conv at the same primal point.  Assumes batch
+    leads and features trail in the conv output (NHWC / 'N...C'
+    dimension_numbers — this repo's convention everywhere).
     """
     del precision, preferred_element_type  # quantized path defines both
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
@@ -85,30 +126,18 @@ def int8_conv_general_dilated(
     )
 
     def quantized(l, r):
-        ql, sl = quantize_symmetric(l, axes=None)          # per-tensor
-        qr, sr = quantize_symmetric(r, axes=(0, 1, 2))     # per-out-channel [O]
+        ql, sl = quantize_symmetric(l, axes=_batch_axes(l.ndim))  # [B,1,1,1]
+        qr, sr = quantize_symmetric(r, axes=(0, 1, 2))            # [1,1,1,O]
         acc = lax.conv_general_dilated(
             ql, qr, preferred_element_type=jnp.int32, **conv_kw)
-        # sl scalar; sr [1,1,1,O] -> broadcast over the trailing feature dim
-        scale = (sl.reshape(()) * sr.reshape(-1)).astype(jnp.float32)
+        # sl [B,1,1,1] x sr-as-[1,1,1,O] -> [B,1,1,O], broadcast over H,W
+        scale = sl * sr.reshape((1,) * (acc.ndim - 1) + (-1,))
         return (acc.astype(jnp.float32) * scale).astype(out_dtype)
 
     def float_conv(l, r):
         return lax.conv_general_dilated(l, r, **conv_kw)
 
-    @jax.custom_vjp
-    def qconv(l, r):
-        return quantized(l, r)
-
-    def fwd(l, r):
-        return quantized(l, r), (l, r)
-
-    def bwd(res, g):
-        _, vjp = jax.vjp(float_conv, *res)
-        return vjp(g.astype(out_dtype))
-
-    qconv.defvjp(fwd, bwd)
-    return qconv(lhs, rhs)
+    return _with_float_vjp(quantized, float_conv, out_dtype)(lhs, rhs)
 
 
 def int8_dot_general(
@@ -119,8 +148,9 @@ def int8_dot_general(
     preferred_element_type=None,
 ):
     """lax.dot_general signature for the Dense case (contract lhs's last
-    dim with rhs's first, no batch dims) on the int8 MXU; any other
-    contraction falls back to the float op unquantized."""
+    dim with rhs's first, no batch dims — covers [B,K] and [B,T,K] token
+    inputs) on the int8 MXU; any other contraction falls back to the
+    float op unquantized."""
     (lc, rc), (lb, rb) = dimension_numbers
     dense_case = (
         tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,)
@@ -134,26 +164,15 @@ def int8_dot_general(
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
 
     def quantized(l, r):
-        ql, sl = quantize_symmetric(l, axes=None)
-        qr, sr = quantize_symmetric(r, axes=(0,))          # per-column [O]
+        ql, sl = quantize_symmetric(l, axes=_batch_axes(l.ndim))  # [B,1(,1)]
+        qr, sr = quantize_symmetric(r, axes=(0,))                 # [1,O]
         acc = lax.dot_general(
             ql, qr, dimension_numbers, preferred_element_type=jnp.int32)
-        scale = (sl.reshape(()) * sr.reshape(-1)).astype(jnp.float32)
+        # output [B,...,O]: sl keeps lhs's ndim == acc's ndim; sr -> last axis
+        scale = sl * sr.reshape((1,) * (acc.ndim - 1) + (-1,))
         return (acc.astype(jnp.float32) * scale).astype(out_dtype)
 
     def float_dot(l, r):
         return lax.dot_general(l, r, dimension_numbers, precision=precision)
 
-    @jax.custom_vjp
-    def qdot(l, r):
-        return quantized(l, r)
-
-    def fwd(l, r):
-        return quantized(l, r), (l, r)
-
-    def bwd(res, g):
-        _, vjp = jax.vjp(float_dot, *res)
-        return vjp(g.astype(out_dtype))
-
-    qdot.defvjp(fwd, bwd)
-    return qdot(lhs, rhs)
+    return _with_float_vjp(quantized, float_dot, out_dtype)(lhs, rhs)

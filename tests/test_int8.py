@@ -130,6 +130,8 @@ class TestInt8Models:
         ("vgg", "vgg_tiny"),
         ("densenet", "densenet_tiny"),
         ("efficientnet", "efficientnet_tiny"),
+        ("vit", "vit_tiny"),
+        ("swin", "swin_tiny_test"),
     ])
     def test_family_int8_agrees_with_float(self, family, factory, batch32):
         import importlib
@@ -166,18 +168,44 @@ class TestInt8Models:
         assert float(jnp.max(jnp.abs(x_adv - batch32))) <= 8 / 255 + 1e-6
         assert float(jnp.min(x_adv)) >= 0 and float(jnp.max(x_adv)) <= 1
 
-    def test_zoo_flag_and_unsupported_families(self, batch32):
+    def test_per_example_isolation(self, batch32):
+        """The activation quantization grid is per-example: a sample's
+        logits must be BITWISE identical whether it is classified alone or
+        co-batched with an extreme-activation neighbor (serve.py's
+        per-request isolation and the --max_batch chunking contract)."""
+        from image_recognition_adversarial_example_attack_tpu.models.resnet import (
+            resnet_tiny)
+
+        m = resnet_tiny(int8=True)
+        v = resnet_tiny().init(jax.random.PRNGKey(0), batch32[:1])
+        alone = m.apply(v, batch32[:1])
+        loud = jnp.concatenate([batch32[:1], jnp.ones_like(batch32[:1]) * 50.0], 0)
+        np.testing.assert_array_equal(
+            np.asarray(alone), np.asarray(m.apply(v, loud)[:1]))
+
+    def test_zoo_flag_and_error_path(self, batch32):
         import warnings
 
         from image_recognition_adversarial_example_attack_tpu.models import (
             load_model)
+        from image_recognition_adversarial_example_attack_tpu.models import zoo
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             b = load_model("resnet_tiny", input_size=32, int8=True)
         assert b.module.int8 is True
         assert b.apply(batch32).shape == (4, 10)
-        with pytest.raises(ValueError, match="int8"):
+        # a factory without the int8 kwarg gets the friendly error —
+        # but ONLY when int8 was requested (plain loads pass TypeErrors
+        # through untranslated)
+        zoo.register("_no_int8_test")(lambda dtype: zoo.resnet_tiny(dtype=dtype))
+        try:
+            with pytest.raises(ValueError, match="int8"):
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    load_model("_no_int8_test", input_size=32, int8=True)
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
-                load_model("tiny", int8=True)
+                assert load_model("_no_int8_test", input_size=32).module is not None
+        finally:
+            zoo._REGISTRY.pop("_no_int8_test", None)
