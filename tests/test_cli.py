@@ -597,3 +597,35 @@ def test_config_fingerprint_scopes_to_the_cell_attack():
     e = Namespace(**{**base, "cw_steps": 100})
     assert (config_fingerprint(a, attack_name="someday_attack")
             != config_fingerprint(e, attack_name="someday_attack"))
+
+
+@pytest.mark.slow
+def test_uap_cli_both_modes(image_dir, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.uap import main
+
+    stem = tmp_path / "uap_art"
+    rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+               "--eps", "0.05", "--epochs", "2", "--output", str(stem)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "UAP trained" in out and "fooling rate" in out
+    delta = np.load(stem.with_suffix(".npy"))
+    assert delta.shape == (224, 224, 3)  # CLI loads at the 224 convention
+    assert np.abs(delta).max() <= 0.05 + 1e-6
+    meta = json.loads(stem.with_suffix(".json").read_text())
+    assert meta["mode"] == "uap" and len(meta["per_image"]) == 3
+    assert stem.with_suffix(".png").is_file()
+
+    stem2 = tmp_path / "patch_art"
+    adv_dir = tmp_path / "patched"
+    rc = main(["--image_dir", str(image_dir), "--model", "resnet_tiny",
+               "--mode", "patch", "--patch_size", "16", "--steps", "3",
+               "--target", "1", "--output", str(stem2),
+               "--save_adv_dir", str(adv_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Patch trained" in out and "targeted success rate" in out
+    patch = np.load(stem2.with_suffix(".npy"))
+    assert patch.shape == (16, 16, 3)
+    assert patch.min() >= 0.0 and patch.max() <= 1.0
+    assert len(list(adv_dir.glob("*_adv.png"))) == 3
