@@ -18,6 +18,9 @@ from .hsja import hsja_attack
 from .ead import EADResult, ead_attack
 from .eot import (gaussian_noise_transform, make_eot_logits_fn,
                   universal_perturbation)
+from .boundary import boundary_attack
+from .simba import dct_basis_image, simba_attack
+from .stadv import (StAdvResult, flow_smoothness, flow_warp, stadv_attack)
 from .uap import UAPResult, apply_uap, uap_attack, uap_fooling_rate
 from .patch import (PatchResult, apply_patch, patch_attack,
                     patch_success_rate, sample_placements)

@@ -120,6 +120,20 @@ class AttackParams:
     # APGD-T / FAB-T restart budget: top-K runner-up classes of the clean
     # logits (the AutoAttack convention; full protocol uses 9)
     n_target_classes: int = 9
+    # stAdv flow-field budgets (non-Lp: eps/alpha don't apply; the flow
+    # regularizer tau is the knob that trades success for smoothness)
+    stadv_steps: int = 200
+    stadv_lr: float = 0.01
+    stadv_tau: float = 0.05
+    # Boundary-walk budgets (decision-based: 2 hard-label queries/step;
+    # step sizes self-adapt from these per-sample initial values)
+    boundary_steps: int = 500
+    boundary_spherical_step: float = 0.01
+    boundary_source_step: float = 0.01
+    # SimBA budgets (score-based: <=2 probability queries/step)
+    simba_steps: int = 1000
+    simba_eps: float = 0.2
+    simba_mode: str = "dct"
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -173,7 +187,8 @@ def run_attack(
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
-    | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' -> x_adv in [0,1].
+    | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' | 'stadv' | 'boundary'
+    | 'simba' -> x_adv in [0,1].
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
@@ -181,10 +196,16 @@ def run_attack(
     'nes'/'spsa' (query-based gradient estimation), 'hsja' (decision-based:
     hard labels only), 'ead' (elastic-net L1; cw_steps/cw_kappa budgets
     with its own ead_c/ead_lr/ead_beta — FISTA needs larger steps than
-    CW's Adam), and the ``y_target`` targeted modes for
+    CW's Adam), 'boundary' (the original decision-based walk — hard
+    labels only, closest-L2 tracking like hsja), 'simba' (score-based
+    coordinate descent on p_y over the pixel or low-frequency DCT basis),
+    'stadv' (non-Lp: optimizes a smooth flow FIELD, not pixel
+    values — eps does not apply; budgets stadv_steps/stadv_lr/stadv_tau,
+    targeted via ``y_target``), and the ``y_target`` targeted modes for
     fgsm/pgd/mifgsm/dim/tim/nes/spsa/ead are beyond-reference extensions; they
     plug into every harness accepting an attack name.  'apgd', 'square',
-    'deepfool' and 'hsja' are untargeted-only and reject ``y_target``.
+    'deepfool', 'hsja', 'boundary' and 'simba' are untargeted-only and
+    reject ``y_target``.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -348,6 +369,42 @@ def run_attack(
             c=params.ead_c, kappa=params.cw_kappa, beta=params.ead_beta,
             steps=params.cw_steps, lr=params.ead_lr,
             targeted=y_target is not None, y_target=y_target,
+        )
+        return res.x_adv
+    if attack_name == "boundary":
+        from .boundary import boundary_attack
+
+        if y_target is not None:
+            raise ValueError("boundary here is the untargeted walk")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return boundary_attack(
+            logits_fn, x, y_true,
+            steps=params.boundary_steps,
+            spherical_step=params.boundary_spherical_step,
+            source_step=params.boundary_source_step,
+            key=key,
+        )
+    if attack_name == "simba":
+        from .simba import simba_attack
+
+        if y_target is not None:
+            raise ValueError("simba descends the true-class probability; untargeted-only")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return simba_attack(
+            logits_fn, x, y_true,
+            steps=params.simba_steps, eps=params.simba_eps,
+            mode=params.simba_mode, key=key,
+        )
+    if attack_name == "stadv":
+        from .stadv import stadv_attack
+
+        res = stadv_attack(
+            logits_fn, x, y_true,
+            steps=params.stadv_steps, lr=params.stadv_lr,
+            tau=params.stadv_tau, kappa=params.cw_kappa,
+            y_target=y_target,
         )
         return res.x_adv
     if attack_name == "cw":

@@ -84,6 +84,30 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
                              "c than CW's Adam — see attacks/ead.py)")
     parser.add_argument("--ead_lr", type=float, default=0.05,
                         help="ead FISTA step size")
+    parser.add_argument("--stadv_steps", type=int, default=200,
+                        help="stadv Adam iterations on the flow field")
+    parser.add_argument("--stadv_lr", type=float, default=0.01,
+                        help="stadv Adam learning rate")
+    parser.add_argument("--stadv_tau", type=float, default=0.05,
+                        help="stadv flow-smoothness weight (non-Lp: this, "
+                             "not eps, bounds the distortion)")
+    parser.add_argument("--boundary_steps", type=int, default=500,
+                        help="boundary-walk iterations (2 hard-label "
+                             "queries each)")
+    parser.add_argument("--boundary_spherical_step", type=float, default=0.01,
+                        help="boundary initial along-boundary step "
+                             "(self-adapts per sample)")
+    parser.add_argument("--boundary_source_step", type=float, default=0.01,
+                        help="boundary initial contraction step "
+                             "(self-adapts per sample)")
+    parser.add_argument("--simba_steps", type=int, default=1000,
+                        help="simba coordinate trials (<=2 queries each)")
+    parser.add_argument("--simba_eps", type=float, default=0.2,
+                        help="simba per-direction step size (paper 0.2)")
+    parser.add_argument("--simba_mode", choices=["dct", "pixel"],
+                        default="dct",
+                        help="simba basis: low-frequency DCT (paper "
+                             "default) or single pixels")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -100,6 +124,15 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "ead_beta": float(args.ead_beta),
         "ead_c": float(args.ead_c),
         "ead_lr": float(args.ead_lr),
+        "stadv_steps": int(args.stadv_steps),
+        "stadv_lr": float(args.stadv_lr),
+        "stadv_tau": float(args.stadv_tau),
+        "boundary_steps": int(args.boundary_steps),
+        "boundary_spherical_step": float(args.boundary_spherical_step),
+        "boundary_source_step": float(args.boundary_source_step),
+        "simba_steps": int(args.simba_steps),
+        "simba_eps": float(args.simba_eps),
+        "simba_mode": str(args.simba_mode),
     }
 
 
@@ -248,8 +281,30 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
     "hsja": frozenset({"hsja_steps", "hsja_probes"}),
     "ead": frozenset({"cw_steps", "cw_kappa", "ead_beta", "ead_c", "ead_lr"}),
     "cw": frozenset({"cw_c", "cw_kappa", "cw_steps", "cw_lr"}),
+    "stadv": frozenset({"stadv_steps", "stadv_lr", "stadv_tau", "cw_kappa"}),
+    "boundary": frozenset({"boundary_steps", "boundary_spherical_step",
+                           "boundary_source_step"}),
+    "simba": frozenset({"simba_steps", "simba_eps", "simba_mode"}),
 }
 _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
+
+# Attacks whose program never reads eps (minimal-norm or non-Lp or
+# self-budgeted searches): their grid cells are identical across the eps
+# sweep, so the CLIs compute one cell and reuse it.  Their per-cell PRNG
+# must therefore come from an EPS-FREE cell id (cell_key below) — keying
+# the randomness of e.g. boundary/simba on the first eps of the sweep
+# would make a resumed/cached cell disagree with a fresh run of a
+# different eps subset.
+EPS_INDEPENDENT_ATTACKS = ("cw", "deepfool", "ead", "stadv", "boundary",
+                           "simba")
+
+
+def cell_rng_id(attack_name: str, eps: float) -> str:
+    """The cell id the PRNG is folded from: eps-free for eps-independent
+    attacks (their one computed cell serves every eps)."""
+    if attack_name in EPS_INDEPENDENT_ATTACKS:
+        return f"{attack_name}:epsfree"
+    return f"{attack_name}:{float(eps):.6f}"
 
 
 def cell_key(key0, cell_id: str):

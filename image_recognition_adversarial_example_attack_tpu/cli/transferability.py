@@ -33,7 +33,8 @@ from ..core.constants import (
 from ..core.images import load_image_batch, save_image_01
 from ..core.rng import key_from_seed
 from ..eval.transfer import transfer_attack_batch
-from .common import (add_extended_attack_args, add_model_args,
+from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
+                     add_model_args, cell_key, cell_rng_id,
                      extended_attack_kwargs, load_bundle, make_fns,
                      maybe_profile, resolve_image_inputs)
 
@@ -55,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--attacks", type=str, nargs="+", default=["pgd"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab", "stadv", "boundary", "simba"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -135,8 +136,9 @@ def main(argv=None) -> int:
     # all_results[attack][eps] = {"source_success": rate-relevant list,
     #                             "transfer_success": {model: list}}
     all_results: dict = {}
-    # CW, DeepFool and EAD never read eps and take no random start: identical
-    # cells across the eps sweep — compute once, reuse
+    # EPS_INDEPENDENT_ATTACKS never read eps: identical cells across the
+    # eps sweep — compute once, reuse (RNG from an eps-free cell key so
+    # the cached cell equals a fresh run of any eps subset)
     eps_independent_cache: dict = {}
     # eps is a traced runtime scalar: ONE compiled program per attack
     # serves the whole eps sweep (same rationale as defense_experiments)
@@ -166,7 +168,7 @@ def main(argv=None) -> int:
                             convention=args.convention,
                         )
                     )
-                key, sub = jax.random.split(key)
+                sub = cell_key(key, cell_rng_id(attack_name, float(eps)))
                 if streaming:
                     from ..eval.streaming import stream_transfer_cell
 
@@ -193,7 +195,7 @@ def main(argv=None) -> int:
                         },
                     }
                 all_results[attack_name][float(eps)] = cell_record
-                if attack_name in ("cw", "deepfool", "ead"):
+                if attack_name in EPS_INDEPENDENT_ATTACKS:
                     eps_independent_cache[attack_name] = cell_record
                 print(f"    Source model ASR: {src_vec.mean():.3f}")
                 for name, v in cell_record["transfer_success"].items():

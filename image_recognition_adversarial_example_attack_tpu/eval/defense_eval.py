@@ -15,7 +15,7 @@ them with an XLA psum instead of host arithmetic.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
 
@@ -61,9 +61,23 @@ class DefenseEvalConfig:
     ead_beta: float = 1e-3
     ead_c: float = 50.0
     ead_lr: float = 0.05
+    stadv_steps: int = 200
+    stadv_lr: float = 0.01
+    stadv_tau: float = 0.05
+    boundary_steps: int = 500
+    boundary_spherical_step: float = 0.01
+    boundary_source_step: float = 0.01
+    simba_steps: int = 1000
+    simba_eps: float = 0.2
+    simba_mode: str = "dct"
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
-    # feature-squeezing prediction-inconsistency (beyond-reference)
+    # feature-squeezing prediction-inconsistency; 'mahalanobis' =
+    # min class-conditional Mahalanobis distance (both beyond-reference)
     detector: str = "feature"
+    # fitted state for parametric detectors (MahalanobisParams); arrays,
+    # so excluded from dataclass comparison — the closure captures them
+    # as program constants
+    detector_params: Any = field(default=None, compare=False)
     defense: DefenseConfig = DefenseConfig()
     # adaptive = the attacker differentiates THROUGH the deployed pipeline
     # (defend_input + model) instead of the raw model — the evaluation
@@ -92,6 +106,15 @@ class DefenseEvalConfig:
             ead_beta=self.ead_beta,
             ead_c=self.ead_c,
             ead_lr=self.ead_lr,
+            stadv_steps=self.stadv_steps,
+            stadv_lr=self.stadv_lr,
+            stadv_tau=self.stadv_tau,
+            boundary_steps=self.boundary_steps,
+            boundary_spherical_step=self.boundary_spherical_step,
+            boundary_source_step=self.boundary_source_step,
+            simba_steps=self.simba_steps,
+            simba_eps=self.simba_eps,
+            simba_mode=self.simba_mode,
         )
 
 
@@ -103,6 +126,15 @@ def make_detector_score_fn(logits_fn: LogitsFn, features_fn: FeaturesFn,
 
         return lambda xx: squeezing_score(
             logits_fn, xx, config.defense.quant_levels)
+    if config.detector == "mahalanobis":
+        from ..defenses.mahalanobis import mahalanobis_score
+
+        if config.detector_params is None:
+            raise ValueError(
+                "detector='mahalanobis' needs fitted detector_params "
+                "(defenses.mahalanobis.calibrate_mahalanobis)")
+        return lambda xx: mahalanobis_score(
+            features_fn, xx, config.detector_params)
     if config.detector != "feature":
         raise ValueError(f"unknown detector '{config.detector}'")
     return lambda xx: score_from_features(features_fn(xx))

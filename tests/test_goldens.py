@@ -27,6 +27,7 @@ def _generate():
         apgd_ce_attack,
         apgd_dlr_attack,
         apgd_targeted_attack,
+        boundary_attack,
         cw_l2_attack,
         deepfool_attack,
         dim_attack,
@@ -38,9 +39,11 @@ def _generate():
         mifgsm_attack,
         nes_attack,
         pgd_linf_attack,
+        simba_attack,
         spsa_attack,
         square_attack,
         square_l2_attack,
+        stadv_attack,
         tim_attack,
     )
     from image_recognition_adversarial_example_attack_tpu.core.constants import (
@@ -96,6 +99,16 @@ def _generate():
                                           n_targets=2, key=key, norm="l2"),
         "adv_square_l2": square_l2_attack(lf, x, y, eps=1.0, steps=40,
                                           key=key),
+        # spatial (non-Lp) attack, deterministic zero-flow init
+        "adv_stadv": stadv_attack(lf, x, y, steps=60, lr=0.03,
+                                  tau=0.01).x_adv,
+        # decision-based walk needs a misclassified warm start (the tiny
+        # model's decision region swallows the noise-init distribution)
+        "adv_boundary": boundary_attack(
+            lf, x, y, steps=40, key=key,
+            x_init=pgd_linf_attack(lf, x, y, eps=0.2, alpha=0.05, steps=20,
+                                   key=key)),
+        "adv_simba": simba_attack(lf, x, y, steps=60, eps=0.3, key=key),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 

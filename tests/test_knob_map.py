@@ -37,6 +37,9 @@ BASE = AttackParams(
     hsja_steps=2, hsja_probes=2,
     ead_beta=1e-3, ead_c=50.0, ead_lr=0.05,
     n_target_classes=3,
+    stadv_steps=2, stadv_lr=0.01, stadv_tau=0.05,
+    boundary_steps=2, boundary_spherical_step=0.01, boundary_source_step=0.01,
+    simba_steps=2, simba_eps=0.2, simba_mode="dct",
 )
 
 # one valid perturbed value per CLI knob (ints stay in-range for N_CLASSES)
@@ -49,6 +52,10 @@ PERTURB = {
     "hsja_steps": 3, "hsja_probes": 4,
     "ead_beta": 2e-3, "ead_c": 25.0, "ead_lr": 0.1,
     "n_target_classes": 4,
+    "stadv_steps": 3, "stadv_lr": 0.02, "stadv_tau": 0.1,
+    "boundary_steps": 3, "boundary_spherical_step": 0.02,
+    "boundary_source_step": 0.02,
+    "simba_steps": 3, "simba_eps": 0.3, "simba_mode": "pixel",
 }
 
 
