@@ -46,7 +46,8 @@ from ..eval.defense_eval import (
     aggregate_stats,
     summary_line,
 )
-from .common import (add_extended_attack_args, add_model_args, cell_key,
+from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
+                     add_model_args, cell_key, cell_rng_id,
                      extended_attack_kwargs, load_bundle, make_fns,
                      maybe_profile, resolve_image_inputs)
 
@@ -63,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--attacks", type=str, nargs="+",
                         default=["fgsm", "pgd", "cw"],
-                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab"])
+                        choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab", "stadv", "boundary", "simba"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
@@ -77,10 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_lr", type=float, default=DEFAULT_CW_LR)
 
     parser.add_argument("--detector", type=str, default="feature",
-                        choices=["feature", "squeezing"],
+                        choices=["feature", "squeezing", "mahalanobis"],
                         help="feature: reference stage-3 statistics detector; "
                              "squeezing: prediction-inconsistency over the "
-                             "quantize/smooth squeezers (beyond-reference)")
+                             "quantize/smooth squeezers; mahalanobis: min "
+                             "class-conditional Mahalanobis distance, fitted "
+                             "on the calibration images (both "
+                             "beyond-reference)")
     parser.add_argument("--detector_threshold", type=float, default=None)
     parser.add_argument("--calibrate_dir", type=str, default=None)
     parser.add_argument("--calibrate_n", type=int, default=100)
@@ -94,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "round-trip per cell); dct: device-side "
                              "differentiable baseline codec — fully fused, "
                              "SPMD-safe, adaptive-attack-capable")
+    parser.add_argument("--use_tv", action="store_true",
+                        help="prepend TV-minimization (Guo et al. 2018) to "
+                             "the defense chain — a fixed-step Chambolle-"
+                             "Pock solve fused into the cell program, "
+                             "differentiable under --adaptive")
+    parser.add_argument("--tv_weight", type=float, default=0.03,
+                        help="TV regularization weight (paper lambda_TV)")
+    parser.add_argument("--tv_steps", type=int, default=30,
+                        help="Chambolle-Pock iterations (static)")
 
     parser.add_argument("--labels_json", type=str, default=None,
                         help="JSON {path-or-basename: class id} ground-truth "
@@ -141,15 +154,34 @@ def _save_partial(output_dir: Path, partial: dict) -> None:
     _partial_path(output_dir).write_text(json.dumps(partial, indent=2))
 
 
-def _calibrate(args, logits_fn, features_fn, x_clean, n):
+def _calibrate(args, logits_fn, features_fn, x_clean, n, pseudo_fn):
     """Quantile calibration for the selected detector (same rails as the
-    reference for 'feature'; plain quantile for 'squeezing')."""
+    reference for 'feature'; plain quantile for the others).  Returns
+    ``(threshold, detector_params)`` — params are the fitted Gaussian
+    state for 'mahalanobis', None otherwise."""
     if args.detector == "squeezing":
         print(f"Calibrating squeezing detector on {min(n, x_clean.shape[0])} clean images...")
         return calibrate_squeezing_threshold(
-            logits_fn, x_clean, n=n, quantile=args.calibrate_quantile)
+            logits_fn, x_clean, n=n,
+            quantile=args.calibrate_quantile), None
+    if args.detector == "mahalanobis":
+        from .common import n_classes_of
+        from ..defenses.mahalanobis import calibrate_mahalanobis
+
+        num = min(int(n), x_clean.shape[0])
+        print(f"Fitting Mahalanobis detector on {num} clean images...")
+        # clean predictions as pseudo-labels — the grid's standing label
+        # convention (reference defense_experiments.py:818-819); the
+        # CALLER's compiled pseudo_fn (a second jit lambda would
+        # recompile the identical forward — 20s-4min on the relay)
+        pseudo = pseudo_fn(x_clean[:num])
+        params, thr = calibrate_mahalanobis(
+            features_fn, x_clean, pseudo,
+            n_classes_of(logits_fn, int(x_clean.shape[1])),
+            n=n, quantile=args.calibrate_quantile)
+        return thr, params
     return calibrate_feature_threshold(
-        features_fn, x_clean, n=n, quantile=args.calibrate_quantile)
+        features_fn, x_clean, n=n, quantile=args.calibrate_quantile), None
 
 
 def main(argv=None) -> int:
@@ -222,7 +254,13 @@ def main(argv=None) -> int:
             print(f"Mesh: {dict(engine.mesh.shape)} (batch {batch.padded_size} sharded over 'data')")
 
     # --- detector threshold ---
-    if args.calibrate_dir is not None:
+    if (args.detector_threshold is not None
+            and args.detector != "mahalanobis"):
+        # explicit threshold: no calibration pass at all (mahalanobis is
+        # the exception — its detector STATE must still be fitted below)
+        detector_threshold, detector_params = float(args.detector_threshold), None
+        print(f"Using specified threshold: {detector_threshold:.4f}")
+    elif args.calibrate_dir is not None:
         calib_dir = Path(args.calibrate_dir)
         if not calib_dir.is_dir():
             raise SystemExit(f"calibrate_dir not found: {calib_dir}")
@@ -231,12 +269,15 @@ def main(argv=None) -> int:
             raise SystemExit(f"no images found in calibrate_dir: {calib_dir}")
         x_calib_np, _ = load_image_batch_tolerant(calib_paths[: args.calibrate_n])
         x_calib = jnp.asarray(x_calib_np)
-        detector_threshold = _calibrate(args, logits_fn, features_fn,
-                                        x_calib, args.calibrate_n)
-        print(f"Using calibrated threshold: {detector_threshold:.4f}")
-    elif args.detector_threshold is not None:
-        detector_threshold = float(args.detector_threshold)
-        print(f"Using specified threshold: {detector_threshold:.4f}")
+        detector_threshold, detector_params = _calibrate(
+            args, logits_fn, features_fn, x_calib, args.calibrate_n,
+            pseudo_fn)
+        if args.detector_threshold is not None:
+            # explicit threshold over the freshly fitted mahalanobis state
+            detector_threshold = float(args.detector_threshold)
+            print(f"Using specified threshold: {detector_threshold:.4f}")
+        else:
+            print(f"Using calibrated threshold: {detector_threshold:.4f}")
     else:
         if streaming:
             # calibrate on the leading <=100 clean images (the reference
@@ -247,13 +288,20 @@ def main(argv=None) -> int:
             x_cal, n_cal = jnp.asarray(x_head_np), x_head_np.shape[0]
         else:
             x_cal, n_cal = x[:n], min(100, n)
-        detector_threshold = _calibrate(args, logits_fn, features_fn,
-                                        x_cal, n_cal)
-        print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
+        detector_threshold, detector_params = _calibrate(
+            args, logits_fn, features_fn, x_cal, n_cal, pseudo_fn)
+        if args.detector_threshold is not None:
+            detector_threshold = float(args.detector_threshold)
+            print(f"Using specified threshold: {detector_threshold:.4f}")
+        else:
+            print(f"Auto-calibrated threshold: {detector_threshold:.4f}")
 
     defense_cfg = DefenseConfig(use_jpeg=bool(args.use_jpeg),
                                 jpeg_quality=int(args.jpeg_quality),
-                                jpeg_mode=str(args.jpeg_mode))
+                                jpeg_mode=str(args.jpeg_mode),
+                                use_tv=bool(args.use_tv),
+                                tv_weight=float(args.tv_weight),
+                                tv_steps=int(args.tv_steps))
 
     # clean predictions = pseudo-labels (reference :818-819); the
     # streaming path derives them per chunk with the same program.
@@ -307,9 +355,11 @@ def main(argv=None) -> int:
 
     timer = PhaseTimer(verbose=False)
     key = key_from_seed(args.seed)
-    # CW, DeepFool and EAD never read eps (L2-minimal attacks) and take no
-    # random start, so their grid cells are identical across the eps sweep:
-    # compute once, reuse (cost-only optimization — see PARITY.md C17)
+    # EPS_INDEPENDENT_ATTACKS never read eps, so their grid cells are
+    # identical across the eps sweep: compute once, reuse (cost-only
+    # optimization — see PARITY.md C17).  The RNG-consuming ones
+    # (boundary/simba) draw from an eps-FREE cell key so the one cell is
+    # reproducible from any eps subset (common.cell_rng_id)
     eps_independent_cache: dict[str, dict] = {}
     # eps enters the attacks only arithmetically, so ONE compiled program
     # per attack serves the whole eps sweep (remote TPU compiles run
@@ -332,7 +382,7 @@ def main(argv=None) -> int:
                         == config_fps[attack_name]):
                     print("  (resumed from partial results)")
                     results[(attack_name, float(eps))] = partial[cell_id]
-                    if attack_name in ("cw", "deepfool", "ead"):
+                    if attack_name in EPS_INDEPENDENT_ATTACKS:
                         # the resumed cell serves every other eps too
                         eps_independent_cache.setdefault(
                             attack_name, partial[cell_id])
@@ -354,6 +404,7 @@ def main(argv=None) -> int:
                         square_steps=int(args.square_steps),
                         **extended_attack_kwargs(args),
                         detector=str(args.detector),
+                        detector_params=detector_params,
                         defense=defense_cfg,
                         adaptive=bool(args.adaptive),
                     )
@@ -373,8 +424,10 @@ def main(argv=None) -> int:
                 fn = eval_fns[attack_name]
                 t0 = time.perf_counter()
                 # position-independent: resuming a subset grid must agree
-                # with a fresh run of that subset (see common.cell_key)
-                sub = cell_key(key, cell_id)
+                # with a fresh run of that subset (see common.cell_key);
+                # eps-independent attacks use an eps-free id so the reused
+                # cell matches a fresh run of ANY eps subset
+                sub = cell_key(key, cell_rng_id(attack_name, float(eps)))
                 with timer.phase(cell_id, examples=n):
                     if streaming:
                         from ..eval.streaming import stream_defense_cell
@@ -398,7 +451,7 @@ def main(argv=None) -> int:
                           f"({stats['count'] / dt:.1f} img/s, streamed chunks "
                           f"of {chunk} through one XLA program)")
                 results[(attack_name, float(eps))] = stats
-                if attack_name in ("cw", "deepfool", "ead"):
+                if attack_name in EPS_INDEPENDENT_ATTACKS:
                     eps_independent_cache[attack_name] = stats
                 stats["config_fp"] = config_fps[attack_name]  # resume gate
                 partial[cell_id] = stats

@@ -10,6 +10,10 @@ from .detector import (
     is_adversarial_by_squeezing,
     squeezing_score,
 )
+from .mahalanobis import (MahalanobisParams, calibrate_mahalanobis,
+                          fit_mahalanobis, is_adversarial_by_mahalanobis,
+                          mahalanobis_score)
 from .randomization import (random_resize_pad, resize_pad,
                             resize_pad_transform)
+from .tv import total_variation, tv_minimize, tv_transform
 from .smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig

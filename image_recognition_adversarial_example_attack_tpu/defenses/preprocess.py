@@ -77,11 +77,21 @@ class DefenseConfig:
     # device-side differentiable baseline codec (defenses/jpeg_dct.py):
     # fully fused, SPMD-safe, adaptive-attack-capable.
     jpeg_mode: str = "host"
+    # TV-minimization arm (defenses/tv.py; beyond-reference): runs FIRST
+    # in the chain when enabled — reconstruct, then the parity chain.
+    use_tv: bool = False
+    tv_weight: float = 0.03
+    tv_steps: int = 30
 
 
 def defend_input(x: jnp.ndarray, config: DefenseConfig = DefenseConfig()) -> jnp.ndarray:
-    """Composite defense: clip -> smooth -> quantize -> (JPEG) -> clip."""
+    """Composite defense: clip -> (TV) -> smooth -> quantize -> (JPEG) -> clip."""
     x01 = jnp.clip(x, 0.0, 1.0)
+    if config.use_tv:
+        from .tv import tv_minimize
+
+        x01 = tv_minimize(x01, weight=config.tv_weight,
+                          steps=config.tv_steps)
     x01 = defense_smoothing(x01)
     x01 = defense_quantization(x01, levels=config.quant_levels)
     if config.use_jpeg:

@@ -177,6 +177,51 @@ def test_defense_experiments_jpeg_and_robust(image_dir, tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_defense_experiments_tv_arm(image_dir, tmp_path, capsys):
+    """--use_tv prepends the TV-minimization reconstruction to the cell
+    program; the knobs reach DefenseConfig and the summary still prints."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--eps_list", "0.03137", "--steps", "2", "--model", "resnet_tiny",
+               "--use_tv", "--tv_steps", "5", "--tv_weight", "0.05",
+               "--viz_samples", "0", "--output_dir", str(tmp_path / "tvres")])
+    assert rc == 0
+    assert "attack=fgsm" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_defense_experiments_mahalanobis_detector(image_dir, tmp_path, capsys):
+    """--detector mahalanobis fits the Gaussian state on the calibration
+    images and flags inside the fused cell program."""
+    from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import main
+
+    rc = main(["--image_dir", str(image_dir), "--attacks", "fgsm",
+               "--eps_list", "0.03137", "--steps", "2", "--model", "resnet_tiny",
+               "--detector", "mahalanobis",
+               "--viz_samples", "0", "--output_dir", str(tmp_path / "mahal")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Fitting Mahalanobis detector" in out
+    assert "attack=fgsm" in out
+
+
+def test_cell_rng_id_eps_free_for_eps_independent():
+    """RNG-consuming eps-independent attacks (boundary/simba) must draw
+    from an eps-FREE cell id, or the one cached cell could never agree
+    with a fresh run of a different eps subset."""
+    from image_recognition_adversarial_example_attack_tpu.cli.common import (
+        EPS_INDEPENDENT_ATTACKS,
+        cell_rng_id,
+    )
+
+    for name in EPS_INDEPENDENT_ATTACKS:
+        assert cell_rng_id(name, 0.01) == cell_rng_id(name, 0.1)
+    assert cell_rng_id("pgd", 0.01) != cell_rng_id("pgd", 0.1)
+    assert cell_rng_id("pgd", 0.01) != cell_rng_id("fgsm", 0.01)
+
+
+@pytest.mark.slow
 def test_classify_targeted_cw(image_dir, capsys):
     from image_recognition_adversarial_example_attack_tpu.cli.classify import main
 
