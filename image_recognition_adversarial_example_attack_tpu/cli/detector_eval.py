@@ -1,0 +1,162 @@
+"""Detector-comparison CLI: ROC analysis across detector families.
+
+Beyond-reference surface (the reference evaluates its single detector
+only through fixed-threshold grid counters, defense_experiments.py:
+579-646): craft adversarial batches per attack, score them with EVERY
+selected detector, and report threshold-free AUC plus operating points —
+the standard way to compare adversarial detectors (Lee et al. 2018,
+Xu et al. 2018 both report ROC/AUC).
+
+    python -m ...cli.detector_eval --image_dir picture \\
+        --attacks fgsm pgd cw --eps 0.03137 \\
+        --detectors feature squeezing mahalanobis
+
+One compiled program per attack (shared by all detectors), one stacked
+[2B] scoring call per (attack, detector); results as a fixed-width table
++ JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks.api import AttackParams, run_attack
+from ..core.rng import key_from_seed
+from ..defenses.detector import (feature_score, squeezing_score,
+                                 threshold_from_scores)
+from ..eval.detector_eval import evaluate_detector_cell, summary_table
+from .common import (add_extended_attack_args, add_model_args, cell_key,
+                     cell_rng_id, extended_attack_kwargs, load_bundle,
+                     make_fns, maybe_profile, n_classes_of,
+                     resolve_image_inputs)
+
+DETECTOR_CHOICES = ["feature", "squeezing", "mahalanobis"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="ROC comparison of adversarial detectors")
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--image", type=str, default="example.jpg")
+    parser.add_argument("--attacks", type=str, nargs="+",
+                        default=["fgsm", "pgd", "cw"],
+                        choices=["fgsm", "pgd", "pgd_l2", "cw", "mifgsm",
+                                 "dim", "tim", "apgd", "square", "deepfool",
+                                 "nes", "spsa", "hsja", "ead", "apgd_dlr",
+                                 "apgd_t", "fab", "stadv", "boundary",
+                                 "simba"])
+    parser.add_argument("--eps", type=float, default=0.03137)
+    parser.add_argument("--alpha", type=float, default=0.00784)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--cw_c", type=float, default=1.0)
+    parser.add_argument("--cw_kappa", type=float, default=0.0)
+    parser.add_argument("--cw_steps", type=int, default=100)
+    parser.add_argument("--cw_lr", type=float, default=0.01)
+    parser.add_argument("--square_steps", type=int, default=1000)
+    add_extended_attack_args(parser)
+    parser.add_argument("--detectors", type=str, nargs="+",
+                        default=list(DETECTOR_CHOICES),
+                        choices=DETECTOR_CHOICES)
+    parser.add_argument("--quantile", type=float, default=0.95,
+                        help="clean-score quantile for the calibrated "
+                             "operating point")
+    parser.add_argument("--output_json", type=str, default=None)
+    add_model_args(parser)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    image_paths = resolve_image_inputs(args.image_dir, args.image)
+    print(f"Evaluating detectors on {len(image_paths)} images")
+    print(f"Using device: {jax.devices()[0]}")
+
+    bundle = load_bundle(args)
+    logits_fn, features_fn = make_fns(bundle)
+
+    from ..core.images import load_image_batch_tolerant
+
+    x_np, image_paths = load_image_batch_tolerant(image_paths)
+    x = jnp.asarray(x_np)
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
+    y = pseudo_fn(x)
+
+    # --- calibrate every detector ONCE on the clean batch ---
+    score_fns: dict = {}
+    thresholds: dict = {}
+    for det in args.detectors:
+        if det == "feature":
+            score_fns[det] = lambda xx: feature_score(features_fn, xx)
+            scores = jax.jit(score_fns[det])(x)
+            thresholds[det] = threshold_from_scores(scores, args.quantile)
+        elif det == "squeezing":
+            score_fns[det] = lambda xx: squeezing_score(logits_fn, xx)
+            scores = jax.jit(score_fns[det])(x)
+            thresholds[det] = float(jnp.quantile(scores, args.quantile))
+        else:  # mahalanobis
+            from ..defenses.mahalanobis import (calibrate_mahalanobis,
+                                                mahalanobis_score)
+
+            params, thr = calibrate_mahalanobis(
+                features_fn, x, y, n_classes_of(logits_fn, int(x.shape[1])),
+                n=x.shape[0], quantile=args.quantile)
+            score_fns[det] = (
+                lambda xx, _p=params: mahalanobis_score(features_fn, xx, _p))
+            thresholds[det] = thr
+        print(f"  {det}: threshold={thresholds[det]:.4f} "
+              f"(q={args.quantile})")
+
+    base_params = AttackParams(
+        eps=float(args.eps), alpha=float(args.alpha), steps=int(args.steps),
+        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+        square_steps=int(args.square_steps),
+        **extended_attack_kwargs(args),
+    )
+    key0 = key_from_seed(args.seed)
+
+    results = []
+    with maybe_profile(args.profile_dir):
+        for attack_name in args.attacks:
+            print(f"\nCrafting {attack_name.upper()} (eps={args.eps:.5f})...")
+            sub = cell_key(key0, cell_rng_id(attack_name, float(args.eps)))
+            atk = jax.jit(lambda xx, yy, kk, a=attack_name: run_attack(
+                a, logits_fn, xx, yy, base_params, key=kk))
+            x_adv = atk(x, y, sub)
+            asr = float(jnp.mean((jnp.argmax(logits_fn(x_adv), -1) != y)
+                                 .astype(jnp.float32)))
+            print(f"  attack success rate: {asr:.3f}")
+            for det in args.detectors:
+                r = evaluate_detector_cell(
+                    score_fns[det], x, x_adv, thresholds[det],
+                    detector=det, attack=attack_name)
+                results.append(r)
+                print(f"  {det}: AUC={r.auc:.3f} "
+                      f"TPR@thr={r.tpr_at_threshold:.3f} "
+                      f"TPR@5%FPR={r.tpr_at_fpr05:.3f}")
+
+    print("\n" + "=" * 62)
+    print("DETECTOR COMPARISON")
+    print("=" * 62)
+    print(summary_table(results))
+
+    if args.output_json:
+        out = Path(args.output_json)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(
+            [dataclasses.asdict(r) for r in results], indent=2))
+        print(f"\nWrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
