@@ -33,15 +33,17 @@ from ..core.images import list_images, load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..utils.pipeline import shuffle_seed
 from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
-                                 make_eval_step, make_train_step,
-                                 make_trades_step, save_train_checkpoint,
+                                 make_eval_step, make_mart_step,
+                                 make_train_step, make_trades_step,
+                                 save_train_checkpoint,
                                  train_state_from_bundle)
 from .common import add_model_args, load_bundle, maybe_profile, positive_int
 
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Adversarial fine-tuning: PGD-AT (Madry et al.) or TRADES")
+        description="Adversarial fine-tuning: PGD-AT (Madry et al.), "
+                    "TRADES or MART")
     parser.add_argument("--data_dir", type=str, required=True,
                         help="root with one subdirectory per class")
     parser.add_argument("--epochs", type=int, default=3)
@@ -55,11 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clean_weight", type=float, default=0.0,
                         help=">0 mixes clean CE into the objective")
     parser.add_argument("--objective", type=str, default="pgd-at",
-                        choices=["pgd-at", "trades"],
+                        choices=["pgd-at", "trades", "mart"],
                         help="pgd-at: CE on PGD examples; trades: "
-                             "CE(clean) + beta*KL(clean||adv)")
+                             "CE(clean) + beta*KL(clean||adv); mart: "
+                             "boosted CE(adv) + beta*(1-p_y(clean))*"
+                             "KL(clean||adv)")
     parser.add_argument("--trades_beta", type=float, default=6.0,
                         help="TRADES robustness/accuracy trade-off beta")
+    parser.add_argument("--mart_beta", type=float, default=5.0,
+                        help="MART misclassification-aware KL weight")
     parser.add_argument("--noise_sigma", type=float, default=0.0,
                         help=">0: Gaussian-noise training for randomized "
                              "smoothing (SmoothAdv inner attack + noisy CE; "
@@ -151,19 +157,22 @@ def main(argv=None) -> int:
         label_smoothing=float(args.label_smoothing),
         clean_weight=float(args.clean_weight),
         trades_beta=float(args.trades_beta),
+        mart_beta=float(args.mart_beta),
         noise_sigma=float(args.noise_sigma),
         noise_samples=int(args.noise_samples),
         grad_accum=int(args.grad_accum),
         remat=bool(args.remat),
     )
     state = train_state_from_bundle(bundle, config)
-    if args.objective == "trades" and float(args.noise_sigma) > 0.0:
+    if args.objective != "pgd-at" and float(args.noise_sigma) > 0.0:
         print("WARNING: --noise_sigma applies to the pgd-at objective only "
-              "(TRADES ignores it).")
-    if args.objective == "trades" and float(args.clean_weight) > 0.0:
-        print("WARNING: --clean_weight is a PGD-AT flag; TRADES already "
-              "contains the clean CE term (natural loss) and ignores it.")
-    make_step = make_trades_step if args.objective == "trades" else make_train_step
+              f"({args.objective} ignores it).")
+    if args.objective != "pgd-at" and float(args.clean_weight) > 0.0:
+        print("WARNING: --clean_weight is a PGD-AT flag; "
+              f"{args.objective} already contains its own clean term "
+              "and ignores it.")
+    make_step = {"trades": make_trades_step,
+                 "mart": make_mart_step}.get(args.objective, make_train_step)
     train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
 

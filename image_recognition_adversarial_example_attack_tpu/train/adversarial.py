@@ -52,6 +52,7 @@ class AdvTrainConfig:
     label_smoothing: float = 0.0
     clean_weight: float = 0.0      # >0: mixes clean CE into the PGD-AT loss
     trades_beta: float = 6.0       # robustness/accuracy trade-off (TRADES)
+    mart_beta: float = 5.0         # misclassification-aware KL weight (MART)
     # >0: Gaussian-noise training for randomized smoothing.  The PGD inner
     # maximization attacks the EOT-smoothed model (noise_samples draws —
     # SmoothAdv, Salman et al. 2019) and the outer CE is evaluated on
@@ -338,6 +339,74 @@ def make_trades_step(config: AdvTrainConfig,
 
     def step(state: TrainState, x01, y, key):
         # 3) optimizer update
+        return _finish_step(state, *grads_full(state, x01, y, key))
+
+    return step
+
+
+def make_mart_step(config: AdvTrainConfig,
+                   mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """One fused MART step (Wang et al., ICLR 2020):
+    (state, x01, y, key) -> (state, metrics).
+
+    loss = BCE(p(x_adv), y)
+         + beta * KL(p(x) || p(x_adv)) * (1 - p_y(x))   [per sample, mean]
+
+    where BCE is the paper's *boosted* cross-entropy
+    ``-log p_y(x_adv) - log(1 - max_{k!=y} p_k(x_adv))`` (pushes the
+    runner-up down, not just the true class up) and the KL regularizer is
+    weighted per sample by the clean misclassification probability — hard
+    clean examples get the strongest smoothing, the paper's core idea.
+    Inner maximization is standard PGD on CE (the paper's setting), so
+    third objective next to PGD-AT (make_train_step) and TRADES
+    (make_trades_step) with the same one-XLA-program/mesh contract.
+    """
+    apply_logits = _make_apply_logits(config, mean, std)
+
+    def grads_fn(state: TrainState, x01, y, key):
+        # 1) inner maximization: PGD on CE against the current params
+        def logits_fn(xx):
+            return apply_logits(state, state.params, xx)
+
+        x_adv = pgd_linf_attack(
+            logits_fn, x01, y, eps=config.eps, alpha=config.alpha,
+            steps=config.attack_steps, key=key,
+        )
+        x_adv = jax.lax.stop_gradient(x_adv)
+
+        # 2) parameter gradients on the MART objective
+        def total_loss(params):
+            logits_adv = apply_logits(state, params, x_adv)
+            logits_clean = apply_logits(state, params, x01)
+            k = logits_adv.shape[-1]
+            oh = jax.nn.one_hot(y, k, dtype=logits_adv.dtype)
+            p_adv = jax.nn.softmax(logits_adv, axis=-1)
+            py_adv = jnp.sum(p_adv * oh, axis=-1)
+            top_other = jnp.max(p_adv - oh, axis=-1)  # max over k != y
+            bce = jnp.mean(-jnp.log(jnp.maximum(py_adv, 1e-12))
+                           - jnp.log(jnp.maximum(1.0 - top_other, 1e-12)))
+            p_clean = jax.nn.softmax(logits_clean, axis=-1)
+            logp_clean = jnp.log(jnp.maximum(p_clean, 1e-12))
+            logq_adv = jax.nn.log_softmax(logits_adv, axis=-1)
+            kl = jnp.sum(p_clean * (logp_clean - logq_adv), axis=-1)  # [B]
+            py_clean = jnp.sum(p_clean * oh, axis=-1)
+            reg = jnp.mean(kl * (1.0 - py_clean))
+            return bce + config.mart_beta * reg, (bce, reg, logits_adv)
+
+        (loss, (bce, reg, adv_logits)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(state.params)
+        metrics = {
+            "loss": loss,
+            "bce_loss": bce,
+            "weighted_kl": reg,
+            "adv_accuracy": jnp.mean(
+                (jnp.argmax(adv_logits, -1) == y).astype(jnp.float32)),
+        }
+        return grads, metrics
+
+    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+
+    def step(state: TrainState, x01, y, key):
         return _finish_step(state, *grads_full(state, x01, y, key))
 
     return step
