@@ -39,7 +39,7 @@ from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
                      maybe_profile, resolve_image_inputs)
 
 MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
-                 "efficientnet_b0", "swin_t",
+                 "efficientnet_b0", "mobilenet_v2", "swin_t",
                  # miniature models for smoke tests / CI
                  "resnet_tiny", "tiny"]
 

@@ -269,6 +269,44 @@ def efficientnet_rename(path: str) -> str:
     return f"{prefix}/{role}_{sub}"
 
 
+def mobilenet_rename(path: str) -> str:
+    """torchvision mobilenet_v2 keys -> mobilenet.py module paths.
+
+    features.0.{0,1} -> stem_conv/stem_bn ; features.18.{0,1} ->
+    head_conv/head_bn ; classifier.1 -> classifier ;
+    features.N.conv.I... -> block{N}/<role> where the Conv2dNormActivation
+    sub-index (0=conv, 1=bn) applies to expand/dw, and the linear
+    bottleneck's plain conv/bn sit at top-level sequential indices.
+    """
+    parts = [p for p in path.split(".") if p]
+    if parts[0] == "classifier":
+        return "classifier"
+    if parts[0] != "features":
+        return "/".join(parts)
+    n = parts[1]
+    if n == "0":
+        return "stem_conv" if parts[2] == "0" else "stem_bn"
+    if n == "18":
+        return "head_conv" if parts[2] == "0" else "head_bn"
+
+    rest = parts[3:]  # after 'conv': [I, J?] — parts[2] == 'conv'
+    assert parts[2] == "conv", path
+    i_seq = rest[0]
+    has_expand = n != "1"
+    prefix = f"block{n}"
+    if has_expand:
+        # conv.0 = expand CNA, conv.1 = dw CNA, conv.2/.3 = project conv/bn
+        if i_seq == "0":
+            return f"{prefix}/expand_{'conv' if rest[1] == '0' else 'bn'}"
+        if i_seq == "1":
+            return f"{prefix}/dw_{'conv' if rest[1] == '0' else 'bn'}"
+        return f"{prefix}/project_conv" if i_seq == "2" else f"{prefix}/project_bn"
+    # expand_ratio 1: conv.0 = dw CNA, conv.1/.2 = project conv/bn
+    if i_seq == "0":
+        return f"{prefix}/dw_{'conv' if rest[1] == '0' else 'bn'}"
+    return f"{prefix}/project_conv" if i_seq == "1" else f"{prefix}/project_bn"
+
+
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
     "resnet50_robust": resnet_rename,
@@ -277,6 +315,7 @@ RENAMES: dict[str, Callable[[str], str]] = {
     "swin_t": swin_rename,
     "densenet121": densenet_rename,
     "efficientnet_b0": efficientnet_rename,
+    "mobilenet_v2": mobilenet_rename,
 }
 
 

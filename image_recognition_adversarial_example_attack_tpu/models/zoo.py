@@ -86,6 +86,7 @@ register_lazy("vit_b_16", ".vit", "vit_b_16")
 register_lazy("swin_t", ".swin", "swin_t")
 register_lazy("densenet121", ".densenet", "densenet121")
 register_lazy("efficientnet_b0", ".efficientnet", "efficientnet_b0")
+register_lazy("mobilenet_v2", ".mobilenet", "mobilenet_v2")
 
 
 def list_models() -> list[str]:

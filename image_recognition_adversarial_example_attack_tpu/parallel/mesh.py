@@ -135,9 +135,10 @@ def tensor_parallel_spec(path: tuple, leaf) -> P | None:
             and last == "kernel" and ndim == 2):
         return P("model", None)
     # stage/block convs, out-channel sharded: ResNet layerN_i bottlenecks,
-    # DenseNet denseblockB_denselayerL, EfficientNet stageS_blockB
+    # DenseNet denseblockB_denselayerL, EfficientNet stageS_blockB,
+    # MobileNetV2 blockN inverted residuals
     if (last == "kernel" and ndim == 4
-            and any(n.startswith(("layer", "denseblock", "stage"))
+            and any(n.startswith(("layer", "denseblock", "stage", "block"))
                     for n in names)):
         return P(None, None, None, "model")
     return None

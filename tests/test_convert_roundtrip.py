@@ -262,3 +262,48 @@ def test_efficientnet_converter_roundtrip():
     np.testing.assert_allclose(
         np.asarray(model.apply(converted, x)),
         np.asarray(model.apply(template, x)), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mobilenet_converter_roundtrip():
+    from image_recognition_adversarial_example_attack_tpu.models.mobilenet import (
+        IRSpec,
+        MobileNetV2,
+    )
+
+    # block1 = no expansion (like torchvision features.1), block2 = expansion
+    plan = (IRSpec(1, 1, 8, 8), IRSpec(6, 2, 8, 16))
+    model = MobileNetV2(plan=plan, stem_ch=8, head_ch=16, num_classes=5)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    sd = {}
+    _conv_nobias(sd, template, "features.0.0", "stem_conv")
+    _bn_entries(sd, template, "features.0.1", "stem_bn")
+    # block 1 (no expand): conv.0 = dw CNA, conv.1/.2 = project conv/bn
+    _conv_nobias(sd, template, "features.1.conv.0.0", "block1/dw_conv")
+    _bn_entries(sd, template, "features.1.conv.0.1", "block1/dw_bn")
+    _conv_nobias(sd, template, "features.1.conv.1", "block1/project_conv")
+    _bn_entries(sd, template, "features.1.conv.2", "block1/project_bn")
+    # block 2 (expand): conv.0 = expand CNA, conv.1 = dw CNA, conv.2/.3
+    _conv_nobias(sd, template, "features.2.conv.0.0", "block2/expand_conv")
+    _bn_entries(sd, template, "features.2.conv.0.1", "block2/expand_bn")
+    _conv_nobias(sd, template, "features.2.conv.1.0", "block2/dw_conv")
+    _bn_entries(sd, template, "features.2.conv.1.1", "block2/dw_bn")
+    _conv_nobias(sd, template, "features.2.conv.2", "block2/project_conv")
+    _bn_entries(sd, template, "features.2.conv.3", "block2/project_bn")
+    # head sits at features.18 in the full model; the renamer keys on the
+    # literal index, so synthesize it there
+    _conv_nobias(sd, template, "features.18.0", "head_conv")
+    _bn_entries(sd, template, "features.18.1", "head_bn")
+    kern = np.asarray(template["params"]["classifier"]["kernel"])
+    sd["classifier.1.weight"] = torch.tensor(kern.T)
+    sd["classifier.1.bias"] = torch.tensor(
+        np.asarray(template["params"]["classifier"]["bias"]))
+
+    converted = convert.convert_state_dict(sd, convert.mobilenet_rename)
+    convert.assert_tree_shapes_match(converted, template)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(converted, x)),
+        np.asarray(model.apply(template, x)), atol=1e-6)

@@ -130,6 +130,7 @@ class TestInt8Models:
         ("vgg", "vgg_tiny"),
         ("densenet", "densenet_tiny"),
         ("efficientnet", "efficientnet_tiny"),
+        ("mobilenet", "mobilenet_tiny"),
         ("vit", "vit_tiny"),
         ("swin", "swin_tiny_test"),
     ])

@@ -9,6 +9,7 @@ from image_recognition_adversarial_example_attack_tpu.models.densenet import den
 from image_recognition_adversarial_example_attack_tpu.models.efficientnet import (
     efficientnet_tiny,
 )
+from image_recognition_adversarial_example_attack_tpu.models.mobilenet import mobilenet_tiny
 from image_recognition_adversarial_example_attack_tpu.models.resnet import resnet_tiny
 from image_recognition_adversarial_example_attack_tpu.models.swin import swin_tiny_test
 from image_recognition_adversarial_example_attack_tpu.models.vgg import vgg_tiny
@@ -21,6 +22,7 @@ TINY_FACTORIES = {
     "swin": swin_tiny_test,
     "densenet": densenet_tiny,
     "efficientnet": efficientnet_tiny,
+    "mobilenet": mobilenet_tiny,
 }
 
 
@@ -119,6 +121,20 @@ def test_efficientnet_b0_full_param_count():
     )
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
     assert n_params == 5_288_548
+
+
+def test_mobilenet_v2_full_param_count():
+    """Full MobileNetV2 == torchvision's 3,504,872 params."""
+    from image_recognition_adversarial_example_attack_tpu.models.mobilenet import (
+        mobilenet_v2,
+    )
+
+    model = mobilenet_v2()
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    )
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
+    assert n_params == 3_504_872
 
 
 class TestConverter:
@@ -264,6 +280,26 @@ class TestRenameRules:
         assert efficientnet_rename("features.2.1.block.3.0") == "stage2_block1/project_conv"
         assert efficientnet_rename("features.8.1") == "head_bn"
         assert efficientnet_rename("classifier.1") == "classifier"
+
+    def test_mobilenet(self):
+        from image_recognition_adversarial_example_attack_tpu.models.convert import (
+            mobilenet_rename,
+        )
+
+        assert mobilenet_rename("features.0.0") == "stem_conv"
+        assert mobilenet_rename("features.0.1") == "stem_bn"
+        # block 1 has no expansion: conv.0 = dw CNA, conv.1/.2 = project
+        assert mobilenet_rename("features.1.conv.0.0") == "block1/dw_conv"
+        assert mobilenet_rename("features.1.conv.0.1") == "block1/dw_bn"
+        assert mobilenet_rename("features.1.conv.1") == "block1/project_conv"
+        assert mobilenet_rename("features.1.conv.2") == "block1/project_bn"
+        # blocks 2..17: conv.0 = expand CNA, conv.1 = dw CNA, conv.2/.3
+        assert mobilenet_rename("features.2.conv.0.0") == "block2/expand_conv"
+        assert mobilenet_rename("features.2.conv.1.1") == "block2/dw_bn"
+        assert mobilenet_rename("features.17.conv.2") == "block17/project_conv"
+        assert mobilenet_rename("features.17.conv.3") == "block17/project_bn"
+        assert mobilenet_rename("features.18.0") == "head_conv"
+        assert mobilenet_rename("classifier.1") == "classifier"
 
 
 @pytest.mark.slow
