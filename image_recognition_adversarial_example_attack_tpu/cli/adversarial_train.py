@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "scanned in N slices inside the one compiled "
                              "step, bounding activation memory at batch/N "
                              "(effective batch and update count unchanged)")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help=">0 (e.g. 0.999): maintain an EMA of the "
+                             "parameters and EXPORT the EMA weights as the "
+                             "deployment checkpoint (raw weights stay in "
+                             "the .ckpt for resuming); the standard "
+                             "robust-training deployment artifact")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the model forward: the backward "
                              "recomputes activations instead of holding them "
@@ -162,6 +168,7 @@ def main(argv=None) -> int:
         noise_samples=int(args.noise_samples),
         grad_accum=int(args.grad_accum),
         remat=bool(args.remat),
+        ema_decay=float(args.ema_decay),
     )
     state = train_state_from_bundle(bundle, config)
     if args.objective != "pgd-at" and float(args.noise_sigma) > 0.0:
@@ -175,6 +182,9 @@ def main(argv=None) -> int:
                  "mart": make_mart_step}.get(args.objective, make_train_step)
     train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
+    eval_step_ema = (jax.jit(make_eval_step(bundle.mean, bundle.std,
+                                            use_ema=True))
+                     if float(args.ema_decay) > 0.0 else None)
 
     out = Path(args.out) if args.out else (
         Path("weights") / f"{args.model}_robust.msgpack")
@@ -213,10 +223,15 @@ def main(argv=None) -> int:
         clean_acc comes from the SAME fixed held slice in both modes."""
         nonlocal state
         ev = eval_step(state, jnp.asarray(eval_x), jnp.asarray(eval_y))
+        ema_note = ""
+        if eval_step_ema is not None:
+            ev_ema = eval_step_ema(state, jnp.asarray(eval_x),
+                                   jnp.asarray(eval_y))
+            ema_note = f" ema_clean_acc={float(ev_ema['clean_accuracy']):.3f}"
         print(f"epoch {epoch + 1}/{args.epochs}: "
               f"loss={float(metrics['loss']):.4f} "
               f"adv_acc={float(metrics['adv_accuracy']):.3f} "
-              f"clean_acc={float(ev['clean_accuracy']):.3f} "
+              f"clean_acc={float(ev['clean_accuracy']):.3f}{ema_note} "
               f"({steps_per_epoch * batch / dt:.1f} ex/s)")
         if args.save_every and (epoch + 1) % int(args.save_every) == 0:
             save_train_checkpoint(state, ckpt_path, epoch)
@@ -265,10 +280,14 @@ def main(argv=None) -> int:
                 jax.block_until_ready(metrics)
                 end_epoch(epoch, metrics, time.perf_counter() - t0)
     from ..models.zoo import save_variables
+    from ..train.adversarial import deploy_params
 
-    variables = {"params": state.params, **state.extra_variables}
+    # ship the EMA shadow when maintained (the deployment-standard
+    # artifact); the raw weights remain in the .ckpt for exact resume
+    variables = {"params": deploy_params(state), **state.extra_variables}
     save_variables(variables, out)
-    print(f"Saved adversarially fine-tuned checkpoint: {out}")
+    which = "EMA" if state.ema_params is not None else "raw"
+    print(f"Saved adversarially fine-tuned checkpoint ({which} weights): {out}")
     # fine-tuning keeps the base model's ImageNet normalization, so the
     # checkpoint belongs on the STANDARD arm (the robust arm applies
     # identity normalization for RobustBench-style checkpoints)

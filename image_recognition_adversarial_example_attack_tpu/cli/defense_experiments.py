@@ -121,6 +121,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "counters keep their definitions, so "
                              "preproc_defense_acc under --adaptive is the "
                              "defense's honest worst-case number")
+    parser.add_argument("--detector_aware", action="store_true",
+                        help="the attacker also knows the DETECTOR: fgsm/pgd "
+                             "cells ascend CE - lam*relu(score - margin*tau) "
+                             "(Carlini & Wagner 2017) so detector_attack_"
+                             "success becomes the detector's honest bypass "
+                             "number; gradient attacks only; composes with "
+                             "--adaptive")
+    parser.add_argument("--detector_lam", type=float, default=1.0,
+                        help="detector-penalty weight (with --detector_aware)")
+    parser.add_argument("--detector_margin", type=float, default=0.9,
+                        help="attack targets score < margin*threshold "
+                             "(with --detector_aware)")
     parser.add_argument("--max_batch", type=int, default=256,
                         help="device batch cap: image sets larger than this "
                              "stream through the one compiled cell program in "
@@ -186,6 +198,13 @@ def _calibrate(args, logits_fn, features_fn, x_clean, n, pseudo_fn):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.detector_aware:
+        bad = [a for a in args.attacks if a not in ("fgsm", "pgd")]
+        if bad:
+            raise SystemExit(
+                "--detector_aware needs gradient attacks with a CE "
+                f"objective (fgsm|pgd); drop {bad} from --attacks")
 
     # --- image list first: fail fast before any device work ---
     image_paths = resolve_image_inputs(args.image_dir, args.image)
@@ -371,6 +390,8 @@ def main(argv=None) -> int:
             for eps in args.eps_list:
                 cell_id = f"{attack_name}:{float(eps):.6f}"
                 tag = " | ADAPTIVE (through the defense)" if args.adaptive else ""
+                if args.detector_aware:
+                    tag += " | DETECTOR-AWARE"
                 print(f"\n[{attack_name.upper()} Attack | eps={eps:.5f}{tag}]")
                 # resume only cells computed under the SAME configuration:
                 # --labels_json (by CONTENT), --adaptive, detector/defense/
@@ -407,6 +428,9 @@ def main(argv=None) -> int:
                         detector_params=detector_params,
                         defense=defense_cfg,
                         adaptive=bool(args.adaptive),
+                        detector_aware=bool(args.detector_aware),
+                        detector_lam=float(args.detector_lam),
+                        detector_margin=float(args.detector_margin),
                     )
                     if (defense_cfg.use_jpeg
                             and defense_cfg.jpeg_mode == "host"

@@ -51,10 +51,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--protocol", type=str, default="lite",
-                        choices=["lite", "standard"],
+                        choices=["lite", "standard", "rand"],
                         help="standard: full AutoAttack (APGD-CE + APGD-T "
                              "+ FAB-T + Square); lite: APGD-CE + Square + "
-                             "in-ball DeepFool")
+                             "in-ball DeepFool; rand: the randomized-"
+                             "defense protocol (EOT-APGD-CE + EOT-APGD-DLR "
+                             "+ Square on the expected classifier)")
+    parser.add_argument("--eot_samples", type=int, default=20,
+                        help="(rand protocol) Monte-Carlo transform draws "
+                             "per EOT gradient / expected prediction")
+    parser.add_argument("--eot_sigma", type=float, default=0.25,
+                        help="(rand protocol) Gaussian-noise transform "
+                             "sigma — the randomized-smoothing setting")
     parser.add_argument("--norm", type=str, default="linf",
                         choices=["linf", "l2"],
                         help="threat-model ball: L-inf (reference "
@@ -131,7 +139,29 @@ def main(argv=None) -> int:
     if args.save_adv_dir is not None and streaming:
         print("(--save_adv_dir ignored: streaming mode keeps x_adv "
               "on-device per chunk; rerun with --max_batch 0 to save)")
-    if standard:
+    if args.protocol == "rand":
+        from ..eval.robust_eval import autoattack_rand
+
+        arm_names = ("apgd_ce_eot", "apgd_dlr_eot", "square")
+
+        @jax.jit
+        def run(x, y, key, eps):
+            res = autoattack_rand(
+                logits_fn, x, y, eps=eps, key=key,
+                eot_samples=int(args.eot_samples),
+                sigma=float(args.eot_sigma),
+                apgd_steps=int(args.apgd_steps),
+                square_steps=int(args.square_steps),
+                norm=args.norm,
+            )
+            masks = (res.success, res.success_apgd_ce,
+                     res.success_apgd_dlr, res.success_square)
+            return masks + (res.x_adv,) if save_adv else masks
+
+        arm_desc = (f"eot{args.eot_samples}@sigma{args.eot_sigma} "
+                    f"apgd-ce-{args.apgd_steps} apgd-dlr-{args.apgd_steps} "
+                    f"square-{args.square_steps}")
+    elif standard:
         arm_names = ("apgd_ce", "apgd_t", "fab", "square")
 
         @jax.jit
@@ -233,6 +263,8 @@ def main(argv=None) -> int:
     out.write_text(json.dumps({
         "protocol": args.protocol,
         "norm": args.norm,
+        "eot_samples": int(args.eot_samples),
+        "eot_sigma": float(args.eot_sigma),
         "apgd_steps": int(args.apgd_steps),
         "square_steps": int(args.square_steps),
         "deepfool_steps": int(args.deepfool_steps),

@@ -84,6 +84,13 @@ class DefenseEvalConfig:
     # standard for preprocessing defenses (Athalye et al. 2018); the
     # defense chain is STE-differentiable end to end (defenses/preprocess)
     adaptive: bool = False
+    # detector_aware = the attacker ALSO knows the detector: the attack
+    # becomes sign-gradient ascent on CE - lam*relu(score - margin*tau)
+    # (Carlini & Wagner, AISec 2017) — the standard of evidence for
+    # detector bypass rates.  Gradient attacks only (fgsm/pgd cells).
+    detector_aware: bool = False
+    detector_lam: float = 1.0
+    detector_margin: float = 0.9
 
     def attack_params(self) -> AttackParams:
         return AttackParams(
@@ -178,8 +185,33 @@ def evaluate_defenses_batch(
             return logits_fn(defend_input(xx, config.defense))
     else:
         attack_target_fn = logits_fn
-    x_adv = run_attack(config.attack_name, attack_target_fn, x, y_true,
-                       params, key)
+
+    if config.detector_aware:
+        # joint classifier+detector objective (Carlini & Wagner 2017);
+        # needs gradients of the attack loss, so only the gradient cells
+        # of the reference grid support it
+        if config.attack_name not in ("fgsm", "pgd"):
+            raise ValueError(
+                "detector_aware evaluation needs a gradient attack with a "
+                f"CE objective (fgsm|pgd), got '{config.attack_name}'")
+        from ..attacks.detector_aware import (detector_aware_fgsm,
+                                              detector_aware_pgd)
+
+        aware_score_fn = make_detector_score_fn(logits_fn, features_fn, config)
+        if config.attack_name == "fgsm":
+            x_adv = detector_aware_fgsm(
+                attack_target_fn, aware_score_fn, x, y_true,
+                eps=params.eps, threshold=threshold,
+                lam=config.detector_lam, margin=config.detector_margin)
+        else:
+            x_adv = detector_aware_pgd(
+                attack_target_fn, aware_score_fn, x, y_true,
+                eps=params.eps, alpha=params.alpha, steps=params.steps,
+                key=key, threshold=threshold,
+                lam=config.detector_lam, margin=config.detector_margin)
+    else:
+        x_adv = run_attack(config.attack_name, attack_target_fn, x, y_true,
+                           params, key)
 
     pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
     attack_success = (pred_adv != y_true).astype(jnp.int32)
@@ -286,8 +318,32 @@ def make_defense_eval_fn_split_jpeg(
         pred_clean = jnp.argmax(logits_fn(x), axis=-1)
         clean_correct = (pred_clean == y_true).astype(jnp.int32)
 
-        x_adv = run_attack(config.attack_name, logits_fn, x, y_true,
-                           params, key)
+        if config.detector_aware:
+            # the detector tap never touches the JPEG stage, so the
+            # detector-aware objective stays fully on the mesh
+            if config.attack_name not in ("fgsm", "pgd"):
+                raise ValueError(
+                    "detector_aware evaluation needs a gradient attack "
+                    f"(fgsm|pgd), got '{config.attack_name}'")
+            from ..attacks.detector_aware import (detector_aware_fgsm,
+                                                  detector_aware_pgd)
+
+            aware_score_fn = make_detector_score_fn(
+                logits_fn, features_fn, config)
+            if config.attack_name == "fgsm":
+                x_adv = detector_aware_fgsm(
+                    logits_fn, aware_score_fn, x, y_true,
+                    eps=params.eps, threshold=threshold,
+                    lam=config.detector_lam, margin=config.detector_margin)
+            else:
+                x_adv = detector_aware_pgd(
+                    logits_fn, aware_score_fn, x, y_true,
+                    eps=params.eps, alpha=params.alpha, steps=params.steps,
+                    key=key, threshold=threshold,
+                    lam=config.detector_lam, margin=config.detector_margin)
+        else:
+            x_adv = run_attack(config.attack_name, logits_fn, x, y_true,
+                               params, key)
         pred_adv = jnp.argmax(logits_fn(x_adv), axis=-1)
         attack_success = (pred_adv != y_true).astype(jnp.int32)
 

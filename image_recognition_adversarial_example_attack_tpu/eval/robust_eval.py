@@ -186,6 +186,96 @@ def autoattack(
     )
 
 
+class AutoAttackRandResult(NamedTuple):
+    x_adv: jnp.ndarray        # per-sample worst-case adversarial example
+    success: jnp.ndarray      # [B] bool: expected prediction != y_true
+    success_apgd_ce: jnp.ndarray
+    success_apgd_dlr: jnp.ndarray
+    success_square: jnp.ndarray
+
+
+def autoattack_rand(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    key: jax.Array,
+    eot_samples: int = 20,
+    sigma: float = 0.25,
+    transform=None,
+    eval_samples: int | None = None,
+    apgd_steps: int = 100,
+    square_steps: int = 1000,
+    norm: str = "linf",
+) -> AutoAttackRandResult:
+    """AutoAttack's ``rand`` protocol for RANDOMIZED defenses (Croce &
+    Hein 2020, §5.3): APGD-CE and APGD-DLR with EOT gradients
+    (``eot_samples`` Monte-Carlo transform draws per backward) plus
+    Square on the expected prediction.  The reference has no randomized-
+    defense evaluation at all; this framework ships randomized smoothing
+    (defenses/smoothing.py) and random resize/pad (defenses/
+    randomization.py), so the protocol that honestly evaluates them is a
+    required surface, not an extra.
+
+    ``transform`` is the defense's own randomization (``(key, x) -> x'``);
+    the default is the Gaussian-noise smoothing transform at ``sigma``.
+    Success is judged on the EXPECTED classifier — argmax of the mean
+    softmax over ``eval_samples`` (default: ``eot_samples``) fresh draws —
+    the same deterministic-in-key criterion the smoothed model deploys.
+
+    TPU design: each EOT forward evaluates as ONE [eot_samples*B] batched
+    program (attacks/eot.py), so the whole protocol stays three fused
+    scans; nothing about the randomization leaks into host control flow.
+    """
+    from ..attacks.apgd import apgd_dlr_attack
+    from ..attacks.eot import make_eot_logits_fn
+
+    k_wrap, k_ce, k_dlr, k_sq, k_eval = jax.random.split(key, 5)
+    eot_fn = make_eot_logits_fn(logits_fn, k_wrap, n_samples=int(eot_samples),
+                                transform=transform, sigma=sigma)
+    # the deployed (expected) classifier used for judging success — a
+    # FIXED evaluation key so every arm is judged by the same draw
+    eval_fn = make_eot_logits_fn(
+        logits_fn, k_eval,
+        n_samples=int(eval_samples or eot_samples),
+        transform=transform, sigma=sigma)
+
+    x_ce = apgd_ce_attack(eot_fn, x, y_true, eps=eps, steps=apgd_steps,
+                          key=k_ce, norm=norm)
+    succ_ce = jnp.argmax(eval_fn(x_ce), -1) != y_true
+
+    x_dlr = apgd_dlr_attack(eot_fn, x, y_true, eps=eps, steps=apgd_steps,
+                            key=k_dlr, norm=norm)
+    succ_dlr = jnp.argmax(eval_fn(x_dlr), -1) != y_true
+
+    # Square queries the expected classifier directly (gradient-free, so
+    # EOT averaging only matters through the loss evaluations)
+    if norm == "linf":
+        x_sq = square_attack(eot_fn, x, y_true, eps=eps,
+                             steps=square_steps, key=k_sq)
+    else:
+        from ..attacks.square import square_l2_attack
+
+        x_sq = square_l2_attack(eot_fn, x, y_true, eps=eps,
+                                steps=square_steps, key=k_sq)
+    succ_sq = jnp.argmax(eval_fn(x_sq), -1) != y_true
+
+    x_adv = x_ce
+    taken = succ_ce
+    for x_arm, s_arm in ((x_dlr, succ_dlr), (x_sq, succ_sq)):
+        pick = (~taken) & s_arm
+        x_adv = jnp.where(pick[:, None, None, None], x_arm, x_adv)
+        taken = taken | s_arm
+    return AutoAttackRandResult(
+        x_adv=x_adv,
+        success=taken,
+        success_apgd_ce=succ_ce,
+        success_apgd_dlr=succ_dlr,
+        success_square=succ_sq,
+    )
+
+
 def robust_accuracy(result: RobustEvalResult, clean_correct: jnp.ndarray) -> float:
     """Fraction of clean-correct samples that resist EVERY attack.
 

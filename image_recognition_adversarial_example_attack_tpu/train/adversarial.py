@@ -71,6 +71,14 @@ class AdvTrainConfig:
     # activations) — how ImageNet-scale effective batches fit one chip.
     grad_accum: int = 1
     remat: bool = False
+    # >0: maintain an exponential moving average of the parameters
+    # (theta_ema <- d*theta_ema + (1-d)*theta after every optimizer step,
+    # initialized AT the initial parameters so no bias correction is
+    # needed).  EMA weights are the standard deployment artifact for
+    # adversarially trained models (used by e.g. Carmon et al. 2019,
+    # Gowal et al. 2020); the update is one fused elementwise map inside
+    # the same XLA program as the optimizer step.
+    ema_decay: float = 0.0
 
 
 class TrainState(struct.PyTreeNode):
@@ -82,6 +90,7 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    ema_params: Any = None         # EMA shadow (None = EMA disabled)
 
 
 def _make_optimizer(config: AdvTrainConfig) -> optax.GradientTransformation:
@@ -100,6 +109,8 @@ def train_state_from_bundle(bundle, config: AdvTrainConfig) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         tx=tx,
         apply_fn=bundle.module.apply,
+        ema_params=(jax.tree.map(jnp.asarray, params)
+                    if config.ema_decay > 0.0 else None),
     )
 
 
@@ -112,12 +123,20 @@ def _ce_loss(logits: jnp.ndarray, y: jnp.ndarray, smoothing: float) -> jnp.ndarr
     return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
 
-def _finish_step(state: TrainState, grads, metrics):
-    """Shared tail of every objective: one optimizer update + grad_norm."""
+def _finish_step(state: TrainState, grads, metrics, ema_decay: float = 0.0):
+    """Shared tail of every objective: one optimizer update + grad_norm
+    (+ the EMA shadow update when enabled — fused into the same program)."""
     updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = state.replace(params=params, opt_state=opt_state,
                               step=state.step + 1)
+    if state.ema_params is not None and ema_decay > 0.0:
+        d = jnp.float32(ema_decay)
+        ema = jax.tree.map(
+            lambda e, p: (d * e.astype(jnp.float32)
+                          + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+            state.ema_params, params)
+        new_state = new_state.replace(ema_params=ema)
     metrics = dict(metrics)
     # on the AVERAGED gradient — the one the optimizer actually consumes
     metrics["grad_norm"] = optax.global_norm(grads)
@@ -266,7 +285,8 @@ def make_train_step(config: AdvTrainConfig,
 
     def step(state: TrainState, x01, y, key):
         # optimizer update (XLA fuses; grads psum'd by pjit when sharded)
-        return _finish_step(state, *grads_full(state, x01, y, key))
+        return _finish_step(state, *grads_full(state, x01, y, key),
+                            ema_decay=config.ema_decay)
 
     return step
 
@@ -339,7 +359,8 @@ def make_trades_step(config: AdvTrainConfig,
 
     def step(state: TrainState, x01, y, key):
         # 3) optimizer update
-        return _finish_step(state, *grads_full(state, x01, y, key))
+        return _finish_step(state, *grads_full(state, x01, y, key),
+                            ema_decay=config.ema_decay)
 
     return step
 
@@ -407,7 +428,8 @@ def make_mart_step(config: AdvTrainConfig,
     grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
 
     def step(state: TrainState, x01, y, key):
-        return _finish_step(state, *grads_full(state, x01, y, key))
+        return _finish_step(state, *grads_full(state, x01, y, key),
+                            ema_decay=config.ema_decay)
 
     return step
 
@@ -428,6 +450,8 @@ def save_train_checkpoint(state: TrainState, path, epoch: int) -> None:
         "step": state.step,
         "epoch": jnp.asarray(epoch, jnp.int32),
     }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -450,6 +474,10 @@ def load_train_checkpoint(state: TrainState, path) -> tuple[TrainState, int]:
         "step": state.step,
         "epoch": jnp.zeros((), jnp.int32),
     }
+    if state.ema_params is not None:
+        # the template's EMA slot makes a checkpoint written without EMA
+        # fail loudly rather than resume with a silently-reset shadow
+        template["ema_params"] = state.ema_params
     payload = serialization.from_bytes(template, Path(path).read_bytes())
     restored = state.replace(
         params=payload["params"],
@@ -457,14 +485,26 @@ def load_train_checkpoint(state: TrainState, path) -> tuple[TrainState, int]:
         opt_state=payload["opt_state"],
         step=jnp.asarray(payload["step"], jnp.int32),
     )
+    if state.ema_params is not None:
+        restored = restored.replace(ema_params=payload["ema_params"])
     return restored, int(payload["epoch"]) + 1
 
 
-def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    """(state, x01, y) -> {clean_accuracy} (jit/pjit-able)."""
+def deploy_params(state: TrainState):
+    """The parameters to SHIP: the EMA shadow when maintained, else the
+    raw trained parameters."""
+    return state.params if state.ema_params is None else state.ema_params
+
+
+def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                   use_ema: bool = False):
+    """(state, x01, y) -> {clean_accuracy} (jit/pjit-able).  With
+    ``use_ema`` the forward runs on the EMA shadow (falls back to the raw
+    parameters when EMA is disabled)."""
 
     def step(state: TrainState, x01, y):
-        variables = {"params": state.params, **state.extra_variables}
+        params = deploy_params(state) if use_ema else state.params
+        variables = {"params": params, **state.extra_variables}
         logits = state.apply_fn(variables, normalize_batch(x01, mean, std))
         pred = jnp.argmax(logits.astype(jnp.float32), -1)
         return {"clean_accuracy": jnp.mean(pred == y)}

@@ -488,3 +488,85 @@ def test_robust_cli_save_adv_dir(tmp_path, capsys):
         c = np.asarray(load_image(src))[0]
         assert a.shape == c.shape
         assert np.abs(a - c).max() <= 0.03137 + 2 / 255
+
+
+class TestAutoAttackRand:
+    """The randomized-defense protocol: EOT-APGD arms + Square on the
+    expected classifier (Croce & Hein 2020, §5.3)."""
+
+    def test_composition_and_ball(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_eot_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
+            autoattack_rand,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        eps = 8 / 255
+        res = jax.jit(lambda x, y, k: autoattack_rand(
+            tiny_logits_fn, x, y, eps=eps, key=k, eot_samples=4,
+            sigma=0.05, apgd_steps=4, square_steps=5,
+        ))(x, y, rng_key)
+
+        succ = np.asarray(res.success)
+        any_arm = np.asarray(res.success_apgd_ce | res.success_apgd_dlr
+                             | res.success_square)
+        np.testing.assert_array_equal(succ, any_arm)
+        # the worst-case iterate stays in the eps ball
+        assert float(jnp.max(jnp.abs(res.x_adv - x))) <= eps + 1e-6
+        # success was judged on the expected classifier: recomputing the
+        # eval wrapper (deterministic in key+input) must reproduce it —
+        # the key schedule below mirrors autoattack_rand's split order
+        k_wrap, k_ce, k_dlr, k_sq, k_eval = jax.random.split(rng_key, 5)
+        eval_fn = make_eot_logits_fn(tiny_logits_fn, k_eval, n_samples=4,
+                                     sigma=0.05)
+        mis = np.asarray(jnp.argmax(eval_fn(res.x_adv), -1) != y)
+        assert np.all(mis[succ])
+
+    def test_deterministic_given_key(self, tiny_logits_fn, image_batch, rng_key):
+        from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
+            autoattack_rand,
+        )
+
+        x = jnp.asarray(image_batch)
+        y = _labels(tiny_logits_fn, x)
+        run = jax.jit(lambda k: autoattack_rand(
+            tiny_logits_fn, x, y, eps=8 / 255, key=k, eot_samples=2,
+            sigma=0.1, apgd_steps=3, square_steps=3).x_adv)
+        np.testing.assert_array_equal(np.asarray(run(rng_key)),
+                                      np.asarray(run(rng_key)))
+
+    @pytest.mark.slow
+    def test_robust_cli_rand_protocol(self, tmp_path, capsys):
+        import json
+
+        from PIL import Image
+
+        from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+            main,
+        )
+
+        rng = np.random.RandomState(3)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.jpg")
+        out = tmp_path / "rand.json"
+        rc = main(["--image_dir", str(d), "--model", "resnet_tiny",
+                   "--protocol", "rand", "--eps_list", "0.03137",
+                   "--eot_samples", "2", "--eot_sigma", "0.05",
+                   "--apgd_steps", "3", "--square_steps", "4",
+                   "--output", str(out)])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "protocol=rand" in text and "robust_acc=" in text
+        data = json.loads(out.read_text())
+        assert data["protocol"] == "rand"
+        assert data["eot_samples"] == 2
+        row = data["results"][0]
+        for arm in ("apgd_ce_eot", "apgd_dlr_eot", "square"):
+            assert f"success_{arm}" in row
+        assert 0.0 <= row["robust_accuracy"] <= 1.0

@@ -514,3 +514,122 @@ def test_sharded_accum_remat_step_matches_single_device():
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestEMA:
+    """Parameter EMA: shadow recurrence, checkpointing, deployment."""
+
+    def _setup(self, decay=0.5):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+
+        model, variables = make_tiny(seed=3, image_size=16, num_classes=2)
+        config = AdvTrainConfig(eps=8 / 255, alpha=2 / 255, attack_steps=2,
+                                learning_rate=5e-3, ema_decay=decay)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        step = jax.jit(make_train_step(config))
+        x, y = _toy_data(n=16, seed=3)
+        return state, step, x, y
+
+    def test_shadow_matches_recurrence(self):
+        """ema_t must equal the exact d*ema + (1-d)*params recurrence over
+        the recorded parameter trajectory."""
+        state, step, x, y = self._setup(decay=0.5)
+        key = jax.random.PRNGKey(7)
+        ema_ref = jax.tree.map(np.asarray, state.params)
+        for i in range(3):
+            state, _ = step(state, x, y, jax.random.fold_in(key, i))
+            ema_ref = jax.tree.map(
+                lambda e, p: 0.5 * e + 0.5 * np.asarray(p),
+                ema_ref, state.params)
+        got = jax.tree.map(np.asarray, state.ema_params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+            got, ema_ref)
+        # the shadow lags the raw params (it is not just a copy)
+        diffs = jax.tree.leaves(jax.tree.map(
+            lambda e, p: float(np.max(np.abs(e - np.asarray(p)))),
+            got, state.params))
+        assert max(diffs) > 0.0
+
+    def test_disabled_by_default(self):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            deploy_params,
+        )
+
+        model, variables = make_tiny(seed=4, image_size=16, num_classes=2)
+        config = AdvTrainConfig(attack_steps=1)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        assert state.ema_params is None
+        assert deploy_params(state) is state.params
+
+    def test_deploy_and_eval_use_shadow(self):
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            deploy_params,
+        )
+
+        state, step, x, y = self._setup(decay=0.9)
+        key = jax.random.PRNGKey(8)
+        for i in range(2):
+            state, _ = step(state, x, y, jax.random.fold_in(key, i))
+        assert deploy_params(state) is state.ema_params
+        ev_raw = make_eval_step()(state, x, y)
+        ev_ema = make_eval_step(use_ema=True)(state, x, y)
+        # both run; the EMA eval must consume the shadow (smoke: finite)
+        assert np.isfinite(float(ev_raw["clean_accuracy"]))
+        assert np.isfinite(float(ev_ema["clean_accuracy"]))
+
+    def test_checkpoint_roundtrip_preserves_shadow(self, tmp_path):
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        state, step, x, y = self._setup(decay=0.8)
+        key = jax.random.PRNGKey(9)
+        for i in range(2):
+            state, _ = step(state, x, y, jax.random.fold_in(key, i))
+        path = tmp_path / "ema.ckpt"
+        save_train_checkpoint(state, path, epoch=1)
+
+        fresh, _, _, _ = self._setup(decay=0.8)
+        restored, next_epoch = load_train_checkpoint(fresh, path)
+        assert next_epoch == 2
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            restored.ema_params, state.ema_params)
+
+    def test_resume_continues_shadow_exactly(self, tmp_path):
+        """2 steps + checkpoint + 2 steps == 4 uninterrupted steps, EMA
+        shadow included (bitwise)."""
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        key = jax.random.PRNGKey(11)
+
+        state_a, step, x, y = self._setup(decay=0.7)
+        for i in range(4):
+            state_a, _ = step(state_a, x, y, jax.random.fold_in(key, i))
+
+        state_b, step_b, _, _ = self._setup(decay=0.7)
+        for i in range(2):
+            state_b, _ = step_b(state_b, x, y, jax.random.fold_in(key, i))
+        path = tmp_path / "mid.ckpt"
+        save_train_checkpoint(state_b, path, epoch=0)
+        fresh, step_c, _, _ = self._setup(decay=0.7)
+        state_c, _ = load_train_checkpoint(fresh, path)
+        for i in range(2, 4):
+            state_c, _ = step_c(state_c, x, y, jax.random.fold_in(key, i))
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            (state_a.params, state_a.ema_params),
+            (state_c.params, state_c.ema_params))
