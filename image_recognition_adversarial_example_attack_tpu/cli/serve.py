@@ -27,6 +27,14 @@ micro-batch up to that size (drained from stdin with a ``--max_wait_ms``
 window) and short batches pad to the compiled shape — no recompiles,
 ever.  Eager per-request dispatch over the device relay would cost
 ~150 ms/op (CLAUDE.md); here every request batch is one device call.
+
+``--http PORT`` swaps the stdin line protocol for an HTTP front-end
+(stdlib ThreadingHTTPServer): ``GET /healthz`` and ``POST /classify``
+with a JSON body of ``path``/``paths``/``image_b64``/``images_b64``.
+Handler threads decode concurrently; a single device worker micro-
+batches submissions ACROSS requests into the same compiled program
+(the device schedule stays single-threaded — concurrent TPU programs
+would serialize on the device grant anyway).
 """
 
 from __future__ import annotations
@@ -68,12 +76,50 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--input", type=str, default="-",
                         help="'-' = stdin stream; a file path = serve its "
                              "lines then exit")
+    parser.add_argument("--http", type=int, default=None, metavar="PORT",
+                        help="serve HTTP instead of the line protocol: "
+                             "GET /healthz, POST /classify with "
+                             "{path|paths|image_b64|images_b64}; handler "
+                             "threads decode, ONE worker micro-batches "
+                             "across concurrent requests (port 0 = pick a "
+                             "free port, printed in the ready line)")
+    parser.add_argument("--http_host", type=str, default="127.0.0.1",
+                        help="HTTP bind address (default loopback)")
     parser.add_argument("--sharded", action="store_true",
                         help="shard request batches over a data mesh when "
                              "multiple devices are visible (batch rounds up "
                              "to a multiple of the device count)")
     add_model_args(parser)
     return parser
+
+
+def _chunk_responses(out: dict, names: list[str], topk: int, labels,
+                     detector_threshold) -> list[dict]:
+    """Device outputs of ONE compiled chunk -> per-request response dicts
+    (shared by the line protocol and the HTTP front-end; the first
+    ``len(names)`` rows are real requests, the rest padding)."""
+    probs = out["probs"]
+    responses = []
+    for j, name in enumerate(names):
+        row = probs[j]
+        order = np.argsort(-row)[:topk]
+        resp = {
+            "path": name,
+            "top1": int(order[0]),
+            "label": (labels[order[0]] if labels and
+                      order[0] < len(labels) else str(order[0])),
+            "prob": float(row[order[0]]),
+            "topk": [[int(c), float(row[c])] for c in order],
+        }
+        if "defended_pred" in out:
+            resp["defended_top1"] = int(out["defended_pred"][j])
+        if "score" in out:
+            score = float(out["score"][j])
+            resp["detector_score"] = score
+            if detector_threshold is not None:
+                resp["detector_flag"] = bool(score > float(detector_threshold))
+        responses.append(resp)
+    return responses
 
 
 def _make_service_fn(logits_fn, features_fn, args):
@@ -96,6 +142,220 @@ def _make_service_fn(logits_fn, features_fn, args):
         return out
 
     return jax.jit(service)
+
+
+class _BatchWorker:
+    """Cross-request micro-batcher for the HTTP front-end.
+
+    HTTP handler threads decode their own request (host CPU parallelism)
+    and ``submit()`` the preprocessed image; ONE worker thread drains up
+    to ``batch`` submissions within the ``max_wait_s`` window and serves
+    them with a single device call on the one compiled program — the
+    same no-recompile, amortized-batch contract as the line protocol,
+    but across concurrent clients.  Device access stays single-threaded
+    (concurrent TPU programs would serialize on the device grant anyway,
+    CLAUDE.md), so the worker IS the device schedule.
+    """
+
+    def __init__(self, service, place, batch: int, topk: int, labels,
+                 detector_threshold, max_wait_s: float) -> None:
+        import queue
+        import threading
+
+        self._service = service
+        self._place = place
+        self._batch = batch
+        self._topk = topk
+        self._labels = labels
+        self._threshold = detector_threshold
+        self._max_wait_s = max_wait_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit_async(self, img: np.ndarray, name: str) -> dict:
+        """Enqueue a request; returns a ticket for ``result()``.  Multi-
+        image requests enqueue ALL their images before waiting so they
+        batch together in one device call."""
+        import threading
+
+        item = {"img": img, "name": name, "event": threading.Event(),
+                "resp": None}
+        self._queue.put(item)
+        return item
+
+    @staticmethod
+    def result(item: dict) -> dict:
+        item["event"].wait()
+        return item["resp"]
+
+    def submit(self, img: np.ndarray, name: str) -> dict:
+        """Block until the worker has served this request; returns the
+        response dict (timing fields included)."""
+        return self.result(self.submit_async(img, name))
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+
+    def _drain(self) -> list[dict]:
+        import queue
+
+        while True:
+            try:  # bounded block so shutdown() is honored while idle
+                first = self._queue.get(timeout=0.25)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    return []
+        items = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(items) < self._batch:
+            remaining = deadline - time.monotonic()
+            try:
+                items.append(self._queue.get(timeout=max(0.0, remaining)))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self) -> None:
+        while True:
+            items = self._drain()
+            if not items:
+                if self._stop.is_set():
+                    return
+                continue
+            x_np = np.stack([it["img"] for it in items])
+            pad = self._batch - len(items)
+            if pad > 0:
+                x_np = np.concatenate(
+                    [x_np, np.zeros((pad,) + x_np.shape[1:], np.float32)])
+            t_dev = time.perf_counter()
+            try:
+                out = jax.device_get(self._service(self._place(x_np)))
+            except Exception as e:  # noqa: BLE001 — per-batch isolation
+                for it in items:
+                    it["resp"] = {"path": it["name"],
+                                  "error": f"{type(e).__name__}: {e}"}
+                    it["event"].set()
+                continue
+            dev_ms = (time.perf_counter() - t_dev) * 1e3
+            built = _chunk_responses(out, [it["name"] for it in items],
+                                     self._topk, self._labels,
+                                     self._threshold)
+            for it, resp in zip(items, built):
+                resp["latency_ms"] = round(dev_ms, 2)
+                resp["batch_size"] = self._batch
+                resp["request_count"] = len(items)
+                it["resp"] = resp
+                it["event"].set()
+
+
+def make_http_server(host: str, port: int, worker: _BatchWorker,
+                     ready_info: dict, size: int):
+    """HTTP front-end over the batch worker (stdlib only, threaded).
+
+        GET  /healthz              -> the ready line as JSON
+        POST /classify             -> {"results": [response, ...]}
+            body: {"path": p} | {"paths": [...]} |
+                  {"image_b64": b} | {"images_b64": [...]}
+                  (base64 of any decodable image file's BYTES)
+
+    Handler threads decode; the worker micro-batches across concurrent
+    requests.  Returns the server; callers run ``serve_forever()``.
+    """
+    import base64
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    from ..core.images import load_image, preprocess_pil
+
+    def decode_entry(entry: dict) -> tuple[np.ndarray | None, str, str | None]:
+        """-> (img, name, error).  Decode failures isolate per request."""
+        if "path" in entry:
+            name = str(entry["path"])
+            try:
+                return load_image(name, size=size)[0], name, None
+            except Exception as e:  # noqa: BLE001
+                return None, name, f"{type(e).__name__}: {e}"
+        name = str(entry.get("name", "b64"))
+        try:
+            raw = base64.b64decode(entry["image_b64"], validate=True)
+            with Image.open(io.BytesIO(raw)) as img:
+                arr = preprocess_pil(img, crop=size)
+            return arr, name, None
+        except Exception as e:  # noqa: BLE001
+            return None, name, f"{type(e).__name__}: {e}"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route access logs to stderr
+            print("http: " + fmt % a, file=sys.stderr)
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path in ("/healthz", "/health", "/"):
+                self._send(200, ready_info)
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            if self.path != "/classify":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad JSON body: {e}"})
+                return
+            entries = []
+            if "paths" in req:
+                entries += [{"path": p} for p in req["paths"]]
+            if "path" in req:
+                entries.append({"path": req["path"]})
+            if "images_b64" in req:
+                entries += [{"image_b64": b, "name": f"b64[{i}]"}
+                            for i, b in enumerate(req["images_b64"])]
+            if "image_b64" in req:
+                entries.append({"image_b64": req["image_b64"]})
+            if not entries:
+                self._send(400, {"error": "body needs path|paths|"
+                                          "image_b64|images_b64"})
+                return
+            # decode EVERYTHING first, then enqueue all images back to
+            # back, then wait — a multi-image request reaches the worker
+            # as one burst and batches into one device call even with a
+            # tiny wait window (decode latency never splits the batch)
+            decoded: list[tuple[np.ndarray | None, str, str | None, float]] = []
+            for entry in entries:
+                t0 = time.perf_counter()
+                img, name, err = decode_entry(entry)
+                decoded.append((img, name, err,
+                                (time.perf_counter() - t0) * 1e3))
+            tickets = [
+                (None if err else worker.submit_async(img, name),
+                 {"path": name, "error": err} if err else None,
+                 decode_ms)
+                for img, name, err, decode_ms in decoded
+            ]
+            results = []
+            for ticket, err_resp, decode_ms in tickets:
+                resp = err_resp if ticket is None else worker.result(ticket)
+                resp["decode_ms"] = round(decode_ms, 2)
+                results.append(resp)
+            self._send(200, {"results": results})
+
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 class _LineStream:
@@ -178,6 +438,46 @@ def _drain_requests(reader: _LineStream, batch: int, max_wait_s: float,
     return [ln for ln in lines if ln.strip()]
 
 
+def _serve_http(args, service, place, batch: int, ready_info: dict,
+                size: int) -> int:
+    """HTTP mode: worker + ThreadingHTTPServer; SIGTERM/SIGINT drain the
+    in-flight batch and stop cleanly (exit 0)."""
+    import threading
+
+    from ..core.labels import load_imagenet_labels as _labels_fn
+
+    worker = _BatchWorker(service, place, batch, int(args.topk),
+                          _labels_fn(), args.detector_threshold,
+                          float(args.max_wait_ms) / 1e3)
+    server = make_http_server(args.http_host, int(args.http), worker,
+                              ready_info, size)
+    host, port = server.server_address[:2]
+    ready = dict(ready_info)
+    ready["http"] = {"host": host, "port": int(port)}
+    print(json.dumps(ready), flush=True)
+
+    got_signal: list[int] = []
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda s, _f: got_signal.append(s))
+        except (ValueError, OSError):  # non-main thread
+            pass
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        while not got_signal:
+            time.sleep(0.2)
+    finally:
+        server.shutdown()  # stop accepting; in-flight handlers finish
+        t.join(timeout=10.0)
+        worker.shutdown()
+    print(json.dumps({"shutdown": True,
+                      "signal": int(got_signal[0]) if got_signal else 0}),
+          flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     batch = max(1, int(args.batch))
@@ -209,9 +509,13 @@ def main(argv=None) -> int:
     size = 224
     warm = place(np.zeros((batch, size, size, 3), np.float32))
     jax.block_until_ready(service(warm))
-    print(json.dumps({"ready": True, "batch": batch, "devices": n_dev,
-                      "sharded": sharding is not None,
-                      "device": str(jax.devices()[0])}), flush=True)
+    ready_info = {"ready": True, "batch": batch, "devices": n_dev,
+                  "sharded": sharding is not None,
+                  "device": str(jax.devices()[0])}
+
+    if args.http is not None:
+        return _serve_http(args, service, place, batch, ready_info, size)
+    print(json.dumps(ready_info), flush=True)
 
     if args.input == "-":
         reader = _LineStream(sys.stdin.fileno())
@@ -294,26 +598,10 @@ def main(argv=None) -> int:
                 out = jax.device_get(service(place(x_np)))
                 dev_ms = (time.perf_counter() - t_dev) * 1e3
                 chunk_ms.update((i, dev_ms) for i in chunk)
-                probs = out["probs"]
-                for j, i in enumerate(chunk):
-                    row = probs[j]
-                    order = np.argsort(-row)[:topk]
-                    resp = {
-                        "path": paths[i],
-                        "top1": int(order[0]),
-                        "label": (labels[order[0]] if labels and
-                                  order[0] < len(labels) else str(order[0])),
-                        "prob": float(row[order[0]]),
-                        "topk": [[int(c), float(row[c])] for c in order],
-                    }
-                    if "defended_pred" in out:
-                        resp["defended_top1"] = int(out["defended_pred"][j])
-                    if "score" in out:
-                        score = float(out["score"][j])
-                        resp["detector_score"] = score
-                        if args.detector_threshold is not None:
-                            resp["detector_flag"] = bool(
-                                score > float(args.detector_threshold))
+                built = _chunk_responses(out, [paths[i] for i in chunk],
+                                         topk, labels,
+                                         args.detector_threshold)
+                for i, resp in zip(chunk, built):
                     responses[i] = resp
 
         # honest timing split (VERDICT r2 weak #5 / ADVICE r2): latency_ms
