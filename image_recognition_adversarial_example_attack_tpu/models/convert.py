@@ -81,6 +81,8 @@ def convert_state_dict(
         elif leaf in ("class_token", "pos_embedding", "relative_position_bias_table"):
             # bare parameters: leaf name IS the flax param name, shapes match
             _set_path(out["params"], flax_module + (leaf,), arr)
+        elif leaf == "layer_scale":  # convnext [dim,1,1] -> flax [dim]
+            _set_path(out["params"], flax_module + (leaf,), arr.reshape(-1))
         elif leaf == "relative_position_index":
             continue  # static buffer; recomputed at trace time (swin.py)
         else:
@@ -307,6 +309,35 @@ def mobilenet_rename(path: str) -> str:
     return f"{prefix}/project_conv" if i_seq == "1" else f"{prefix}/project_bn"
 
 
+def convnext_rename(path: str) -> str:
+    """torchvision convnext_tiny keys -> convnext.py module paths.
+
+    features.0.{0,1} -> stem_conv/stem_ln ; features.{1,3,5,7}.J ->
+    stage{K}_J (K = 1..4) with block.{0,2,3,5} -> dwconv/ln/mlp_linear_1/
+    mlp_linear_2 (layer_scale is a bare param on the block itself) ;
+    features.{2,4,6}.{0,1} -> down{D}_{ln,conv} (D = 1..3) ;
+    classifier.{0,2} -> head_ln/classifier.
+    """
+    parts = [p for p in path.split(".") if p]
+    if parts[0] == "classifier":
+        return "head_ln" if parts[1] == "0" else "classifier"
+    assert parts[0] == "features", path
+    n = int(parts[1])
+    if n == 0:
+        return "stem_conv" if parts[2] == "0" else "stem_ln"
+    if n % 2 == 0:  # downsample: 2,4,6 -> down1..3
+        d = n // 2
+        return f"down{d}_ln" if parts[2] == "0" else f"down{d}_conv"
+    stage = (n + 1) // 2  # 1,3,5,7 -> 1..4
+    prefix = f"stage{stage}_{parts[2]}"
+    if len(parts) == 3:  # the block itself (layer_scale param)
+        return prefix
+    assert parts[3] == "block", path
+    sub = {"0": "dwconv", "2": "ln", "3": "mlp_linear_1",
+           "5": "mlp_linear_2"}[parts[4]]
+    return f"{prefix}/{sub}"
+
+
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
     "resnet50_robust": resnet_rename,
@@ -316,6 +347,7 @@ RENAMES: dict[str, Callable[[str], str]] = {
     "densenet121": densenet_rename,
     "efficientnet_b0": efficientnet_rename,
     "mobilenet_v2": mobilenet_rename,
+    "convnext_tiny": convnext_rename,
 }
 
 

@@ -87,6 +87,7 @@ register_lazy("swin_t", ".swin", "swin_t")
 register_lazy("densenet121", ".densenet", "densenet121")
 register_lazy("efficientnet_b0", ".efficientnet", "efficientnet_b0")
 register_lazy("mobilenet_v2", ".mobilenet", "mobilenet_v2")
+register_lazy("convnext_tiny", ".convnext", "convnext_tiny")
 
 
 def list_models() -> list[str]:
