@@ -19,6 +19,7 @@ from .ead import EADResult, ead_attack
 from .eot import (gaussian_noise_transform, make_eot_logits_fn,
                   universal_perturbation)
 from .detector_aware import detector_aware_fgsm, detector_aware_pgd
+from .jsma import jsma_attack
 from .boundary import boundary_attack
 from .simba import dct_basis_image, simba_attack
 from .stadv import (StAdvResult, flow_smoothness, flow_warp, stadv_attack)

@@ -134,6 +134,10 @@ class AttackParams:
     simba_steps: int = 1000
     simba_eps: float = 0.2
     simba_mode: str = "dct"
+    # JSMA L0 budget: max features changed (greedy, one per step) and the
+    # per-feature move magnitude (1.0 = saturate to the [0,1] bound)
+    jsma_steps: int = 100
+    jsma_theta: float = 1.0
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -188,7 +192,11 @@ def run_attack(
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
     | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' | 'stadv' | 'boundary'
-    | 'simba' -> x_adv in [0,1].
+    | 'simba' | 'jsma' -> x_adv in [0,1].
+
+    'jsma' is the L0 greedy saliency attack (budgets jsma_steps/
+    jsma_theta; eps does not apply; targeted via ``y_target``, default
+    target = the clean runner-up class).
 
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
@@ -396,6 +404,14 @@ def run_attack(
             logits_fn, x, y_true,
             steps=params.simba_steps, eps=params.simba_eps,
             mode=params.simba_mode, key=key,
+        )
+    if attack_name == "jsma":
+        from .jsma import jsma_attack
+
+        return jsma_attack(
+            logits_fn, x, y_true,
+            steps=params.jsma_steps, theta=params.jsma_theta,
+            y_target=y_target,
         )
     if attack_name == "stadv":
         from .stadv import stadv_attack

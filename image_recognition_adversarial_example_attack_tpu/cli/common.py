@@ -108,6 +108,12 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
                         default="dct",
                         help="simba basis: low-frequency DCT (paper "
                              "default) or single pixels")
+    parser.add_argument("--jsma_steps", type=int, default=100,
+                        help="jsma L0 budget: max features changed "
+                             "(greedy, one per step)")
+    parser.add_argument("--jsma_theta", type=float, default=1.0,
+                        help="jsma per-feature move (1.0 saturates to "
+                             "the [0,1] bound)")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -133,6 +139,8 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "simba_steps": int(args.simba_steps),
         "simba_eps": float(args.simba_eps),
         "simba_mode": str(args.simba_mode),
+        "jsma_steps": int(args.jsma_steps),
+        "jsma_theta": float(args.jsma_theta),
     }
 
 
@@ -285,6 +293,7 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
     "boundary": frozenset({"boundary_steps", "boundary_spherical_step",
                            "boundary_source_step"}),
     "simba": frozenset({"simba_steps", "simba_eps", "simba_mode"}),
+    "jsma": frozenset({"jsma_steps", "jsma_theta"}),
 }
 _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 
@@ -296,7 +305,7 @@ _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 # would make a resumed/cached cell disagree with a fresh run of a
 # different eps subset.
 EPS_INDEPENDENT_ATTACKS = ("cw", "deepfool", "ead", "stadv", "boundary",
-                           "simba")
+                           "simba", "jsma")
 
 
 def cell_rng_id(attack_name: str, eps: float) -> str:

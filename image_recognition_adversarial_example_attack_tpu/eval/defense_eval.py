@@ -70,6 +70,8 @@ class DefenseEvalConfig:
     simba_steps: int = 1000
     simba_eps: float = 0.2
     simba_mode: str = "dct"
+    jsma_steps: int = 100
+    jsma_theta: float = 1.0
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency; 'mahalanobis' =
     # min class-conditional Mahalanobis distance (both beyond-reference)
@@ -122,6 +124,8 @@ class DefenseEvalConfig:
             simba_steps=self.simba_steps,
             simba_eps=self.simba_eps,
             simba_mode=self.simba_mode,
+            jsma_steps=self.jsma_steps,
+            jsma_theta=self.jsma_theta,
         )
 
 

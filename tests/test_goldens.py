@@ -35,6 +35,7 @@ def _generate():
         fab_targeted_attack,
         fgsm_attack,
         hsja_attack,
+        jsma_attack,
         make_logits_fn,
         mifgsm_attack,
         nes_attack,
@@ -109,6 +110,8 @@ def _generate():
             x_init=pgd_linf_attack(lf, x, y, eps=0.2, alpha=0.05, steps=20,
                                    key=key)),
         "adv_simba": simba_attack(lf, x, y, steps=60, eps=0.3, key=key),
+        # L0 greedy saliency (deterministic: no key consumed)
+        "adv_jsma": jsma_attack(lf, x, y, steps=20, theta=1.0),
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 
