@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--alpha", type=float, default=2 / 255)
     parser.add_argument("--attack_steps", type=int, default=7)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr_schedule", type=str, default="constant",
+                        choices=["constant", "cosine"],
+                        help="cosine: linear warmup to --lr then cosine "
+                             "decay to 0 over the whole run (the standard "
+                             "AT recipe); schedule state lives in the "
+                             "optimizer, so --resume continues it exactly")
+    parser.add_argument("--warmup_steps", type=int, default=0,
+                        help="linear LR warmup steps (both schedules)")
+    parser.add_argument("--eval_attack_steps", type=int, default=0,
+                        help=">0: also report per-epoch ROBUST accuracy "
+                             "(PGD-k at --eps/--alpha) on the held slice")
     parser.add_argument("--weight_decay", type=float, default=1e-4)
     parser.add_argument("--label_smoothing", type=float, default=0.0)
     parser.add_argument("--clean_weight", type=float, default=0.0,
@@ -156,9 +167,20 @@ def main(argv=None) -> int:
           f"{' [streaming]' if args.streaming else ''}")
 
     bundle = load_bundle(args)
+    # total optimizer steps for the cosine schedule — the SAME batch/accum
+    # arithmetic the loop below applies, computed up front because the
+    # optimizer (and thus the TrainState) closes over the schedule
+    batch_plan = min(int(args.batch_size), n)
+    accum_plan = max(1, min(int(args.grad_accum), batch_plan))
+    if batch_plan % accum_plan:
+        batch_plan = (batch_plan // accum_plan) * accum_plan
+    total_steps = max(1, n // batch_plan) * int(args.epochs)
     config = AdvTrainConfig(
         eps=float(args.eps), alpha=float(args.alpha),
         attack_steps=int(args.attack_steps), learning_rate=float(args.lr),
+        lr_schedule=str(args.lr_schedule),
+        warmup_steps=int(args.warmup_steps),
+        total_steps=int(total_steps),
         weight_decay=float(args.weight_decay),
         label_smoothing=float(args.label_smoothing),
         clean_weight=float(args.clean_weight),
@@ -185,6 +207,13 @@ def main(argv=None) -> int:
     eval_step_ema = (jax.jit(make_eval_step(bundle.mean, bundle.std,
                                             use_ema=True))
                      if float(args.ema_decay) > 0.0 else None)
+    robust_eval = None
+    if int(args.eval_attack_steps) > 0:
+        from ..train.adversarial import make_robust_eval_step
+
+        robust_eval = jax.jit(make_robust_eval_step(
+            int(args.eval_attack_steps), float(args.eps), float(args.alpha),
+            bundle.mean, bundle.std, use_ema=float(args.ema_decay) > 0.0))
 
     out = Path(args.out) if args.out else (
         Path("weights") / f"{args.model}_robust.msgpack")
@@ -228,10 +257,20 @@ def main(argv=None) -> int:
             ev_ema = eval_step_ema(state, jnp.asarray(eval_x),
                                    jnp.asarray(eval_y))
             ema_note = f" ema_clean_acc={float(ev_ema['clean_accuracy']):.3f}"
+        robust_note = ""
+        if robust_eval is not None:
+            # per-epoch key: robust accuracy is comparable across epochs
+            # AND across interrupted/resumed runs (epoch-indexed, like the
+            # training schedule)
+            rv = robust_eval(state, jnp.asarray(eval_x), jnp.asarray(eval_y),
+                             jax.random.fold_in(key0, 10_000_019 + epoch))
+            robust_note = (f" robust_acc@pgd{int(args.eval_attack_steps)}="
+                           f"{float(rv['robust_accuracy']):.3f}")
         print(f"epoch {epoch + 1}/{args.epochs}: "
               f"loss={float(metrics['loss']):.4f} "
               f"adv_acc={float(metrics['adv_accuracy']):.3f} "
-              f"clean_acc={float(ev['clean_accuracy']):.3f}{ema_note} "
+              f"clean_acc={float(ev['clean_accuracy']):.3f}{ema_note}"
+              f"{robust_note} "
               f"({steps_per_epoch * batch / dt:.1f} ex/s)")
         if args.save_every and (epoch + 1) % int(args.save_every) == 0:
             save_train_checkpoint(state, ckpt_path, epoch)

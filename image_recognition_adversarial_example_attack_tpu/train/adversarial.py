@@ -71,6 +71,14 @@ class AdvTrainConfig:
     # activations) — how ImageNet-scale effective batches fit one chip.
     grad_accum: int = 1
     remat: bool = False
+    # Learning-rate schedule: 'constant' (reference-free default) or
+    # 'cosine' (linear warmup over warmup_steps to learning_rate, cosine
+    # decay to zero over total_steps — the standard AT recipe).  The
+    # schedule rides optax's update count inside opt_state, so checkpoint
+    # resume continues it exactly.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0           # required (>0) for 'cosine'
     # >0: maintain an exponential moving average of the parameters
     # (theta_ema <- d*theta_ema + (1-d)*theta after every optimizer step,
     # initialized AT the initial parameters so no bias correction is
@@ -93,8 +101,30 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None         # EMA shadow (None = EMA disabled)
 
 
+def make_lr_schedule(config: AdvTrainConfig):
+    """The scalar-or-schedule optax consumes.
+
+    Plain constant stays a FLOAT (not optax.constant_schedule): a float
+    keeps adamw's opt_state tree schedule-free, so checkpoints written
+    before schedules existed keep loading."""
+    if config.lr_schedule == "constant":
+        if config.warmup_steps > 0:
+            return optax.linear_schedule(0.0, config.learning_rate,
+                                         config.warmup_steps)
+        return config.learning_rate
+    if config.lr_schedule == "cosine":
+        if config.total_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs total_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=config.learning_rate,
+            warmup_steps=max(0, int(config.warmup_steps)),
+            decay_steps=int(config.total_steps))
+    raise ValueError(f"unknown lr_schedule '{config.lr_schedule}'")
+
+
 def _make_optimizer(config: AdvTrainConfig) -> optax.GradientTransformation:
-    return optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    return optax.adamw(make_lr_schedule(config),
+                       weight_decay=config.weight_decay)
 
 
 def train_state_from_bundle(bundle, config: AdvTrainConfig) -> TrainState:
@@ -494,6 +524,30 @@ def deploy_params(state: TrainState):
     """The parameters to SHIP: the EMA shadow when maintained, else the
     raw trained parameters."""
     return state.params if state.ema_params is None else state.ema_params
+
+
+def make_robust_eval_step(attack_steps: int, eps: float, alpha: float,
+                          mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                          use_ema: bool = False):
+    """(state, x01, y, key) -> {robust_accuracy}: PGD-``attack_steps``
+    accuracy on the CURRENT (or EMA) parameters, one jitted program —
+    the per-epoch robust validation line standard AT training reports
+    (the reference consumes robust checkpoints but never measures one)."""
+
+    def step(state: TrainState, x01, y, key):
+        params = deploy_params(state) if use_ema else state.params
+
+        def logits_fn(xx):
+            variables = {"params": params, **state.extra_variables}
+            out = state.apply_fn(variables, normalize_batch(xx, mean, std))
+            return out.astype(jnp.float32)
+
+        x_adv = pgd_linf_attack(logits_fn, x01, y, eps=eps, alpha=alpha,
+                                steps=int(attack_steps), key=key)
+        pred = jnp.argmax(logits_fn(x_adv), -1)
+        return {"robust_accuracy": jnp.mean(pred == y)}
+
+    return step
 
 
 def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD,

@@ -633,3 +633,112 @@ class TestEMA:
                 np.asarray(a), np.asarray(b)),
             (state_a.params, state_a.ema_params),
             (state_c.params, state_c.ema_params))
+
+
+class TestLRSchedule:
+    def _setup(self, **cfg_kw):
+        from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+            make_tiny,
+        )
+
+        model, variables = make_tiny(seed=5, image_size=16, num_classes=2)
+        config = AdvTrainConfig(attack_steps=1, learning_rate=5e-3, **cfg_kw)
+        state = train_state_from_bundle(_Bundle(model, variables), config)
+        step = jax.jit(make_train_step(config))
+        x, y = _toy_data(n=8, seed=5)
+        return state, step, x, y, config
+
+    def test_schedule_values(self):
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            make_lr_schedule,
+        )
+
+        cfg = AdvTrainConfig(learning_rate=1e-2, lr_schedule="cosine",
+                             warmup_steps=4, total_steps=20)
+        sched = make_lr_schedule(cfg)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(4)) - 1e-2) < 1e-9   # warmup peak
+        assert float(sched(20)) < 1e-4              # decayed to ~0
+        # monotone decay after warmup
+        vals = [float(sched(s)) for s in range(4, 21)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        # plain constant stays a float (old opt_state trees keep loading)
+        assert isinstance(
+            make_lr_schedule(AdvTrainConfig(learning_rate=1e-2)), float)
+
+    def test_cosine_requires_total_steps(self):
+        with pytest.raises(ValueError, match="total_steps"):
+            self._setup(lr_schedule="cosine", total_steps=0)
+
+    def test_cosine_trains_and_resumes_exactly(self, tmp_path):
+        """Schedule state rides opt_state: 2 steps + resume + 2 steps ==
+        4 uninterrupted steps, bitwise."""
+        from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        kw = dict(lr_schedule="cosine", warmup_steps=1, total_steps=4)
+        key = jax.random.PRNGKey(13)
+
+        state_a, step, x, y, _ = self._setup(**kw)
+        for i in range(4):
+            state_a, _ = step(state_a, x, y, jax.random.fold_in(key, i))
+
+        state_b, step_b, _, _, _ = self._setup(**kw)
+        for i in range(2):
+            state_b, _ = step_b(state_b, x, y, jax.random.fold_in(key, i))
+        path = tmp_path / "sched.ckpt"
+        save_train_checkpoint(state_b, path, epoch=0)
+        fresh, step_c, _, _, _ = self._setup(**kw)
+        state_c, _ = load_train_checkpoint(fresh, path)
+        for i in range(2, 4):
+            state_c, _ = step_c(state_c, x, y, jax.random.fold_in(key, i))
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            state_a.params, state_c.params)
+
+    def test_warmup_first_step_smaller_than_constant(self):
+        """With warmup the first update must move parameters less than the
+        constant-LR first update (LR starts at ~0)."""
+        state_w, step_w, x, y, _ = self._setup(warmup_steps=10)
+        state_c, step_c, _, _, _ = self._setup()
+        key = jax.random.PRNGKey(14)
+        new_w, _ = step_w(state_w, x, y, key)
+        new_c, _ = step_c(state_c, x, y, key)
+
+        def total_move(old, new):
+            return sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+                jax.tree.leaves(old.params), jax.tree.leaves(new.params)))
+
+        assert total_move(state_w, new_w) < total_move(state_c, new_c)
+
+
+def test_robust_eval_step():
+    """PGD-k robust accuracy on the current params: bounded, jit-able,
+    and <= clean accuracy on a trained model."""
+    from image_recognition_adversarial_example_attack_tpu.models.tiny import (
+        make_tiny,
+    )
+    from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
+        make_robust_eval_step,
+    )
+
+    model, variables = make_tiny(seed=6, image_size=16, num_classes=2)
+    config = AdvTrainConfig(attack_steps=2, learning_rate=5e-3)
+    state = train_state_from_bundle(_Bundle(model, variables), config)
+    step = jax.jit(make_train_step(config))
+    x, y = _toy_data(n=16, seed=6)
+    key = jax.random.PRNGKey(15)
+    for i in range(20):
+        state, _ = step(state, x, y, jax.random.fold_in(key, i))
+
+    ev = jax.jit(make_eval_step())(state, x, y)
+    rv = jax.jit(make_robust_eval_step(5, 8 / 255, 2 / 255))(
+        state, x, y, jax.random.PRNGKey(16))
+    clean = float(ev["clean_accuracy"])
+    robust = float(rv["robust_accuracy"])
+    assert 0.0 <= robust <= 1.0
+    assert robust <= clean + 1e-6  # an eps-ball adversary never helps
