@@ -171,6 +171,12 @@ class _BatchWorker:
         self._max_wait_s = max_wait_s
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # observability counters (GET /metrics); dict writes are
+        # GIL-atomic and only the worker thread mutates the batch/device
+        # entries, only handler threads the error entry
+        self.stats = {"images_total": 0, "batches_total": 0,
+                      "device_ms_sum": 0.0, "errors_total": 0,
+                      "decode_errors_total": 0}
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -235,12 +241,16 @@ class _BatchWorker:
             try:
                 out = jax.device_get(self._service(self._place(x_np)))
             except Exception as e:  # noqa: BLE001 — per-batch isolation
+                self.stats["errors_total"] += len(items)
                 for it in items:
                     it["resp"] = {"path": it["name"],
                                   "error": f"{type(e).__name__}: {e}"}
                     it["event"].set()
                 continue
             dev_ms = (time.perf_counter() - t_dev) * 1e3
+            self.stats["batches_total"] += 1
+            self.stats["images_total"] += len(items)
+            self.stats["device_ms_sum"] += dev_ms
             built = _chunk_responses(out, [it["name"] for it in items],
                                      self._topk, self._labels,
                                      self._threshold)
@@ -257,6 +267,10 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
     """HTTP front-end over the batch worker (stdlib only, threaded).
 
         GET  /healthz              -> the ready line as JSON
+        GET  /metrics              -> Prometheus text exposition
+            (serve_images_total, serve_batches_total,
+             serve_device_ms_sum, serve_errors_total,
+             serve_decode_errors_total, serve_batch_capacity)
         POST /classify             -> {"results": [response, ...]}
             body: {"path": p} | {"paths": [...]} |
                   {"image_b64": b} | {"images_b64": [...]}
@@ -305,6 +319,30 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path in ("/healthz", "/health", "/"):
                 self._send(200, ready_info)
+            elif self.path == "/metrics":
+                s = worker.stats
+                lines = [
+                    "# TYPE serve_images_total counter",
+                    f"serve_images_total {s['images_total']}",
+                    "# TYPE serve_batches_total counter",
+                    f"serve_batches_total {s['batches_total']}",
+                    "# TYPE serve_device_ms_sum counter",
+                    f"serve_device_ms_sum {s['device_ms_sum']:.3f}",
+                    "# TYPE serve_errors_total counter",
+                    f"serve_errors_total {s['errors_total']}",
+                    "# TYPE serve_decode_errors_total counter",
+                    f"serve_decode_errors_total {s['decode_errors_total']}",
+                    "# TYPE serve_batch_capacity gauge",
+                    f"serve_batch_capacity {ready_info.get('batch', 0)}",
+                    "",
+                ]
+                body = "\n".join(lines).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -340,6 +378,8 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
             for entry in entries:
                 t0 = time.perf_counter()
                 img, name, err = decode_entry(entry)
+                if err is not None:
+                    worker.stats["decode_errors_total"] += 1
                 decoded.append((img, name, err,
                                 (time.perf_counter() - t0) * 1e3))
             tickets = [

@@ -150,3 +150,25 @@ def test_serve_cli_http_end_to_end(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
+
+
+def test_metrics_endpoint(http_server, tmp_path):
+    """GET /metrics: Prometheus text counters advance with traffic."""
+    def scrape():
+        with urllib.request.urlopen(http_server + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        return {ln.split()[0]: float(ln.split()[1])
+                for ln in text.splitlines()
+                if ln and not ln.startswith("#")}
+
+    before = scrape()
+    p = _img_file(tmp_path, "metrics.png", 42)
+    _post(http_server, {"paths": [str(p), str(tmp_path / "nope.png")]})
+    after = scrape()
+    assert after["serve_images_total"] == before["serve_images_total"] + 1
+    assert after["serve_batches_total"] >= before["serve_batches_total"] + 1
+    assert (after["serve_decode_errors_total"]
+            == before["serve_decode_errors_total"] + 1)
+    assert after["serve_device_ms_sum"] > before["serve_device_ms_sum"]
+    assert after["serve_batch_capacity"] == 4
