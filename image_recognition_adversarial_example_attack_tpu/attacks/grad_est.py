@@ -93,6 +93,7 @@ def _grad_est_attack(
     c: float,
     sampler: str,
     y_target: jnp.ndarray | None,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     x_orig = x
     y_grad = y_true if y_target is None else y_target
@@ -104,9 +105,17 @@ def _grad_est_attack(
         )
         x_new = x_adv + alpha * direction * jnp.sign(g).astype(x_adv.dtype)
         x_new = jnp.clip(x_new, x_orig - eps, x_orig + eps)
-        return jnp.clip(x_new, 0.0, 1.0), None
+        x_new = jnp.clip(x_new, 0.0, 1.0)
+        if not return_history:
+            return x_new, None
+        # +1 forward per step, only when curves are requested (untargeted
+        # success convention; the estimator itself never needs this)
+        succ = jnp.argmax(logits_fn(x_new), -1) != y_true
+        return x_new, succ
 
-    x_adv, _ = lax.scan(body, x, jax.random.split(key, int(steps)))
+    x_adv, succ_hist = lax.scan(body, x, jax.random.split(key, int(steps)))
+    if return_history:
+        return x_adv, succ_hist
     return x_adv
 
 
@@ -122,15 +131,19 @@ def nes_attack(
     n_samples: int = 32,
     sigma: float = 1e-3,
     y_target: jnp.ndarray | None = None,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """NES black-box attack: [B,H,W,C] in [0,1] -> adversarial batch.
 
     ``n_samples`` antithetic Gaussian probe pairs per step (2*n_samples
     forward queries), smoothing radius ``sigma`` in [0,1] pixel units.
+    With ``return_history`` also returns the per-step success mask
+    [steps, B] (one extra forward per step) for query-efficiency curves.
     """
     return _grad_est_attack(
         logits_fn, x, y_true, eps=eps, alpha=alpha, steps=steps, key=key,
         n_samples=n_samples, c=sigma, sampler="gaussian", y_target=y_target,
+        return_history=return_history,
     )
 
 
@@ -146,6 +159,7 @@ def spsa_attack(
     n_samples: int = 32,
     delta: float = 1e-2,
     y_target: jnp.ndarray | None = None,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """SPSA black-box attack: Rademacher probes, perturbation size ``delta``.
 
@@ -155,4 +169,5 @@ def spsa_attack(
     return _grad_est_attack(
         logits_fn, x, y_true, eps=eps, alpha=alpha, steps=steps, key=key,
         n_samples=n_samples, c=delta, sampler="rademacher", y_target=y_target,
+        return_history=return_history,
     )

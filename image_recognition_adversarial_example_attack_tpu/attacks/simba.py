@@ -65,6 +65,7 @@ def simba_attack(
     mode: str = "dct",
     freq_frac: float = 0.125,
     key: jax.Array,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """[B,H,W,C] in [0,1] -> adversarial batch in [0,1].
 
@@ -127,9 +128,12 @@ def simba_attack(
         x_adv = jnp.where(sel_p, cand_p, jnp.where(sel_m, cand_m, x_adv))
         py = jnp.where(take_p, py_p, jnp.where(take_m, py_m, py))
         done = done | (take_p & (pred_p != y_true)) | (take_m & (pred_m != y_true))
-        return (x_adv, py, done), None
+        return (x_adv, py, done), done
 
     done0 = pred0 != y_true  # already misclassified: spend no queries
-    (x_adv, _, _), _ = lax.scan(
+    (x_adv, _, _), succ_hist = lax.scan(
         step, (x0, py0, done0), jax.random.split(key, int(steps)))
+    if return_history:
+        # per-step success mask [steps, B] for query-efficiency curves
+        return x_adv, succ_hist
     return x_adv

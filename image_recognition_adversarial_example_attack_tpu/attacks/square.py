@@ -62,12 +62,16 @@ def square_attack(
     steps: int = 1000,
     key: jax.Array,
     p_init: float = 0.1,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """[B,H,W,C] in [0,1] -> adversarial batch in [0,1], gradient-free.
 
     Minimizes the margin loss by random square search inside the L-inf
     eps-ball; returns the best iterate found (misclassified where the
-    margin went negative).
+    margin went negative).  With ``return_history`` also returns the
+    per-step success mask [steps, B] (margin < 0 after that step's
+    query) — the query-efficiency curve's raw material, stacked by the
+    scan at zero extra forwards.
     """
     b, h, w, c = x.shape
     x_orig = x
@@ -106,9 +110,12 @@ def square_attack(
         accept = loss_cand < loss_best
         x_best = jnp.where(accept[:, None, None, None], cand, x_best)
         loss_best = jnp.minimum(loss_best, loss_cand)
-        return (x_best, loss_best, key), None
+        return (x_best, loss_best, key), loss_best < 0.0
 
-    (x_best, _, _), _ = lax.scan(body, (x_best, loss_best, key), sides)
+    (x_best, _, _), succ_hist = lax.scan(
+        body, (x_best, loss_best, key), sides)
+    if return_history:
+        return x_best, succ_hist
     return x_best
 
 
@@ -140,6 +147,7 @@ def square_l2_attack(
     steps: int = 1000,
     key: jax.Array,
     p_init: float = 0.1,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """Square Attack, L2 threat model — gradient-free random search that
     REDISTRIBUTES a fixed L2 mass between square windows (Andriushchenko
@@ -229,8 +237,10 @@ def square_l2_attack(
         accept = loss_cand < loss_best
         delta = jnp.where(accept[:, None, None, None], cand_delta, delta)
         loss_best = jnp.minimum(loss_best, loss_cand)
-        return (delta, loss_best, key), None
+        return (delta, loss_best, key), loss_best < 0.0
 
-    (delta, _, _), _ = lax.scan(body, (delta, loss_best, key),
-                                jnp.asarray(sides))
+    (delta, _, _), succ_hist = lax.scan(body, (delta, loss_best, key),
+                                        jnp.asarray(sides))
+    if return_history:
+        return clip01(x_orig + delta), succ_hist
     return clip01(x_orig + delta)
