@@ -3,7 +3,8 @@
 from .api import (AttackParams, make_ensemble_logits_fn, make_logits_fn,
                   run_attack)
 from .fgsm import fgsm_attack
-from .pgd import pgd_l2_attack, pgd_linf_attack, pgd_multi_restart
+from .pgd import (pgd_l1_attack, pgd_l2_attack, pgd_linf_attack,
+                  pgd_multi_restart, project_l1_ball)
 from .cw import CWResult, cw_l2_attack
 from .mifgsm import mifgsm_attack
 from .dim import dim_attack, diverse_input

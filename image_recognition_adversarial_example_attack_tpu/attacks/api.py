@@ -138,6 +138,8 @@ class AttackParams:
     # per-feature move magnitude (1.0 = saturate to the [0,1] bound)
     jsma_steps: int = 100
     jsma_theta: float = 1.0
+    # SLIDE (pgd_l1) top-|grad| coordinate fraction per step
+    l1_sparsity: float = 0.01
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -189,7 +191,7 @@ def run_attack(
     key: jax.Array | None = None,
     y_target: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'cw' | 'mifgsm' | 'dim'
+    """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'pgd_l1' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
     | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' | 'stadv' | 'boundary'
     | 'simba' | 'jsma' -> x_adv in [0,1].
@@ -351,6 +353,17 @@ def run_attack(
         return hsja_attack(
             logits_fn, x, y_true,
             steps=params.hsja_steps, n_probes=params.hsja_probes, key=key,
+        )
+    if attack_name == "pgd_l1":
+        from .pgd import pgd_l1_attack
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return pgd_l1_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.steps,
+            key=key, sparsity=params.l1_sparsity,
+            random_start=params.random_start, y_target=y_target,
         )
     if attack_name in ("pgd", "pgd_l2"):
         if key is None:

@@ -113,6 +113,83 @@ def pgd_l2_attack(
     return x_adv
 
 
+def project_l1_ball(delta: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Euclidean projection of each sample's delta onto the L1 ball of
+    radius ``eps`` (Duchi et al., ICML 2008: soft-threshold at the theta
+    found from the sorted-cumsum condition).  [B,...] -> [B,...]."""
+    b = delta.shape[0]
+    flat = delta.reshape(b, -1)
+    n = flat.shape[1]
+    a = jnp.abs(flat)
+    inside = jnp.sum(a, axis=-1) <= eps
+    mu = jnp.sort(a, axis=-1)[:, ::-1]                  # descending
+    cum = jnp.cumsum(mu, axis=-1)
+    ar = jnp.arange(1, n + 1, dtype=flat.dtype)
+    rho = jnp.sum((mu * ar > cum - eps).astype(jnp.int32), axis=-1)  # >=1
+    theta = (jnp.take_along_axis(cum, (rho - 1)[:, None], -1)[:, 0]
+             - eps) / rho.astype(flat.dtype)
+    proj = jnp.sign(flat) * jnp.maximum(a - theta[:, None], 0.0)
+    out = jnp.where(inside[:, None], flat, proj)
+    return out.reshape(delta.shape)
+
+
+def pgd_l1_attack(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    y_true: jnp.ndarray,
+    *,
+    eps: float,
+    alpha: float,
+    steps: int,
+    key: jax.Array,
+    sparsity: float = 0.01,
+    random_start: bool = True,
+    y_target: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PGD in the L1 ball — the SLIDE attack (Tramèr & Boneh, NeurIPS
+    2019), completing the zoo's Lp-ball family (L0 budget: jsma; L1
+    ball: here; L2/L∞ balls: pgd_l2/pgd).
+
+    Steps move along the k-SPARSE steepest-descent direction for the L1
+    geometry: sign(g) on the top ``sparsity`` fraction of |g| coordinates,
+    normalized to unit L1 norm so ``alpha`` is an L1 step length; iterates
+    project back onto the eps-radius L1 ball (Duchi) and clip to [0,1]
+    (the clip never grows |delta|, so the ball survives it).  Note the
+    scale: L1 radii are O(10), not O(8/255) — at 224² an L1 budget of 12
+    averages under 4e-4 per pixel.
+    """
+    x_orig = x
+    b = x.shape[0]
+    n = x[0].size
+
+    if random_start:
+        noise = jax.random.uniform(key, x.shape, x.dtype, minval=-1.0,
+                                   maxval=1.0)
+        scale = jax.random.uniform(jax.random.fold_in(key, 1),
+                                   (b, 1, 1, 1), x.dtype)
+        delta0 = project_l1_ball(noise, eps) * scale
+        x_adv = jnp.clip(x_orig + delta0, 0.0, 1.0)
+    else:
+        x_adv = x_orig
+
+    y_grad = y_true if y_target is None else y_target
+    direction = 1.0 if y_target is None else -1.0
+    k = max(1, int(round(sparsity * n)))
+
+    def body(x_adv, _):
+        g = input_grad(logits_fn, x_adv, y_grad)
+        gf = jnp.abs(g.reshape(b, -1))
+        thr = jnp.sort(gf, axis=-1)[:, n - k][:, None]  # k-th largest
+        e = jnp.sign(g.reshape(b, -1)) * (gf >= thr)
+        e = e / jnp.maximum(jnp.sum(jnp.abs(e), -1, keepdims=True), 1.0)
+        x_new = x_adv + alpha * direction * e.reshape(x.shape).astype(x.dtype)
+        x_new = x_orig + project_l1_ball(x_new - x_orig, eps)
+        return jnp.clip(x_new, 0.0, 1.0), None
+
+    x_adv, _ = lax.scan(body, x_adv, None, length=int(steps))
+    return x_adv
+
+
 def pgd_multi_restart(
     logits_fn: LogitsFn,
     x: jnp.ndarray,

@@ -114,6 +114,9 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--jsma_theta", type=float, default=1.0,
                         help="jsma per-feature move (1.0 saturates to "
                              "the [0,1] bound)")
+    parser.add_argument("--l1_sparsity", type=float, default=0.01,
+                        help="pgd_l1 (SLIDE) top-|grad| coordinate "
+                             "fraction per step")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -141,6 +144,7 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "simba_mode": str(args.simba_mode),
         "jsma_steps": int(args.jsma_steps),
         "jsma_theta": float(args.jsma_theta),
+        "l1_sparsity": float(args.l1_sparsity),
     }
 
 
@@ -294,6 +298,7 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
                            "boundary_source_step"}),
     "simba": frozenset({"simba_steps", "simba_eps", "simba_mode"}),
     "jsma": frozenset({"jsma_steps", "jsma_theta"}),
+    "pgd_l1": frozenset({"steps", "alpha", "l1_sparsity"}),
 }
 _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 

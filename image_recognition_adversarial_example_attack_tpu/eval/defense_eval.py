@@ -72,6 +72,7 @@ class DefenseEvalConfig:
     simba_mode: str = "dct"
     jsma_steps: int = 100
     jsma_theta: float = 1.0
+    l1_sparsity: float = 0.01
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency; 'mahalanobis' =
     # min class-conditional Mahalanobis distance (both beyond-reference)
@@ -126,6 +127,7 @@ class DefenseEvalConfig:
             simba_mode=self.simba_mode,
             jsma_steps=self.jsma_steps,
             jsma_theta=self.jsma_theta,
+            l1_sparsity=self.l1_sparsity,
         )
 
 

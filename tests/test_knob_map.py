@@ -40,7 +40,7 @@ BASE = AttackParams(
     stadv_steps=2, stadv_lr=0.01, stadv_tau=0.05,
     boundary_steps=2, boundary_spherical_step=0.01, boundary_source_step=0.01,
     simba_steps=2, simba_eps=0.2, simba_mode="dct",
-    jsma_steps=2, jsma_theta=1.0,
+    jsma_steps=2, jsma_theta=1.0, l1_sparsity=0.01,
 )
 
 # one valid perturbed value per CLI knob (ints stay in-range for N_CLASSES)
@@ -57,7 +57,7 @@ PERTURB = {
     "boundary_steps": 3, "boundary_spherical_step": 0.02,
     "boundary_source_step": 0.02,
     "simba_steps": 3, "simba_eps": 0.3, "simba_mode": "pixel",
-    "jsma_steps": 3, "jsma_theta": 0.5,
+    "jsma_steps": 3, "jsma_theta": 0.5, "l1_sparsity": 0.02,
 }
 
 
