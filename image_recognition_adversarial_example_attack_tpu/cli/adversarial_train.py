@@ -37,7 +37,8 @@ from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
                                  make_train_step, make_trades_step,
                                  save_train_checkpoint,
                                  train_state_from_bundle)
-from .common import add_model_args, load_bundle, maybe_profile, positive_int
+from .common import (add_model_args, load_bundle, maybe_profile,
+                     model_input_size, positive_int)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -132,9 +133,9 @@ def _list_dataset(data_dir: Path):
     return paths, labels, classes
 
 
-def _load_dataset(data_dir: Path):
+def _load_dataset(data_dir: Path, size: int):
     paths, labels, classes = _list_dataset(data_dir)
-    x, kept = load_image_batch_tolerant(paths)
+    x, kept = load_image_batch_tolerant(paths, size=size)
     kept_set = {str(p) for p in kept}
     y = np.asarray([l for p, l in zip(paths, labels) if str(p) in kept_set],
                    np.int32)
@@ -146,20 +147,22 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     data_dir = Path(args.data_dir)
+    size = model_input_size(args)
     if args.streaming:
         ds_paths, ds_labels, classes = _list_dataset(data_dir)
         x_np = y_np = None
         n = len(ds_paths)
         # fixed held-slice for the epoch metric (decoded once, bounded RAM)
         # so streaming logs stay comparable to in-RAM runs
-        eval_x, eval_kept = load_image_batch_tolerant(ds_paths[: min(256, n)])
+        eval_x, eval_kept = load_image_batch_tolerant(ds_paths[: min(256, n)],
+                                                      size=size)
         kept_set = {str(Path(p)) for p in eval_kept}
         eval_y = np.asarray(
             [l for p, l in zip(ds_paths[: min(256, n)],
                                ds_labels[: min(256, n)])
              if str(Path(p)) in kept_set], np.int32)
     else:
-        x_np, y_np, classes = _load_dataset(data_dir)
+        x_np, y_np, classes = _load_dataset(data_dir, size)
         n = len(y_np)
         eval_x, eval_y = x_np[: min(256, n)], y_np[: min(256, n)]
     print(f"Dataset: {n} images, {len(classes)} classes {classes[:8]}"
@@ -167,6 +170,15 @@ def main(argv=None) -> int:
           f"{' [streaming]' if args.streaming else ''}")
 
     bundle = load_bundle(args)
+    # fail fast if the dataset has more classes than the model head (the
+    # WRN/CIFAR family has a 10-way head, the ImageNet families 1000)
+    n_out = jax.eval_shape(
+        bundle.module.apply, bundle.variables,
+        jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)).shape[-1]
+    if len(classes) > n_out:
+        raise SystemExit(
+            f"dataset has {len(classes)} classes but --model {args.model} "
+            f"outputs {n_out}")
     # total optimizer steps for the cosine schedule — the SAME batch/accum
     # arithmetic the loop below applies, computed up front because the
     # optimizer (and thus the TrainState) closes over the schedule
@@ -284,7 +296,7 @@ def main(argv=None) -> int:
             pipe = BatchPipeline(ds_paths, ds_labels, batch,
                                  epochs=int(args.epochs),
                                  start_epoch=start_epoch,
-                                 seed=int(args.seed))
+                                 seed=int(args.seed), size=size)
             cur_epoch, ek = None, None
             t0 = time.perf_counter()
             metrics = {}

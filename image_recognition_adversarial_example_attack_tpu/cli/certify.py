@@ -28,7 +28,7 @@ from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
-from .common import (add_model_args, load_bundle, make_fns, maybe_profile,
+from .common import (add_model_args, model_input_size, load_bundle, make_fns, maybe_profile,
                      resolve_image_inputs, resolve_labels)
 
 
@@ -72,7 +72,8 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
-    x_np, kept = load_image_batch_tolerant(paths)
+    x_np, kept = load_image_batch_tolerant(
+        paths, size=model_input_size(args))
     if not kept:
         raise SystemExit("no loadable images")
 

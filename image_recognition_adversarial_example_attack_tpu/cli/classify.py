@@ -82,7 +82,7 @@ def main(argv=None) -> int:
 
     # tolerant load: unreadable files are skipped with a warning instead of
     # aborting a directory run (the reference crashes mid-directory)
-    x_np, paths = load_image_batch_tolerant(paths)
+    x_np, paths = load_image_batch_tolerant(paths, size=bundle.input_size)
     x = jnp.asarray(x_np)
 
     # one probs program reused for clean AND adversarial batches — a second

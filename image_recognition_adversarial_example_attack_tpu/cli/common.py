@@ -176,6 +176,15 @@ def load_bundle(args: argparse.Namespace, name: str | None = None):
                       int8=bool(getattr(args, "int8", False)))
 
 
+def model_input_size(args: argparse.Namespace) -> int:
+    """The --model's native input size (224 ImageNet / 32 CIFAR family)
+    WITHOUT building the model — for CLIs that decode images before the
+    bundle exists."""
+    from ..models.zoo import model_meta
+
+    return int(model_meta(getattr(args, "model", "resnet50"))["input_size"])
+
+
 def make_fns(bundle):
     """(logits_fn, features_fn) for a bundle, with bf16 input cast when the
     module computes in bf16."""

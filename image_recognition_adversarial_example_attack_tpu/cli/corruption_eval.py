@@ -122,7 +122,7 @@ def main(argv=None) -> int:
         clean_correct = np.concatenate(clean_rows)
         x = y = None
     else:
-        x_np, kept = load_image_batch_tolerant(paths)
+        x_np, kept = load_image_batch_tolerant(paths, size=bundle.input_size)
         if not kept:
             raise SystemExit("no loadable images")
         x = jnp.asarray(x_np)

@@ -265,7 +265,7 @@ def main(argv=None) -> int:
             print(f"Mesh: {dict(engine.mesh.shape)} "
                   f"(chunks of {chunk} sharded over 'data')")
     else:
-        x_np, image_paths = load_image_batch_tolerant(image_paths)
+        x_np, image_paths = load_image_batch_tolerant(image_paths, size=bundle.input_size)
         batch = engine.batch_from_array(x_np, paths=list(image_paths))
         x = batch.x
         n = batch.n_valid
@@ -286,7 +286,8 @@ def main(argv=None) -> int:
         calib_paths = [p for p in list_images(calib_dir) if p.suffix.lower() != ".bmp"]
         if not calib_paths:
             raise SystemExit(f"no images found in calibrate_dir: {calib_dir}")
-        x_calib_np, _ = load_image_batch_tolerant(calib_paths[: args.calibrate_n])
+        x_calib_np, _ = load_image_batch_tolerant(calib_paths[: args.calibrate_n],
+                                                  size=bundle.input_size)
         x_calib = jnp.asarray(x_calib_np)
         detector_threshold, detector_params = _calibrate(
             args, logits_fn, features_fn, x_calib, args.calibrate_n,
@@ -303,7 +304,8 @@ def main(argv=None) -> int:
             # caps calibration at calibrate_n=100 anyway, :288-345) — the
             # only slice the streaming path ever holds resident
             head = min(100, len(image_paths))
-            x_head_np, _ = load_image_batch_tolerant(image_paths[:head])
+            x_head_np, _ = load_image_batch_tolerant(image_paths[:head],
+                                                     size=bundle.input_size)
             x_cal, n_cal = jnp.asarray(x_head_np), x_head_np.shape[0]
         else:
             x_cal, n_cal = x[:n], min(100, n)
@@ -459,6 +461,7 @@ def main(argv=None) -> int:
                         stats = stream_defense_cell(
                             fn, image_paths, detector_threshold, sub,
                             jnp.float32(eps), chunk_size=chunk,
+                            size=bundle.input_size,
                             pseudo_label_fn=pseudo_fn, labels=labels_np,
                             place=place,
                         )
@@ -499,7 +502,8 @@ def main(argv=None) -> int:
         n_viz = min(int(args.viz_samples), n)
         if streaming:
             # resident slice of just the visualized samples
-            x_viz_np, _ = load_image_batch_tolerant(image_paths[:n_viz])
+            x_viz_np, _ = load_image_batch_tolerant(image_paths[:n_viz],
+                                                    size=bundle.input_size)
             x_viz = jnp.asarray(x_viz_np)
             y_viz = pseudo_fn(x_viz)
         else:

@@ -85,7 +85,7 @@ def main(argv=None) -> int:
 
     from ..core.images import load_image_batch_tolerant
 
-    x_np, image_paths = load_image_batch_tolerant(image_paths)
+    x_np, image_paths = load_image_batch_tolerant(image_paths, size=bundle.input_size)
     x = jnp.asarray(x_np)
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
     y = pseudo_fn(x)

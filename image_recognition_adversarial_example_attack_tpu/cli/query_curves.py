@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
 
-    x_np, kept = load_image_batch_tolerant(paths)
+    x_np, kept = load_image_batch_tolerant(paths, size=bundle.input_size)
     if not kept:
         raise SystemExit("no loadable images")
     x = jnp.asarray(x_np)

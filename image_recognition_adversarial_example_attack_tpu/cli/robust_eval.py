@@ -121,7 +121,7 @@ def main(argv=None) -> int:
         print(f"Streaming evaluation: {len(paths)} images in fixed chunks "
               f"of {max_batch} (constant memory)")
     else:
-        x_np, kept = load_image_batch_tolerant(paths)
+        x_np, kept = load_image_batch_tolerant(paths, size=bundle.input_size)
         if not kept:
             raise SystemExit("no loadable images")
         x = jnp.asarray(x_np)

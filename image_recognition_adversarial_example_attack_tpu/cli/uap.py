@@ -31,7 +31,7 @@ from ..attacks.patch import apply_patch, patch_attack, patch_success_rate
 from ..attacks.uap import apply_uap, uap_attack, uap_fooling_rate
 from ..core.images import load_image_batch_tolerant, save_image_01
 from ..core.rng import key_from_seed
-from .common import (add_model_args, check_label_range, load_bundle,
+from .common import (add_model_args, model_input_size, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
                      resolve_image_inputs, resolve_labels)
 
@@ -82,7 +82,8 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
-    x_np, kept = load_image_batch_tolerant(paths)
+    x_np, kept = load_image_batch_tolerant(
+        paths, size=model_input_size(args))
     if not kept:
         raise SystemExit("no loadable images")
 

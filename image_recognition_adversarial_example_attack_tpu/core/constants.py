@@ -13,6 +13,10 @@ import numpy as np
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
+# CIFAR-10 channel statistics (the WRN small-image family, models/wideresnet.py).
+CIFAR10_MEAN = np.array([0.4914, 0.4822, 0.4465], dtype=np.float32)
+CIFAR10_STD = np.array([0.2470, 0.2435, 0.2616], dtype=np.float32)
+
 # Preprocessing geometry: shorter side -> 256, center crop 224.
 RESIZE_SIZE = 256
 IMAGE_SIZE = 224

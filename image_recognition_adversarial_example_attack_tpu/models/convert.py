@@ -271,6 +271,31 @@ def efficientnet_rename(path: str) -> str:
     return f"{prefix}/{role}_{sub}"
 
 
+def wideresnet_rename(path: str) -> str:
+    """Madry/RobustBench WideResNet: block1.layer.0.conv1 -> block1_0/conv1.
+
+    Leading "module."/"model." wrappers are stripped (DataParallel /
+    RobustBench checkpoints); ``sub_block`` duplicates in some RobustBench
+    dumps are rejected upstream by shape checking, so only the canonical
+    ``blockN.layer.I`` spine is mapped here.
+    """
+    parts = path.split(".")
+    while parts and parts[0] in ("module", "model"):
+        parts = parts[1:]
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if (p.startswith("block") and i + 2 < len(parts)
+                and parts[i + 1] == "layer" and parts[i + 2].isdigit()):
+            out.append(f"{p}_{parts[i + 2]}")
+            i += 3
+        else:
+            out.append(p)
+            i += 1
+    return "/".join(out)
+
+
 def mobilenet_rename(path: str) -> str:
     """torchvision mobilenet_v2 keys -> mobilenet.py module paths.
 
@@ -348,6 +373,9 @@ RENAMES: dict[str, Callable[[str], str]] = {
     "efficientnet_b0": efficientnet_rename,
     "mobilenet_v2": mobilenet_rename,
     "convnext_tiny": convnext_rename,
+    "wrn28_10": wideresnet_rename,
+    "wrn34_10": wideresnet_rename,
+    "wrn28_10_robust": wideresnet_rename,
 }
 
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from ..core.constants import IMAGENET_MEAN, IMAGENET_STD, IMAGE_SIZE
+from ..core.constants import (CIFAR10_MEAN, CIFAR10_STD, IMAGENET_MEAN,
+                              IMAGENET_STD, IMAGE_SIZE)
 from . import convert as conv_mod
 from .resnet import resnet50, resnet_tiny
 from .tiny import TinyCNN
@@ -88,6 +89,38 @@ register_lazy("densenet121", ".densenet", "densenet121")
 register_lazy("efficientnet_b0", ".efficientnet", "efficientnet_b0")
 register_lazy("mobilenet_v2", ".mobilenet", "mobilenet_v2")
 register_lazy("convnext_tiny", ".convnext", "convnext_tiny")
+# Small-image (CIFAR) family — the robustness literature's standard
+# backbones; trainable from scratch with cli/adversarial_train.py.
+register_lazy("wrn28_10", ".wideresnet", "wrn28_10")
+register_lazy("wrn34_10", ".wideresnet", "wrn34_10")
+register_lazy("wrn_tiny", ".wideresnet", "wrn_tiny")
+# RobustBench-style robust WRN arm: same architecture, separate weights,
+# inputs consumed in raw [0,1] (identity normalization), mirroring
+# resnet50_robust (reference defense_experiments.py:674-686,765-767).
+register_lazy("wrn28_10_robust", ".wideresnet", "wrn28_10")
+
+
+# Per-model defaults beyond the ImageNet-224 convention.  Keys:
+# input_size, mean, std (np [3] arrays).  Models absent here use
+# IMAGE_SIZE and the ImageNet statistics.
+_META: dict[str, dict] = {
+    "wrn28_10": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
+    "wrn34_10": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
+    "wrn_tiny": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
+    # robust checkpoints are trained on raw [0,1] pixels (RobustBench
+    # convention) — identity normalization.
+    "wrn28_10_robust": {"input_size": 32,
+                        "mean": np.zeros(3, np.float32),
+                        "std": np.ones(3, np.float32)},
+}
+
+
+def model_meta(name: str) -> dict:
+    """Default input_size/mean/std for a registered model name."""
+    meta = {"input_size": IMAGE_SIZE, "mean": IMAGENET_MEAN,
+            "std": IMAGENET_STD}
+    meta.update(_META.get(name, {}))
+    return meta
 
 
 def list_models() -> list[str]:
@@ -129,11 +162,15 @@ def load_model(
     name: str,
     dtype: Any = jnp.float32,
     weights: str | Path | None = None,
-    input_size: int = IMAGE_SIZE,
+    input_size: int | None = None,
     cache_converted: bool = True,
     int8: bool = False,
 ) -> ModelBundle:
     """Resolve a model by name; see module docstring for the search order.
+
+    ``input_size=None`` uses the model's native default (224 for the
+    ImageNet families, 32 for the WRN/CIFAR family — ``model_meta``);
+    normalization constants also come from the model's metadata.
 
     ``int8=True`` builds the model in quantized-inference mode (convs and
     classifier matmuls on the int8 MXU, ops/int8.py) — same parameter
@@ -141,6 +178,10 @@ def load_model(
     """
     if name not in _REGISTRY:
         raise ValueError(f"unknown model '{name}'; known: {list_models()}")
+    meta = model_meta(name)
+    if input_size is None:
+        input_size = int(meta["input_size"])
+    norm = dict(mean=meta["mean"].copy(), std=meta["std"].copy())
     if int8:
         try:
             module = _REGISTRY[name](dtype, int8=True)
@@ -163,13 +204,13 @@ def load_model(
         if path.suffix == ".msgpack":
             variables = _load_msgpack(path, template)
             return ModelBundle(name=name, module=module, variables=variables,
-                               source="cache", input_size=input_size)
+                               source="cache", input_size=input_size, **norm)
         if path.suffix in (".pth", ".pt"):
             variables = _convert_torch(name, path, template)
             if cache_converted:
                 save_variables(variables, weights_dir() / f"{name}.msgpack")
             return ModelBundle(name=name, module=module, variables=variables,
-                               source="converted", input_size=input_size)
+                               source="converted", input_size=input_size, **norm)
 
     warnings.warn(
         f"no weights found for '{name}' (searched {[str(c) for c in candidates]}); "
@@ -179,4 +220,4 @@ def load_model(
         stacklevel=2,
     )
     return ModelBundle(name=name, module=module, variables=template,
-                       source="random", input_size=input_size)
+                       source="random", input_size=input_size, **norm)
