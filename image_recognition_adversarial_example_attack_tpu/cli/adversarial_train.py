@@ -45,8 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Adversarial fine-tuning: PGD-AT (Madry et al.), "
                     "TRADES or MART")
-    parser.add_argument("--data_dir", type=str, required=True,
+    parser.add_argument("--data_dir", type=str, default=None,
                         help="root with one subdirectory per class")
+    parser.add_argument("--cifar10_dir", type=str, default=None,
+                        help="root containing a standard CIFAR-10 archive "
+                             "(cifar-10-batches-py or -bin; "
+                             "core/datasets.py) — the natural input for "
+                             "the WRN family; mutually exclusive with "
+                             "--data_dir/--streaming")
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--eps", type=float, default=8 / 255)
@@ -146,9 +152,25 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
-    data_dir = Path(args.data_dir)
+    if (args.data_dir is None) == (args.cifar10_dir is None):
+        raise SystemExit("pass exactly one of --data_dir / --cifar10_dir")
+    if args.cifar10_dir is not None and args.streaming:
+        raise SystemExit("--streaming applies to --data_dir image trees "
+                         "(the CIFAR archives are already one dense array)")
     size = model_input_size(args)
-    if args.streaming:
+    if args.cifar10_dir is not None:
+        from ..core.datasets import CIFAR10_CLASSES, load_cifar10
+
+        if size != 32:
+            raise SystemExit(f"--cifar10_dir is 32x32 data but --model "
+                             f"{args.model} expects {size}x{size}; use the "
+                             "WRN family (wrn28_10/wrn34_10)")
+        x_np, y_np = load_cifar10(args.cifar10_dir, split="train")
+        classes = list(CIFAR10_CLASSES)
+        n = len(y_np)
+        eval_x, eval_y = x_np[: min(256, n)], y_np[: min(256, n)]
+    elif args.streaming:
+        data_dir = Path(args.data_dir)
         ds_paths, ds_labels, classes = _list_dataset(data_dir)
         x_np = y_np = None
         n = len(ds_paths)
@@ -162,7 +184,7 @@ def main(argv=None) -> int:
                                ds_labels[: min(256, n)])
              if str(Path(p)) in kept_set], np.int32)
     else:
-        x_np, y_np, classes = _load_dataset(data_dir, size)
+        x_np, y_np, classes = _load_dataset(Path(args.data_dir), size)
         n = len(y_np)
         eval_x, eval_y = x_np[: min(256, n)], y_np[: min(256, n)]
     print(f"Dataset: {n} images, {len(classes)} classes {classes[:8]}"

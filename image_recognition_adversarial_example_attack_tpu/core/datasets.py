@@ -1,0 +1,113 @@
+"""Standard dataset-archive readers (CIFAR-10).
+
+The reference consumes loose image directories only; the WRN/CIFAR family
+(models/wideresnet.py) makes the standard CIFAR-10 archives the natural
+training input, so this module reads them directly — no torchvision in
+the container (zero egress), and none needed: the formats are plain
+pickle / raw bytes.
+
+Supported layouts under ``root`` (auto-detected):
+
+- ``cifar-10-batches-py/`` (or the files directly in ``root``): python
+  pickles ``data_batch_1..5`` + ``test_batch``, each
+  ``{b"data": uint8 [N,3072] RRGGBB row-major, b"labels": [N]}``.
+- ``cifar-10-batches-bin/``: raw records of 1 label byte + 3072 pixel
+  bytes (``data_batch_N.bin`` / ``test_batch.bin``).
+
+Everything returns NHWC float32 in [0,1] — the framework's universal
+image convention (images live in pixel space; normalization happens only
+inside ``make_logits_fn`` closures).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+CIFAR10_CLASSES = (
+    "airplane", "automobile", "bird", "cat", "deer",
+    "dog", "frog", "horse", "ship", "truck",
+)
+
+_PY_DIR = "cifar-10-batches-py"
+_BIN_DIR = "cifar-10-batches-bin"
+
+
+def _find_dir(root: Path, sub: str, marker: str) -> Path | None:
+    for cand in (root / sub, root):
+        if (cand / marker).is_file():
+            return cand
+    return None
+
+
+def _decode_rows(rows: np.ndarray) -> np.ndarray:
+    """uint8 [N, 3072] channel-planar rows -> float32 [N, 32, 32, 3]."""
+    x = rows.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(x, dtype=np.float32) / 255.0
+
+
+def _load_pickle_batch(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+
+    def get(key: str):
+        # the official archives pickle with bytes keys; tolerate str keys
+        return d[key.encode()] if key.encode() in d else d[key]
+
+    data = np.asarray(get("data"), np.uint8)
+    return _decode_rows(data), np.asarray(get("labels"), np.int32)
+
+
+def _load_bin_batch(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    raw = np.frombuffer(path.read_bytes(), np.uint8)
+    if raw.size % 3073:
+        raise ValueError(f"{path}: size {raw.size} is not a multiple of "
+                         "3073 (1 label byte + 3072 pixels per record)")
+    rec = raw.reshape(-1, 3073)
+    return _decode_rows(rec[:, 1:].copy()), rec[:, 0].astype(np.int32)
+
+
+def load_cifar10(
+    root: str | Path,
+    split: str = "train",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load CIFAR-10 from the standard archives.
+
+    Args:
+      root: directory containing ``cifar-10-batches-py`` /
+        ``cifar-10-batches-bin`` (or the batch files themselves).
+      split: ``"train"`` (data_batch_1..5) or ``"test"`` (test_batch).
+
+    Returns ``(x [N,32,32,3] float32 in [0,1], y [N] int32)``.
+    """
+    if split not in ("train", "test"):
+        raise ValueError(f"split must be 'train' or 'test', got {split!r}")
+    root = Path(root)
+
+    py_dir = _find_dir(root, _PY_DIR, "data_batch_1")
+    if py_dir is not None:
+        names = ([f"data_batch_{i}" for i in range(1, 6)]
+                 if split == "train" else ["test_batch"])
+        present = [py_dir / n for n in names if (py_dir / n).is_file()]
+        if not present:
+            raise FileNotFoundError(f"no {split} batches under {py_dir}")
+        parts = [_load_pickle_batch(p) for p in present]
+        return (np.concatenate([x for x, _ in parts]),
+                np.concatenate([y for _, y in parts]))
+
+    bin_dir = _find_dir(root, _BIN_DIR, "data_batch_1.bin")
+    if bin_dir is not None:
+        names = ([f"data_batch_{i}.bin" for i in range(1, 6)]
+                 if split == "train" else ["test_batch.bin"])
+        present = [bin_dir / n for n in names if (bin_dir / n).is_file()]
+        if not present:
+            raise FileNotFoundError(f"no {split} .bin batches under {bin_dir}")
+        parts = [_load_bin_batch(p) for p in present]
+        return (np.concatenate([x for x, _ in parts]),
+                np.concatenate([y for _, y in parts]))
+
+    raise FileNotFoundError(
+        f"no CIFAR-10 archive found under {root} (looked for "
+        f"{_PY_DIR}/data_batch_1 and {_BIN_DIR}/data_batch_1.bin)")
