@@ -48,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
         description="Worst-case robust accuracy (APGD + Square + DeepFool)")
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
+    parser.add_argument("--cifar10_dir", type=str, default=None,
+                        help="evaluate on a standard CIFAR-10 archive "
+                             "(core/datasets.py) with REAL labels — the "
+                             "RobustBench-style flow for checkpoints from "
+                             "adversarial_train --cifar10_dir; overrides "
+                             "--image_dir/--image")
+    parser.add_argument("--cifar10_split", type=str, default="test",
+                        choices=["train", "test"])
+    parser.add_argument("--cifar10_n", type=int, default=1000,
+                        help="cap on evaluated CIFAR images (0 = all)")
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
     parser.add_argument("--protocol", type=str, default="lite",
@@ -102,14 +112,40 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
-    paths = resolve_image_inputs(args.image_dir, args.image)
+    cifar = args.cifar10_dir is not None
+    if cifar:
+        from ..core.datasets import load_cifar10
+
+        x_all, y_all = load_cifar10(args.cifar10_dir,
+                                    split=args.cifar10_split)
+        if int(args.cifar10_n) > 0:
+            x_all = x_all[: int(args.cifar10_n)]
+            y_all = y_all[: int(args.cifar10_n)]
+        paths = [f"cifar10_{args.cifar10_split}_{i:05d}"
+                 for i in range(len(y_all))]
+    else:
+        paths = resolve_image_inputs(args.image_dir, args.image)
     bundle = load_bundle(args)
+    if cifar and bundle.input_size != 32:
+        raise SystemExit(f"--cifar10_dir is 32x32 data but --model "
+                         f"{args.model} expects {bundle.input_size}x"
+                         f"{bundle.input_size}; use the CIFAR family "
+                         "(wrn28_10/wrn34_10/preact_resnet18)")
     logits_fn, _ = make_fns(bundle)
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
 
     max_batch = int(args.max_batch)
-    streaming = max_batch > 0 and len(paths) > max_batch
-    if streaming:
+    streaming = (not cifar) and max_batch > 0 and len(paths) > max_batch
+    if cifar:
+        kept = paths
+        check_label_range(np.asarray(y_all), n_classes_of(logits_fn, 32))
+        x = jnp.asarray(x_all)
+        y = jnp.asarray(y_all)
+        pseudo = jax.device_get(pseudo_fn(x))
+        clean_correct = pseudo == np.asarray(y_all)
+        print(f"clean accuracy vs CIFAR-10 {args.cifar10_split} labels: "
+              f"{clean_correct.mean():.3f}")
+    elif streaming:
         kept = list(paths)  # per-chunk decode handles failures
         x = y = None
         clean_correct = None

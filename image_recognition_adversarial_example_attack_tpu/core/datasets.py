@@ -35,9 +35,9 @@ _PY_DIR = "cifar-10-batches-py"
 _BIN_DIR = "cifar-10-batches-bin"
 
 
-def _find_dir(root: Path, sub: str, marker: str) -> Path | None:
+def _find_dir(root: Path, sub: str, markers: tuple[str, ...]) -> Path | None:
     for cand in (root / sub, root):
-        if (cand / marker).is_file():
+        if any((cand / m).is_file() for m in markers):
             return cand
     return None
 
@@ -86,7 +86,7 @@ def load_cifar10(
         raise ValueError(f"split must be 'train' or 'test', got {split!r}")
     root = Path(root)
 
-    py_dir = _find_dir(root, _PY_DIR, "data_batch_1")
+    py_dir = _find_dir(root, _PY_DIR, ("data_batch_1", "test_batch"))
     if py_dir is not None:
         names = ([f"data_batch_{i}" for i in range(1, 6)]
                  if split == "train" else ["test_batch"])
@@ -97,7 +97,8 @@ def load_cifar10(
         return (np.concatenate([x for x, _ in parts]),
                 np.concatenate([y for _, y in parts]))
 
-    bin_dir = _find_dir(root, _BIN_DIR, "data_batch_1.bin")
+    bin_dir = _find_dir(root, _BIN_DIR,
+                        ("data_batch_1.bin", "test_batch.bin"))
     if bin_dir is not None:
         names = ([f"data_batch_{i}.bin" for i in range(1, 6)]
                  if split == "train" else ["test_batch.bin"])

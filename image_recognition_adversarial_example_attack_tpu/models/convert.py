@@ -296,6 +296,29 @@ def wideresnet_rename(path: str) -> str:
     return "/".join(out)
 
 
+def preactresnet_rename(path: str) -> str:
+    """PreActResNet (kuangliu/RobustBench lineage):
+    layer2.0.shortcut.0 -> layer2_0/shortcut_0; layer1.0.bn1 -> layer1_0/bn1.
+
+    Leading "module."/"model." wrappers are stripped.
+    """
+    parts = path.split(".")
+    while parts and parts[0] in ("module", "model"):
+        parts = parts[1:]
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if ((p.startswith("layer") or p == "shortcut")
+                and i + 1 < len(parts) and parts[i + 1].isdigit()):
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return "/".join(out)
+
+
 def mobilenet_rename(path: str) -> str:
     """torchvision mobilenet_v2 keys -> mobilenet.py module paths.
 
@@ -376,6 +399,7 @@ RENAMES: dict[str, Callable[[str], str]] = {
     "wrn28_10": wideresnet_rename,
     "wrn34_10": wideresnet_rename,
     "wrn28_10_robust": wideresnet_rename,
+    "preact_resnet18": preactresnet_rename,
 }
 
 

@@ -94,6 +94,7 @@ register_lazy("convnext_tiny", ".convnext", "convnext_tiny")
 register_lazy("wrn28_10", ".wideresnet", "wrn28_10")
 register_lazy("wrn34_10", ".wideresnet", "wrn34_10")
 register_lazy("wrn_tiny", ".wideresnet", "wrn_tiny")
+register_lazy("preact_resnet18", ".preactresnet", "preact_resnet18")
 # RobustBench-style robust WRN arm: same architecture, separate weights,
 # inputs consumed in raw [0,1] (identity normalization), mirroring
 # resnet50_robust (reference defense_experiments.py:674-686,765-767).
@@ -107,6 +108,8 @@ _META: dict[str, dict] = {
     "wrn28_10": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
     "wrn34_10": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
     "wrn_tiny": {"input_size": 32, "mean": CIFAR10_MEAN, "std": CIFAR10_STD},
+    "preact_resnet18": {"input_size": 32, "mean": CIFAR10_MEAN,
+                        "std": CIFAR10_STD},
     # robust checkpoints are trained on raw [0,1] pixels (RobustBench
     # convention) — identity normalization.
     "wrn28_10_robust": {"input_size": 32,

@@ -23,16 +23,23 @@ from image_recognition_adversarial_example_attack_tpu.attacks import (
     pgd_linf_attack,
 )
 
-torch.set_default_dtype(torch.float64)
-
 EPS, ALPHA = 8 / 255, 2 / 255
 
 
 @pytest.fixture(autouse=True)
 def _x64():
-    """Every test in this module runs with jax x64 enabled (thread-local)."""
-    with jax.enable_x64():
-        yield
+    """Every test in this module runs with jax x64 enabled (thread-local)
+    and torch defaulting to float64 — RESTORED afterwards, because the
+    torch default is process-global and would otherwise poison every
+    torch-using test that runs later in the session (their models would
+    silently build float64 weights)."""
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with jax.enable_x64():
+            yield
+    finally:
+        torch.set_default_dtype(prev)
 
 
 # --- a tiny 2-layer model expressed in BOTH frameworks, shared weights ---

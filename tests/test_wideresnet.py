@@ -180,7 +180,7 @@ def test_torch_numeric_parity():
     """A randomized torch WRN's state_dict converts to flax variables that
     reproduce its eval-mode logits (real BN running stats exercised)."""
     torch.manual_seed(0)
-    tm = _TorchWRN(depth=10, widen=1, num_classes=10).eval()
+    tm = _TorchWRN(depth=10, widen=1, num_classes=10).float().eval()
     # randomize BN running stats so the batch_stats conversion is load-bearing
     with torch.no_grad():
         for m in tm.modules():
