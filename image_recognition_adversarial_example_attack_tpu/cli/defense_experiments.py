@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "hsja", "ead", "apgd_dlr", "apgd_t", "fab", "stadv", "boundary", "simba", "jsma", "pgd_l1"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
+    parser.add_argument("--cifar10_dir", type=str, default=None,
+                        help="run the grid on a standard CIFAR-10 archive "
+                             "(core/datasets.py) with REAL labels instead "
+                             "of an image directory; use with the CIFAR "
+                             "family (wrn28_10/wrn34_10/preact_resnet18)")
+    parser.add_argument("--cifar10_split", type=str, default="test",
+                        choices=["train", "test"])
+    parser.add_argument("--cifar10_n", type=int, default=200,
+                        help="cap on evaluated CIFAR images (0 = all)")
     parser.add_argument("--alpha", type=float, default=DEFAULT_ALPHA)
     parser.add_argument("--steps", type=int, default=DEFAULT_STEPS)
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
@@ -207,11 +216,28 @@ def main(argv=None) -> int:
                 f"objective (fgsm|pgd); drop {bad} from --attacks")
 
     # --- image list first: fail fast before any device work ---
-    image_paths = resolve_image_inputs(args.image_dir, args.image)
-    if args.image_dir is not None:
-        print(f"Loaded image directory: {args.image_dir} ({len(image_paths)} images)")
+    cifar = args.cifar10_dir is not None
+    if cifar:
+        if args.labels_json:
+            raise SystemExit("--cifar10_dir carries its own ground-truth "
+                             "labels; drop --labels_json")
+        from ..core.datasets import load_cifar10
+
+        x_cifar, y_cifar = load_cifar10(args.cifar10_dir,
+                                        split=args.cifar10_split)
+        if int(args.cifar10_n) > 0:
+            x_cifar = x_cifar[: int(args.cifar10_n)]
+            y_cifar = y_cifar[: int(args.cifar10_n)]
+        image_paths = [f"cifar10_{args.cifar10_split}_{i:05d}"
+                       for i in range(len(y_cifar))]
+        print(f"Loaded CIFAR-10 {args.cifar10_split} split: "
+              f"{len(image_paths)} images")
     else:
-        print(f"Loaded single image: {image_paths[0]}")
+        image_paths = resolve_image_inputs(args.image_dir, args.image)
+        if args.image_dir is not None:
+            print(f"Loaded image directory: {args.image_dir} ({len(image_paths)} images)")
+        else:
+            print(f"Loaded single image: {image_paths[0]}")
 
     print(f"Using device: {jax.devices()[0]}")
 
@@ -223,6 +249,11 @@ def main(argv=None) -> int:
         bundle.std = np.ones(3, np.float32)
     else:
         bundle = load_bundle(args)
+    if cifar and bundle.input_size != 32:
+        raise SystemExit(f"--cifar10_dir is 32x32 data but --model "
+                         f"{args.model} expects {bundle.input_size}x"
+                         f"{bundle.input_size}; use the CIFAR family "
+                         "(wrn28_10/wrn34_10/preact_resnet18)")
     logits_fn, features_fn = make_fns(bundle)
 
     # one padded batch on the device mesh (sharded over 'data' when the
@@ -248,7 +279,7 @@ def main(argv=None) -> int:
             "(the codec must sit inside the sharded attack loop); "
             "use --jpeg_mode dct")
     max_batch = int(args.max_batch)
-    streaming = max_batch > 0 and len(image_paths) > max_batch
+    streaming = (not cifar) and max_batch > 0 and len(image_paths) > max_batch
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
     if streaming:
         from ..eval.streaming import make_placer, round_up
@@ -265,7 +296,11 @@ def main(argv=None) -> int:
             print(f"Mesh: {dict(engine.mesh.shape)} "
                   f"(chunks of {chunk} sharded over 'data')")
     else:
-        x_np, image_paths = load_image_batch_tolerant(image_paths, size=bundle.input_size)
+        if cifar:
+            x_np = x_cifar
+        else:
+            x_np, image_paths = load_image_batch_tolerant(
+                image_paths, size=bundle.input_size)
         batch = engine.batch_from_array(x_np, paths=list(image_paths))
         x = batch.x
         n = batch.n_valid
@@ -347,6 +382,18 @@ def main(argv=None) -> int:
         labels_np = resolve_labels_sentinel(args.labels_json, image_paths)
         if labels_np is not None:
             check_label_range(labels_np, n_classes_of(logits_fn, 224))
+    elif cifar:
+        # real labels; pad rows keep their pseudo-labels (the counters are
+        # trimmed to n_valid downstream, same as the labels_json path)
+        pseudo = np.asarray(jax.device_get(pseudo_fn(x)))
+        y_true = jnp.asarray(y_cifar.tolist()
+                             + pseudo[n:].tolist()).astype(jnp.int32)
+        check_label_range(np.asarray(y_true)[:n],
+                          n_classes_of(logits_fn, int(x.shape[1])))
+        acc = float(np.mean(np.asarray(y_true)[:n] == pseudo[:n]))
+        print(f"clean accuracy vs CIFAR-10 {args.cifar10_split} labels: "
+              f"{acc:.3f}")
+        y_viz_dev = jnp.asarray(pseudo)
     elif args.labels_json:
         pseudo = np.asarray(jax.device_get(pseudo_fn(x)))
         y_true = jnp.asarray(resolve_labels(
