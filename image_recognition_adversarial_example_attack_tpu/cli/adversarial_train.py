@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "deployment checkpoint (raw weights stay in "
                              "the .ckpt for resuming); the standard "
                              "robust-training deployment artifact")
+    parser.add_argument("--train_bn", action="store_true",
+                        help="batch-statistics BatchNorm — the from-"
+                             "scratch training mode for the CIFAR family "
+                             "(wrn*/preact_resnet18): forwards normalize "
+                             "by the batch's own statistics, and running "
+                             "stats are recalibrated once at export "
+                             "(precise-BN) so the checkpoint deploys as a "
+                             "standard inference-mode model")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the model forward: the backward "
                              "recomputes activations instead of holding them "
@@ -225,8 +233,12 @@ def main(argv=None) -> int:
         grad_accum=int(args.grad_accum),
         remat=bool(args.remat),
         ema_decay=float(args.ema_decay),
+        train_bn=bool(args.train_bn),
     )
-    state = train_state_from_bundle(bundle, config)
+    try:
+        state = train_state_from_bundle(bundle, config)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if args.objective != "pgd-at" and float(args.noise_sigma) > 0.0:
         print("WARNING: --noise_sigma applies to the pgd-at objective only "
               f"({args.objective} ignores it).")
@@ -354,6 +366,18 @@ def main(argv=None) -> int:
                 end_epoch(epoch, metrics, time.perf_counter() - t0)
     from ..models.zoo import save_variables
     from ..train.adversarial import deploy_params
+
+    if args.train_bn:
+        # precise-BN: one calibration sweep gives the exported checkpoint
+        # real running statistics (training normalized by batch stats)
+        from ..train.adversarial import calibrate_batch_stats
+
+        calib_x = jnp.asarray(x_np if x_np is not None else eval_x)
+        print(f"Calibrating BatchNorm running statistics "
+              f"({calib_x.shape[0]} images, precise-BN sweep)...")
+        state = state.replace(extra_variables=calibrate_batch_stats(
+            state, calib_x, bundle.mean, bundle.std,
+            batch_size=min(256, batch)))
 
     # ship the EMA shadow when maintained (the deployment-standard
     # artifact); the raw weights remain in the .ckpt for exact resume

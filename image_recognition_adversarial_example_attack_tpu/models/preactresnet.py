@@ -33,9 +33,12 @@ def _conv(dtype, int8):
                    param_dtype=jnp.float32, **quant_conv_kwargs(int8))
 
 
-def _bn(dtype):
-    return partial(nn.BatchNorm, use_running_average=True, momentum=0.9,
-                   epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+def _bn(dtype, train_bn=False):
+    # train_bn: batch-statistics mode for from-scratch training; running
+    # stats recalibrated at export (train/adversarial.py::calibrate_batch_stats)
+    return partial(nn.BatchNorm, use_running_average=not train_bn,
+                   momentum=0.9, epsilon=1e-5, dtype=dtype,
+                   param_dtype=jnp.float32)
 
 
 class PreActBlock(nn.Module):
@@ -51,11 +54,12 @@ class PreActBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = _conv(self.dtype, self.int8)
-        pre = nn.relu(_bn(self.dtype)(name="bn1")(x))
+        pre = nn.relu(_bn(self.dtype, self.train_bn)(name="bn1")(x))
         needs_proj = x.shape[-1] != self.features or self.stride != 1
         shortcut = (conv(self.features, (1, 1),
                          strides=(self.stride, self.stride),
@@ -63,7 +67,7 @@ class PreActBlock(nn.Module):
                     if needs_proj else x)
         out = conv(self.features, (3, 3), strides=(self.stride, self.stride),
                    padding=((1, 1), (1, 1)), name="conv1")(pre)
-        out = nn.relu(_bn(self.dtype)(name="bn2")(out))
+        out = nn.relu(_bn(self.dtype, self.train_bn)(name="bn2")(out))
         out = conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                    name="conv2")(out)
         return out + shortcut
@@ -76,6 +80,7 @@ class PreActResNet(nn.Module):
     num_classes: int = 10
     dtype: Any = jnp.float32
     int8: bool = False
+    train_bn: bool = False
 
     def setup(self):
         self.conv1 = _conv(self.dtype, self.int8)(
@@ -88,10 +93,11 @@ class PreActResNet(nn.Module):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 stage_blocks.append(PreActBlock(
                     features=feats, stride=stride, dtype=self.dtype,
-                    int8=self.int8, name=f"layer{stage + 1}_{i}"))
+                    int8=self.int8, train_bn=self.train_bn,
+                    name=f"layer{stage + 1}_{i}"))
             blocks.append(stage_blocks)
         self.stages = blocks
-        self.bn = _bn(self.dtype)(name="bn")
+        self.bn = _bn(self.dtype, self.train_bn)(name="bn")
         self.linear = nn.Dense(self.num_classes, name="linear",
                                dtype=self.dtype, param_dtype=jnp.float32,
                                **quant_dense_kwargs(self.int8))

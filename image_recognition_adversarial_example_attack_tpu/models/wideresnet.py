@@ -38,9 +38,13 @@ def _conv(dtype, int8):
                    param_dtype=jnp.float32, **quant_conv_kwargs(int8))
 
 
-def _bn(dtype):
-    return partial(nn.BatchNorm, use_running_average=True, momentum=0.9,
-                   epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+def _bn(dtype, train_bn=False):
+    # train_bn: normalize by BATCH statistics (from-scratch training mode;
+    # running stats are recalibrated at export — train/adversarial.py::
+    # calibrate_batch_stats, the 'precise BN' recipe)
+    return partial(nn.BatchNorm, use_running_average=not train_bn,
+                   momentum=0.9, epsilon=1e-5, dtype=dtype,
+                   param_dtype=jnp.float32)
 
 
 class WideBasicBlock(nn.Module):
@@ -56,11 +60,12 @@ class WideBasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     int8: bool = False
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = _conv(self.dtype, self.int8)
-        bn = _bn(self.dtype)
+        bn = _bn(self.dtype, self.train_bn)
         equal_in_out = x.shape[-1] == self.features and self.stride == 1
 
         pre = nn.relu(bn(name="bn1")(x))
@@ -88,6 +93,7 @@ class WideResNet(nn.Module):
     num_classes: int = 10
     dtype: Any = jnp.float32
     int8: bool = False
+    train_bn: bool = False
 
     def setup(self):
         assert (self.depth - 4) % 6 == 0, "WideResNet depth must be 6n+4"
@@ -104,11 +110,12 @@ class WideResNet(nn.Module):
                     features=feats,
                     stride=(2 if (g > 1 and i == 0) else 1),
                     dtype=self.dtype, int8=self.int8,
+                    train_bn=self.train_bn,
                     name=f"block{g}_{i}",
                 ))
             groups.append(blocks)
         self.groups = groups
-        self.bn1 = _bn(self.dtype)(name="bn1")
+        self.bn1 = _bn(self.dtype, self.train_bn)(name="bn1")
         self.fc = nn.Dense(self.num_classes, name="fc", dtype=self.dtype,
                            param_dtype=jnp.float32,
                            **quant_dense_kwargs(self.int8))

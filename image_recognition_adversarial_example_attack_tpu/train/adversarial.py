@@ -79,6 +79,14 @@ class AdvTrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     total_steps: int = 0           # required (>0) for 'cosine'
+    # Batch-statistics BatchNorm for FROM-SCRATCH training (the CIFAR
+    # family): every forward inside the step normalizes by the current
+    # batch's statistics; running stats are NOT tracked during training
+    # and are recalibrated once at export by ``calibrate_batch_stats``
+    # (the 'precise BN' recipe) so the deployed checkpoint is a standard
+    # inference-mode model.  Off (default) = frozen running stats, the
+    # robust FINE-TUNING setting.
+    train_bn: bool = False
     # >0: maintain an exponential moving average of the parameters
     # (theta_ema <- d*theta_ema + (1-d)*theta after every optimizer step,
     # initialized AT the initial parameters so no bias correction is
@@ -99,6 +107,9 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
     ema_params: Any = None         # EMA shadow (None = EMA disabled)
+    # static: apply_fn is a train-mode-BN module (forwards pass
+    # mutable=['batch_stats'] and discard the updates)
+    train_bn: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_lr_schedule(config: AdvTrainConfig):
@@ -128,7 +139,20 @@ def _make_optimizer(config: AdvTrainConfig) -> optax.GradientTransformation:
 
 
 def train_state_from_bundle(bundle, config: AdvTrainConfig) -> TrainState:
-    """Build a TrainState from a zoo ModelBundle (models/zoo.py)."""
+    """Build a TrainState from a zoo ModelBundle (models/zoo.py).
+
+    With ``config.train_bn`` the module is rebuilt in batch-statistics
+    BN mode (same parameter tree — only the normalization statistics
+    source changes); models without a ``train_bn`` attribute (the
+    ImageNet fine-tuning families) reject the flag loudly."""
+    module = bundle.module
+    if config.train_bn:
+        if not hasattr(module, "train_bn"):
+            raise ValueError(
+                f"model '{bundle.name}' does not support train_bn "
+                "(from-scratch BN training is a CIFAR-family feature; "
+                "the ImageNet families fine-tune with frozen statistics)")
+        module = module.clone(train_bn=True)
     variables = dict(bundle.variables)
     params = variables.pop("params")
     tx = _make_optimizer(config)
@@ -138,9 +162,10 @@ def train_state_from_bundle(bundle, config: AdvTrainConfig) -> TrainState:
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         tx=tx,
-        apply_fn=bundle.module.apply,
+        apply_fn=module.apply,
         ema_params=(jax.tree.map(jnp.asarray, params)
                     if config.ema_decay > 0.0 else None),
+        train_bn=bool(config.train_bn),
     )
 
 
@@ -219,6 +244,19 @@ def _with_grad_accum(grads_fn, accum: int):
     return accum_fn
 
 
+def _apply_model(state: TrainState, params, x_norm):
+    """One forward that tolerates batch-statistics BN (state.train_bn):
+    the per-call running-stat updates are computed and DISCARDED — during
+    training the normalization uses the batch statistics themselves, and
+    the exported running stats come from one ``calibrate_batch_stats``
+    pass at the end."""
+    variables = {"params": params, **state.extra_variables}
+    if state.train_bn:
+        out, _ = state.apply_fn(variables, x_norm, mutable=["batch_stats"])
+        return out
+    return state.apply_fn(variables, x_norm)
+
+
 def _make_apply_logits(config: AdvTrainConfig, mean, std):
     """(state, params, x01) -> float32 logits, shared by both objectives.
 
@@ -228,8 +266,7 @@ def _make_apply_logits(config: AdvTrainConfig, mean, std):
 
     def apply_logits(state: TrainState, params, x01):
         def fwd(params, x01):
-            variables = {"params": params, **state.extra_variables}
-            out = state.apply_fn(variables, normalize_batch(x01, mean, std))
+            out = _apply_model(state, params, normalize_batch(x01, mean, std))
             return out.astype(jnp.float32)
 
         if config.remat:
@@ -526,6 +563,42 @@ def deploy_params(state: TrainState):
     return state.params if state.ema_params is None else state.ema_params
 
 
+def calibrate_batch_stats(state: TrainState, x01: jnp.ndarray,
+                          mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                          batch_size: int = 256,
+                          min_batches: int = 30) -> dict:
+    """Precise-BN recalibration after ``train_bn`` training: run forward
+    passes over ``x01`` (pixels in [0,1]) collecting the BatchNorm
+    running-statistic EMA (momentum 0.9 per call, so ``min_batches``=30
+    leaves <5% weight on the stale init stats — batches repeat if the
+    data is short), and return the updated ``extra_variables``.  The
+    result makes the exported checkpoint a standard inference-mode model.
+
+    One compiled program, called per batch; the deployment parameters
+    (EMA shadow when maintained) are the ones calibrated against.
+    """
+    if not state.train_bn:
+        return state.extra_variables
+    params = deploy_params(state)
+    n = x01.shape[0]
+    batch_size = max(1, min(int(batch_size), n))
+
+    @jax.jit
+    def one(extra, xb):
+        variables = {"params": params, **extra}
+        _, upd = state.apply_fn(variables, normalize_batch(xb, mean, std),
+                                mutable=["batch_stats"])
+        return {**extra, **upd}
+
+    extra = state.extra_variables
+    n_full = max(1, n // batch_size)
+    total = max(int(min_batches), n_full)
+    for i in range(total):
+        start = (i % n_full) * batch_size
+        extra = one(extra, x01[start:start + batch_size])
+    return jax.device_get(extra)
+
+
 def make_robust_eval_step(attack_steps: int, eps: float, alpha: float,
                           mean=IMAGENET_MEAN, std=IMAGENET_STD,
                           use_ema: bool = False):
@@ -538,8 +611,7 @@ def make_robust_eval_step(attack_steps: int, eps: float, alpha: float,
         params = deploy_params(state) if use_ema else state.params
 
         def logits_fn(xx):
-            variables = {"params": params, **state.extra_variables}
-            out = state.apply_fn(variables, normalize_batch(xx, mean, std))
+            out = _apply_model(state, params, normalize_batch(xx, mean, std))
             return out.astype(jnp.float32)
 
         x_adv = pgd_linf_attack(logits_fn, x01, y, eps=eps, alpha=alpha,
@@ -558,8 +630,7 @@ def make_eval_step(mean=IMAGENET_MEAN, std=IMAGENET_STD,
 
     def step(state: TrainState, x01, y):
         params = deploy_params(state) if use_ema else state.params
-        variables = {"params": params, **state.extra_variables}
-        logits = state.apply_fn(variables, normalize_batch(x01, mean, std))
+        logits = _apply_model(state, params, normalize_batch(x01, mean, std))
         pred = jnp.argmax(logits.astype(jnp.float32), -1)
         return {"clean_accuracy": jnp.mean(pred == y)}
 
