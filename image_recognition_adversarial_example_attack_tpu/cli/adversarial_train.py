@@ -33,9 +33,9 @@ from ..core.images import list_images, load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..utils.pipeline import shuffle_seed
 from ..train.adversarial import (AdvTrainConfig, load_train_checkpoint,
-                                 make_eval_step, make_mart_step,
-                                 make_train_step, make_trades_step,
-                                 save_train_checkpoint,
+                                 make_eval_step, make_free_step,
+                                 make_mart_step, make_train_step,
+                                 make_trades_step, save_train_checkpoint,
                                  train_state_from_bundle)
 from .common import (add_model_args, load_bundle, maybe_profile,
                      model_input_size, positive_int)
@@ -75,11 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clean_weight", type=float, default=0.0,
                         help=">0 mixes clean CE into the objective")
     parser.add_argument("--objective", type=str, default="pgd-at",
-                        choices=["pgd-at", "trades", "mart"],
+                        choices=["pgd-at", "trades", "mart", "free"],
                         help="pgd-at: CE on PGD examples; trades: "
                              "CE(clean) + beta*KL(clean||adv); mart: "
                              "boosted CE(adv) + beta*(1-p_y(clean))*"
-                             "KL(clean||adv)")
+                             "KL(clean||adv); free: Shafahi et al. "
+                             "replay training (param update + FGSM "
+                             "perturbation update per replay, "
+                             "adversarial examples at ~natural-training "
+                             "cost — train ~epochs/replays passes)")
+    parser.add_argument("--free_replays", type=positive_int, default=4,
+                        help="free objective: replays per batch (m)")
     parser.add_argument("--trades_beta", type=float, default=6.0,
                         help="TRADES robustness/accuracy trade-off beta")
     parser.add_argument("--mart_beta", type=float, default=5.0,
@@ -234,11 +240,21 @@ def main(argv=None) -> int:
         remat=bool(args.remat),
         ema_decay=float(args.ema_decay),
         train_bn=bool(args.train_bn),
+        free_replays=int(args.free_replays),
     )
     try:
         state = train_state_from_bundle(bundle, config)
     except ValueError as e:
         raise SystemExit(str(e))
+    if args.objective == "free" and int(args.grad_accum) > 1:
+        raise SystemExit("--objective free updates parameters every replay; "
+                         "drop --grad_accum")
+    if args.objective == "free" and args.streaming:
+        # the carried perturbation is shaped [batch]; the streaming
+        # pipeline's final short batches tile rows, which would mix
+        # per-image perturbations — keep free on the in-RAM path
+        raise SystemExit("--objective free uses a batch-shaped carried "
+                         "perturbation; use the in-RAM data path")
     if args.objective != "pgd-at" and float(args.noise_sigma) > 0.0:
         print("WARNING: --noise_sigma applies to the pgd-at objective only "
               f"({args.objective} ignores it).")
@@ -248,7 +264,22 @@ def main(argv=None) -> int:
               "and ignores it.")
     make_step = {"trades": make_trades_step,
                  "mart": make_mart_step}.get(args.objective, make_train_step)
-    train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
+    if args.objective == "free":
+        # the free step has an extra carried input/output (the shared
+        # perturbation, persisted across batches per the paper); adapt it
+        # to the uniform (state, x, y, key) -> (state, metrics) loop shape
+        free_step = jax.jit(make_free_step(config, bundle.mean, bundle.std))
+        _free_delta = {"v": None}
+
+        def train_step(state, xb, yb, kb):
+            if (_free_delta["v"] is None
+                    or _free_delta["v"].shape != xb.shape):
+                _free_delta["v"] = jnp.zeros(xb.shape, jnp.float32)
+            state, metrics, _free_delta["v"] = free_step(
+                state, xb, yb, kb, _free_delta["v"])
+            return state, metrics
+    else:
+        train_step = jax.jit(make_step(config, bundle.mean, bundle.std))
     eval_step = jax.jit(make_eval_step(bundle.mean, bundle.std))
     eval_step_ema = (jax.jit(make_eval_step(bundle.mean, bundle.std,
                                             use_ema=True))

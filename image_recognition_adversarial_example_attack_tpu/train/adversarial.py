@@ -19,10 +19,12 @@ Under a ('data','model') mesh the batch shards over 'data' and XLA
 inserts the gradient psum over ICI — no hand-written collectives (the
 same scale-out contract as the eval stack, parallel/mesh.py).
 
-BatchNorm note: zoo models run BN in inference mode (frozen running
-stats — models/resnet.py), so fine-tuning updates weights against the
-converged statistics, the standard setting for robust FINE-TUNING.
-Training from scratch with live BN statistics is out of scope.
+BatchNorm note: by default zoo models run BN in inference mode (frozen
+running stats — models/resnet.py), the standard setting for robust
+FINE-TUNING.  For FROM-SCRATCH training (the CIFAR family),
+``config.train_bn`` switches every forward to batch-statistics BN and
+``calibrate_batch_stats`` recalibrates the running stats once at export
+(precise-BN), so the deployed checkpoint is a standard inference model.
 """
 
 from __future__ import annotations
@@ -79,6 +81,10 @@ class AdvTrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     total_steps: int = 0           # required (>0) for 'cosine'
+    # 'free' objective: batch replays per optimizer step (Shafahi et al.
+    # 2019) — each replay does a full parameter update AND an FGSM update
+    # of the carried perturbation from the same backward pass.
+    free_replays: int = 4
     # Batch-statistics BatchNorm for FROM-SCRATCH training (the CIFAR
     # family): every forward inside the step normalizes by the current
     # batch's statistics; running stats are NOT tracked during training
@@ -354,6 +360,61 @@ def make_train_step(config: AdvTrainConfig,
         # optimizer update (XLA fuses; grads psum'd by pjit when sharded)
         return _finish_step(state, *grads_full(state, x01, y, key),
                             ema_decay=config.ema_decay)
+
+    return step
+
+
+def make_free_step(config: AdvTrainConfig,
+                   mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Free adversarial training (Shafahi et al., NeurIPS 2019):
+    ``(state, x01, y, key, delta) -> (state, metrics, delta)``.
+
+    The batch is replayed ``config.free_replays`` times inside ONE
+    compiled program (lax.scan): every replay takes gradients w.r.t. the
+    parameters AND the input from the SAME backward pass, applies a full
+    optimizer update, and moves the shared perturbation one FGSM step
+    (``delta <- clip(delta + eps*sign(g_x), -eps, eps)``) — adversarial
+    examples for ~zero extra cost over natural training.  ``delta``
+    [B,H,W,C] is carried by the CALLER across batches (start from zeros),
+    per the paper; it is not checkpointed (a resumed run re-warms it in
+    one replay cycle).  Train for ~epochs/replays passes to match a
+    PGD-AT budget.  Composes with train_bn/remat/EMA; grad_accum and
+    noise_sigma do not apply.
+    """
+    if int(config.grad_accum) > 1:
+        raise ValueError("free objective updates parameters every replay; "
+                         "grad_accum does not compose with it")
+    apply_logits = _make_apply_logits(config, mean, std)
+    m = max(1, int(config.free_replays))
+
+    def step(state: TrainState, x01, y, key, delta):
+        del key  # deterministic: the carried perturbation IS the state
+
+        def replay(carry, _):
+            st, d = carry
+            x_adv = jnp.clip(x01 + d, 0.0, 1.0)
+
+            def loss_wrt(params, xx):
+                logits = apply_logits(st, params, xx)
+                return _ce_loss(logits, y, config.label_smoothing), logits
+
+            (loss, logits), (g_p, g_x) = jax.value_and_grad(
+                loss_wrt, argnums=(0, 1), has_aux=True)(st.params, x_adv)
+            new_st, metrics = _finish_step(
+                st, g_p,
+                {"loss": loss,
+                 "adv_accuracy": jnp.mean(
+                     (jnp.argmax(logits, -1) == y).astype(jnp.float32))},
+                ema_decay=config.ema_decay)
+            d = jnp.clip(d + config.eps * jnp.sign(g_x),
+                         -config.eps, config.eps)
+            return (new_st, d), metrics
+
+        (state, delta), ms = jax.lax.scan(replay, (state, delta), None,
+                                          length=m)
+        # mean over replays: the batch's effective training signal
+        metrics = jax.tree.map(jnp.mean, ms)
+        return state, metrics, delta
 
     return step
 
