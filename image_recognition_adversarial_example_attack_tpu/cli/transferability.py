@@ -38,21 +38,18 @@ from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
                      extended_attack_kwargs, load_bundle, make_fns,
                      maybe_profile, resolve_image_inputs)
 
-MODEL_CHOICES = ["resnet50", "vgg19", "densenet121", "vit_b_16",
-                 "efficientnet_b0", "mobilenet_v2", "swin_t",
-                 # miniature models for smoke tests / CI
-                 "resnet_tiny", "tiny"]
-
-
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Black-box Transferability Attack")
     parser.add_argument("--source_model", type=str, nargs="+",
-                        default=["resnet50"], choices=MODEL_CHOICES,
-                        help="one model, or several to attack a logit-fusion "
-                             "ensemble (beyond-reference; one fused program)")
+                        default=["resnet50"],
+                        help="one zoo model, or several to attack a logit-"
+                             "fusion ensemble (beyond-reference; one fused "
+                             "program).  Any registered family works — "
+                             "ImageNet (224) and CIFAR (32) models alike, as "
+                             "long as every participant shares one input size")
     parser.add_argument("--target_models", type=str, nargs="+",
                         default=["vgg19", "densenet121", "vit_b_16"],
-                        choices=MODEL_CHOICES)
+                        help="zoo model names (see models/zoo.py list_models)")
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--attacks", type=str, nargs="+", default=["pgd"],
@@ -87,6 +84,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from ..models.zoo import list_models, model_meta
+
+    names = list(args.source_model) + list(args.target_models)
+    known = set(list_models())
+    unknown = [nm for nm in names if nm not in known]
+    if unknown:
+        print(f"error: unknown model(s) {unknown}; registered: "
+              f"{sorted(known)}", file=sys.stderr)
+        return 2
+    # every participating model sees the SAME pixel batch, so all input
+    # sizes must agree (224 ImageNet families, 32 CIFAR families)
+    sizes = {nm: int(model_meta(nm)["input_size"]) for nm in names}
+    if len(set(sizes.values())) != 1:
+        print(f"error: mixed input sizes {sizes}; transfer requires one "
+              "common size per run", file=sys.stderr)
+        return 2
+    input_size = next(iter(sizes.values()))
+
     print(f"Using device: {jax.devices()[0]}")
 
     image_paths = resolve_image_inputs(args.image_dir, args.image)
@@ -126,7 +142,7 @@ def main(argv=None) -> int:
         print(f"\nStreaming evaluation: {n} images in fixed chunks of "
               f"{max_batch} (constant memory)")
     else:
-        x = jnp.asarray(load_image_batch(image_paths))
+        x = jnp.asarray(load_image_batch(image_paths, size=input_size))
         n = x.shape[0]
     key = key_from_seed(args.seed)
 
@@ -181,6 +197,7 @@ def main(argv=None) -> int:
                     cell_record = stream_transfer_cell(
                         cell_fns[attack_name], image_paths, sub, float(eps),
                         list(target_fns), chunk_size=max_batch,
+                        size=input_size,
                         save_adv=_save_chunk if args.save_adv_images else None,
                     )
                     src_vec = np.asarray(cell_record["source_success"])
