@@ -75,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clean_weight", type=float, default=0.0,
                         help=">0 mixes clean CE into the objective")
     parser.add_argument("--objective", type=str, default="pgd-at",
-                        choices=["pgd-at", "trades", "mart", "free"],
+                        choices=["pgd-at", "trades", "mart", "free", "ibp"],
                         help="pgd-at: CE on PGD examples; trades: "
                              "CE(clean) + beta*KL(clean||adv); mart: "
                              "boosted CE(adv) + beta*(1-p_y(clean))*"
@@ -83,13 +83,24 @@ def build_parser() -> argparse.ArgumentParser:
                              "replay training (param update + FGSM "
                              "perturbation update per replay, "
                              "adversarial examples at ~natural-training "
-                             "cost — train ~epochs/replays passes)")
+                             "cost — train ~epochs/replays passes); ibp: "
+                             "certified training on closed-form interval "
+                             "bounds (Gowal et al. 2018; ibp_* models "
+                             "only — see cli/certify --method ibp)")
     parser.add_argument("--free_replays", type=positive_int, default=4,
                         help="free objective: replays per batch (m)")
     parser.add_argument("--trades_beta", type=float, default=6.0,
                         help="TRADES robustness/accuracy trade-off beta")
     parser.add_argument("--mart_beta", type=float, default=5.0,
                         help="MART misclassification-aware KL weight")
+    parser.add_argument("--ibp_ramp_steps", type=int, default=-1,
+                        help="ibp objective: optimizer steps over which "
+                             "eps ramps 0->--eps and kappa 1->--ibp_kappa "
+                             "(-1 = half the run's total steps; 0 = full "
+                             "eps from step 0)")
+    parser.add_argument("--ibp_kappa", type=float, default=0.5,
+                        help="ibp objective: final weight of the clean CE "
+                             "term after the ramp")
     parser.add_argument("--noise_sigma", type=float, default=0.0,
                         help=">0: Gaussian-noise training for randomized "
                              "smoothing (SmoothAdv inner attack + noisy CE; "
@@ -236,6 +247,9 @@ def main(argv=None) -> int:
         mart_beta=float(args.mart_beta),
         noise_sigma=float(args.noise_sigma),
         noise_samples=int(args.noise_samples),
+        ibp_ramp_steps=(total_steps // 2 if int(args.ibp_ramp_steps) < 0
+                        else int(args.ibp_ramp_steps)),
+        ibp_kappa=float(args.ibp_kappa),
         grad_accum=int(args.grad_accum),
         remat=bool(args.remat),
         ema_decay=float(args.ema_decay),
@@ -262,8 +276,25 @@ def main(argv=None) -> int:
         print("WARNING: --clean_weight is a PGD-AT flag; "
               f"{args.objective} already contains its own clean term "
               "and ignores it.")
-    make_step = {"trades": make_trades_step,
-                 "mart": make_mart_step}.get(args.objective, make_train_step)
+    if args.objective == "ibp":
+        if not hasattr(bundle.module, "spec"):
+            raise SystemExit(
+                f"--objective ibp needs a spec-driven model (ibp_cnn7 / "
+                f"ibp_tiny, models/ibp.py); --model {args.model} has no "
+                f"interval propagator")
+        if args.train_bn:
+            raise SystemExit("IBP nets are BN-free by construction "
+                             "(models/ibp.py); drop --train_bn")
+        from ..train.adversarial import make_ibp_step
+
+        ibp_spec = bundle.module.spec
+
+        def make_step(config, mean, std):
+            return make_ibp_step(config, ibp_spec, mean, std)
+    else:
+        make_step = {"trades": make_trades_step,
+                     "mart": make_mart_step}.get(args.objective,
+                                                 make_train_step)
     if args.objective == "free":
         # the free step has an extra carried input/output (the shared
         # perturbation, persisted across batches per the paper); adapt it
@@ -291,6 +322,19 @@ def main(argv=None) -> int:
         robust_eval = jax.jit(make_robust_eval_step(
             int(args.eval_attack_steps), float(args.eps), float(args.alpha),
             bundle.mean, bundle.std, use_ema=float(args.ema_decay) > 0.0))
+    verified_eval = None
+    if args.objective == "ibp":
+        # per-epoch CERTIFIED accuracy at the full target eps on the held
+        # slice (the training metric's eps is still ramping)
+        from ..defenses.ibp import logit_bounds, verified_margin
+
+        @jax.jit
+        def verified_eval(state, x, y):
+            lo, hi = logit_bounds(state.params, ibp_spec, x,
+                                  jnp.float32(args.eps),
+                                  bundle.mean, bundle.std)
+            return jnp.mean(
+                (verified_margin(lo, hi, y) > 0.0).astype(jnp.float32))
 
     out = Path(args.out) if args.out else (
         Path("weights") / f"{args.model}_robust.msgpack")
@@ -343,6 +387,11 @@ def main(argv=None) -> int:
                              jax.random.fold_in(key0, 10_000_019 + epoch))
             robust_note = (f" robust_acc@pgd{int(args.eval_attack_steps)}="
                            f"{float(rv['robust_accuracy']):.3f}")
+        if verified_eval is not None:
+            va = verified_eval(state, jnp.asarray(eval_x),
+                               jnp.asarray(eval_y))
+            robust_note += (f" verified_acc@{float(args.eps):.4g}="
+                            f"{float(va):.3f}")
         print(f"epoch {epoch + 1}/{args.epochs}: "
               f"loss={float(metrics['loss']):.4f} "
               f"adv_acc={float(metrics['adv_accuracy']):.3f} "

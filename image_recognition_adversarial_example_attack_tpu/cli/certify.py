@@ -34,9 +34,21 @@ from .common import (add_model_args, model_input_size, load_bundle, make_fns, ma
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Certified L2 robustness via randomized smoothing")
+        description="Certified robustness: randomized smoothing (L2) or "
+                    "interval bound propagation (L-inf)")
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
+    parser.add_argument("--method", type=str, default="smoothing",
+                        choices=["smoothing", "ibp"],
+                        help="smoothing: Monte-Carlo L2 certificates "
+                             "(Cohen et al.); ibp: deterministic L-inf "
+                             "certificates from closed-form interval "
+                             "bounds (Gowal et al.; ibp_* models only)")
+    parser.add_argument("--eps_list", type=float, nargs="+",
+                        default=[2 / 255, 8 / 255],
+                        help="ibp method: L-inf radii to certify (eps is a "
+                             "traced scalar — the whole sweep shares ONE "
+                             "compiled program)")
     parser.add_argument("--sigma", type=float, default=0.25,
                         help="Gaussian noise scale in [0,1] pixel units")
     parser.add_argument("--n0", type=int, default=32,
@@ -67,9 +79,76 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _main_ibp(args) -> int:
+    """Deterministic L-inf certification: one interval forward per
+    (batch, eps) — no sampling, no abstention, exact by construction."""
+    paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
+    x_np, kept = load_image_batch_tolerant(paths, size=model_input_size(args))
+    if not kept:
+        raise SystemExit("no loadable images")
+    bundle = load_bundle(args)
+    if not hasattr(bundle.module, "spec"):
+        raise SystemExit(
+            f"--method ibp needs a spec-driven model (ibp_cnn7 / ibp_tiny, "
+            f"models/ibp.py); --model {args.model} has no interval "
+            f"propagator")
+    from ..defenses.ibp import make_verify_fn
+
+    verify = jax.jit(make_verify_fn(
+        bundle.variables["params"], bundle.module.spec,
+        bundle.mean, bundle.std))
+    logits_fn, _ = make_fns(bundle)
+    x = jnp.asarray(x_np)
+    with maybe_profile(args.profile_dir):
+        base_pred = jax.device_get(
+            jax.jit(lambda xx: jnp.argmax(logits_fn(xx), axis=-1))(x))
+        y_eval = resolve_labels(args.labels_json, kept, base_pred)
+        if args.labels_json:
+            from .common import check_label_range, n_classes_of
+
+            check_label_range(np.asarray(y_eval),
+                              n_classes_of(logits_fn, int(x.shape[1])))
+        y = jnp.asarray(np.asarray(y_eval, np.int32))
+        sweeps = []
+        for eps in [float(e) for e in args.eps_list]:
+            t0 = time.perf_counter()
+            out = jax.device_get(verify(x, y, jnp.float32(eps)))
+            dt = time.perf_counter() - t0
+            verified = np.asarray(out["verified"])
+            correct = np.asarray(out["correct"])
+            margin = np.asarray(out["margin"])
+            print(f"eps={eps:.6g}: verified_acc={verified.mean():.3f} "
+                  f"clean_acc={correct.mean():.3f} "
+                  f"({len(kept)} images, {dt:.1f}s)")
+            results = []
+            for i, p in enumerate(kept):
+                print(f"  {Path(p).name}: pred={int(base_pred[i])} "
+                      f"{'VERIFIED' if verified[i] else 'not verified'} "
+                      f"(margin={margin[i]:.4f})")
+                results.append({
+                    "image": str(p),
+                    "base_prediction": int(base_pred[i]),
+                    "label": int(y_eval[i]),
+                    "verified": bool(verified[i]),
+                    "margin": float(margin[i]),
+                })
+            sweeps.append({"eps": eps,
+                           "verified_accuracy": float(verified.mean()),
+                           "clean_accuracy": float(correct.mean()),
+                           "results": results})
+    out_path = Path(args.output)
+    out_path.write_text(json.dumps(
+        {"method": "ibp", "model": args.model, "sweeps": sweeps}, indent=2))
+    print(f"Wrote {out_path}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
+
+    if args.method == "ibp":
+        return _main_ibp(args)
 
     paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
     x_np, kept = load_image_batch_tolerant(

@@ -17,3 +17,6 @@ from .randomization import (random_resize_pad, resize_pad,
                             resize_pad_transform)
 from .tv import total_variation, tv_minimize, tv_transform
 from .smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
+from .ibp import (interval_propagate, logit_bounds, make_verify_fn,
+                  pixel_bounds, spec_forward, verified_margin,
+                  worst_case_logits)

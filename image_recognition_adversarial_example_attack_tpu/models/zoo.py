@@ -99,6 +99,12 @@ register_lazy("preact_resnet18", ".preactresnet", "preact_resnet18")
 # inputs consumed in raw [0,1] (identity normalization), mirroring
 # resnet50_robust (reference defense_experiments.py:674-686,765-767).
 register_lazy("wrn28_10_robust", ".wideresnet", "wrn28_10")
+# Certified family: plain conv/relu/dense stacks whose worst-case logits
+# under an L-inf ball are bounded in closed form (models/ibp.py,
+# defenses/ibp.py) — trainable with cli/adversarial_train --objective ibp,
+# certified with cli/certify --method ibp.
+register_lazy("ibp_cnn7", ".ibp", "ibp_cnn7")
+register_lazy("ibp_tiny", ".ibp", "ibp_tiny")
 
 
 # Per-model defaults beyond the ImageNet-224 convention.  Keys:
@@ -115,6 +121,15 @@ _META: dict[str, dict] = {
     "wrn28_10_robust": {"input_size": 32,
                         "mean": np.zeros(3, np.float32),
                         "std": np.ones(3, np.float32)},
+    # IBP nets consume raw [0,1] pixels (the IBP literature's setting);
+    # identity normalization keeps the certified eps in pixel units, the
+    # same convention as the robust arms above.
+    "ibp_cnn7": {"input_size": 32,
+                 "mean": np.zeros(3, np.float32),
+                 "std": np.ones(3, np.float32)},
+    "ibp_tiny": {"input_size": 32,
+                 "mean": np.zeros(3, np.float32),
+                 "std": np.ones(3, np.float32)},
 }
 
 

@@ -93,6 +93,16 @@ class AdvTrainConfig:
     # inference-mode model.  Off (default) = frozen running stats, the
     # robust FINE-TUNING setting.
     train_bn: bool = False
+    # IBP certified training (make_ibp_step; Gowal et al. 2018): the loss
+    # is kappa_t*CE(clean) + (1-kappa_t)*CE(worst-case logits at eps_t),
+    # with eps_t ramped 0 -> eps and kappa_t ramped 1 -> ibp_kappa over
+    # the first ibp_ramp_steps optimizer steps (the standard warm-up that
+    # keeps early training from collapsing under vacuous bounds).  The
+    # ramp rides state.step INSIDE the jitted program, so one compiled
+    # step serves the whole schedule and checkpoint resume continues it
+    # exactly.  ibp_ramp_steps=0 trains at full eps from step 0.
+    ibp_ramp_steps: int = 0
+    ibp_kappa: float = 0.5
     # >0: maintain an exponential moving average of the parameters
     # (theta_ema <- d*theta_ema + (1-d)*theta after every optimizer step,
     # initialized AT the initial parameters so no bias correction is
@@ -550,6 +560,72 @@ def make_mart_step(config: AdvTrainConfig,
             "weighted_kl": reg,
             "adv_accuracy": jnp.mean(
                 (jnp.argmax(adv_logits, -1) == y).astype(jnp.float32)),
+        }
+        return grads, metrics
+
+    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+
+    def step(state: TrainState, x01, y, key):
+        return _finish_step(state, *grads_full(state, x01, y, key),
+                            ema_decay=config.ema_decay)
+
+    return step
+
+
+def make_ibp_step(config: AdvTrainConfig, spec: tuple,
+                  mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """IBP certified training (Gowal et al. 2018): one fused step of
+    ``kappa_t*CE(clean) + (1-kappa_t)*CE(worst-case logits at eps_t)``.
+
+    Unlike the PGD objectives there is no inner maximization at all — the
+    adversary is the closed-form interval bound (defenses/ibp.py), so a
+    step is ~3 forwards' worth of MXU work (clean + midpoint + radius)
+    plus one parameter backward, all in ONE XLA program.  ``spec`` is the
+    model's layer-descriptor tuple (models/ibp.py); the eps/kappa ramp is
+    a function of ``state.step`` inside the program, so the whole schedule
+    compiles once and survives checkpoint resume.  ``key`` is accepted for
+    the uniform objective signature but unused (IBP is deterministic).
+    """
+    from ..defenses.ibp import (logit_bounds, spec_forward,
+                                verified_margin, worst_case_logits)
+
+    ramp_steps = max(int(config.ibp_ramp_steps), 0)
+
+    def grads_fn(state: TrainState, x01, y, key):
+        del key
+        step = state.step.astype(jnp.float32)
+        ramp = (jnp.clip(step / ramp_steps, 0.0, 1.0) if ramp_steps > 0
+                else jnp.float32(1.0))
+        eps_t = jnp.float32(config.eps) * ramp
+        kappa_t = 1.0 - (1.0 - jnp.float32(config.ibp_kappa)) * ramp
+
+        def total_loss(params):
+            def bounds(p):
+                return logit_bounds(p, spec, x01, eps_t, mean, std)
+
+            lo, hi = (jax.checkpoint(bounds)(params) if config.remat
+                      else bounds(params))
+            clean = spec_forward(
+                params, spec,
+                normalize_batch(x01.astype(jnp.float32), mean, std))
+            loss = (kappa_t * _ce_loss(clean, y, config.label_smoothing)
+                    + (1.0 - kappa_t)
+                    * _ce_loss(worst_case_logits(lo, hi, y), y,
+                               config.label_smoothing))
+            return loss, (clean, lo, hi)
+
+        (loss, (clean, lo, hi)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(state.params)
+        metrics = {
+            "loss": loss,
+            # verified accuracy at the CURRENT ramp eps: converges to the
+            # target-eps verified accuracy once the ramp completes
+            "adv_accuracy": jnp.mean(
+                (verified_margin(lo, hi, y) > 0.0).astype(jnp.float32)),
+            "clean_accuracy": jnp.mean(
+                (jnp.argmax(clean, -1) == y).astype(jnp.float32)),
+            "ibp_eps": eps_t,
+            "ibp_kappa": kappa_t,
         }
         return grads, metrics
 
