@@ -75,7 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clean_weight", type=float, default=0.0,
                         help=">0 mixes clean CE into the objective")
     parser.add_argument("--objective", type=str, default="pgd-at",
-                        choices=["pgd-at", "trades", "mart", "free", "ibp"],
+                        choices=["pgd-at", "trades", "mart", "free", "ibp",
+                                 "crown-ibp"],
                         help="pgd-at: CE on PGD examples; trades: "
                              "CE(clean) + beta*KL(clean||adv); mart: "
                              "boosted CE(adv) + beta*(1-p_y(clean))*"
@@ -86,7 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "cost — train ~epochs/replays passes); ibp: "
                              "certified training on closed-form interval "
                              "bounds (Gowal et al. 2018; ibp_* models "
-                             "only — see cli/certify --method ibp)")
+                             "only — see cli/certify --method ibp); "
+                             "crown-ibp: certified training on backward "
+                             "linear bounds mixed with IBP via a ramped "
+                             "beta (Zhang et al. 2020; tighter early "
+                             "signal, same models)")
     parser.add_argument("--free_replays", type=positive_int, default=4,
                         help="free objective: replays per batch (m)")
     parser.add_argument("--trades_beta", type=float, default=6.0,
@@ -101,6 +106,21 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ibp_kappa", type=float, default=0.5,
                         help="ibp objective: final weight of the clean CE "
                              "term after the ramp")
+    parser.add_argument("--ibp_final_beta", type=float, default=0.0,
+                        help="crown-ibp objective: final CROWN weight in "
+                             "the beta_t*CROWN + (1-beta_t)*IBP margin mix "
+                             "(beta ramps 1 -> this over --ibp_ramp_steps; "
+                             "0 = the paper's recipe, ending on pure IBP)")
+    parser.add_argument("--augment", type=str, default="none",
+                        choices=["none", "crop-flip"],
+                        help="crop-flip: 4-pixel-pad random crop + "
+                             "horizontal flip inside the compiled step "
+                             "(the standard from-scratch CIFAR AT recipe; "
+                             "Madry et al. 2018) — augment, THEN attack")
+    parser.add_argument("--cutout", type=int, default=0,
+                        help=">0: additionally zero one NxN square per "
+                             "image (DeVries & Taylor 2017; composes with "
+                             "--augment)")
     parser.add_argument("--noise_sigma", type=float, default=0.0,
                         help=">0: Gaussian-noise training for randomized "
                              "smoothing (SmoothAdv inner attack + noisy CE; "
@@ -250,6 +270,11 @@ def main(argv=None) -> int:
         ibp_ramp_steps=(total_steps // 2 if int(args.ibp_ramp_steps) < 0
                         else int(args.ibp_ramp_steps)),
         ibp_kappa=float(args.ibp_kappa),
+        ibp_bound="crown" if args.objective == "crown-ibp" else "ibp",
+        ibp_final_beta=float(args.ibp_final_beta),
+        aug_pad=4 if args.augment == "crop-flip" else 0,
+        aug_flip=args.augment == "crop-flip",
+        aug_cutout=int(args.cutout),
         grad_accum=int(args.grad_accum),
         remat=bool(args.remat),
         ema_decay=float(args.ema_decay),
@@ -276,12 +301,12 @@ def main(argv=None) -> int:
         print("WARNING: --clean_weight is a PGD-AT flag; "
               f"{args.objective} already contains its own clean term "
               "and ignores it.")
-    if args.objective == "ibp":
+    if args.objective in ("ibp", "crown-ibp"):
         if not hasattr(bundle.module, "spec"):
             raise SystemExit(
-                f"--objective ibp needs a spec-driven model (ibp_cnn7 / "
-                f"ibp_tiny, models/ibp.py); --model {args.model} has no "
-                f"interval propagator")
+                f"--objective {args.objective} needs a spec-driven model "
+                f"(ibp_cnn7 / ibp_tiny, models/ibp.py); --model "
+                f"{args.model} has no interval propagator")
         if args.train_bn:
             raise SystemExit("IBP nets are BN-free by construction "
                              "(models/ibp.py); drop --train_bn")
@@ -323,18 +348,29 @@ def main(argv=None) -> int:
             int(args.eval_attack_steps), float(args.eps), float(args.alpha),
             bundle.mean, bundle.std, use_ema=float(args.ema_decay) > 0.0))
     verified_eval = None
-    if args.objective == "ibp":
+    if args.objective in ("ibp", "crown-ibp"):
         # per-epoch CERTIFIED accuracy at the full target eps on the held
-        # slice (the training metric's eps is still ramping)
-        from ..defenses.ibp import logit_bounds, verified_margin
+        # slice (the training metric's eps is still ramping); the
+        # crown-ibp objective certifies with its own tighter bound
+        if args.objective == "crown-ibp":
+            from ..defenses.crown_ibp import crown_ibp_margin
 
-        @jax.jit
-        def verified_eval(state, x, y):
-            lo, hi = logit_bounds(state.params, ibp_spec, x,
-                                  jnp.float32(args.eps),
-                                  bundle.mean, bundle.std)
-            return jnp.mean(
-                (verified_margin(lo, hi, y) > 0.0).astype(jnp.float32))
+            @jax.jit
+            def verified_eval(state, x, y):
+                m = crown_ibp_margin(state.params, ibp_spec, x, y,
+                                     jnp.float32(args.eps),
+                                     bundle.mean, bundle.std)
+                return jnp.mean((m > 0.0).astype(jnp.float32))
+        else:
+            from ..defenses.ibp import logit_bounds, verified_margin
+
+            @jax.jit
+            def verified_eval(state, x, y):
+                lo, hi = logit_bounds(state.params, ibp_spec, x,
+                                      jnp.float32(args.eps),
+                                      bundle.mean, bundle.std)
+                return jnp.mean(
+                    (verified_margin(lo, hi, y) > 0.0).astype(jnp.float32))
 
     out = Path(args.out) if args.out else (
         Path("weights") / f"{args.model}_robust.msgpack")

@@ -39,11 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--image", type=str, default="example.jpg")
     parser.add_argument("--method", type=str, default="smoothing",
-                        choices=["smoothing", "ibp"],
+                        choices=["smoothing", "ibp", "crown-ibp"],
                         help="smoothing: Monte-Carlo L2 certificates "
                              "(Cohen et al.); ibp: deterministic L-inf "
                              "certificates from closed-form interval "
-                             "bounds (Gowal et al.; ibp_* models only)")
+                             "bounds (Gowal et al.; ibp_* models only); "
+                             "crown-ibp: tighter L-inf certificates via a "
+                             "backward linear bound over IBP intermediates "
+                             "(Zhang et al. 2020 — never worse than ibp)")
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=[2 / 255, 8 / 255],
                         help="ibp method: L-inf radii to certify (eps is a "
@@ -89,12 +92,15 @@ def _main_ibp(args) -> int:
     bundle = load_bundle(args)
     if not hasattr(bundle.module, "spec"):
         raise SystemExit(
-            f"--method ibp needs a spec-driven model (ibp_cnn7 / ibp_tiny, "
-            f"models/ibp.py); --model {args.model} has no interval "
-            f"propagator")
-    from ..defenses.ibp import make_verify_fn
+            f"--method {args.method} needs a spec-driven model (ibp_cnn7 / "
+            f"ibp_tiny, models/ibp.py); --model {args.model} has no "
+            f"interval propagator")
+    if args.method == "crown-ibp":
+        from ..defenses.crown_ibp import make_crown_verify_fn as _make_verify
+    else:
+        from ..defenses.ibp import make_verify_fn as _make_verify
 
-    verify = jax.jit(make_verify_fn(
+    verify = jax.jit(_make_verify(
         bundle.variables["params"], bundle.module.spec,
         bundle.mean, bundle.std))
     logits_fn, _ = make_fns(bundle)
@@ -138,7 +144,8 @@ def _main_ibp(args) -> int:
                            "results": results})
     out_path = Path(args.output)
     out_path.write_text(json.dumps(
-        {"method": "ibp", "model": args.model, "sweeps": sweeps}, indent=2))
+        {"method": args.method, "model": args.model, "sweeps": sweeps},
+        indent=2))
     print(f"Wrote {out_path}")
     return 0
 
@@ -147,7 +154,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
-    if args.method == "ibp":
+    if args.method in ("ibp", "crown-ibp"):
         return _main_ibp(args)
 
     paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)

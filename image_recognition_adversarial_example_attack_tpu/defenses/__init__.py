@@ -20,3 +20,5 @@ from .smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
 from .ibp import (interval_propagate, logit_bounds, make_verify_fn,
                   pixel_bounds, spec_forward, verified_margin,
                   worst_case_logits)
+from .crown_ibp import (crown_backward_bound, crown_ibp_margin,
+                        interval_trace, make_crown_verify_fn)

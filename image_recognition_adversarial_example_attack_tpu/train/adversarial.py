@@ -103,6 +103,23 @@ class AdvTrainConfig:
     # exactly.  ibp_ramp_steps=0 trains at full eps from step 0.
     ibp_ramp_steps: int = 0
     ibp_kappa: float = 0.5
+    # 'crown' switches the certified objective to CROWN-IBP (Zhang et
+    # al. 2020): the robust CE runs on margins mixed as
+    # ``beta_t*CROWN + (1-beta_t)*IBP`` with beta_t ramped 1 ->
+    # ibp_final_beta over the same ibp_ramp_steps schedule (the paper's
+    # recipe: tight backward bounds guide early training, pure IBP
+    # — final_beta 0 — takes over for the deployed certificate).
+    ibp_bound: str = "ibp"
+    ibp_final_beta: float = 0.0
+    # Input augmentation (train/augment.py), applied to the clean batch
+    # INSIDE the compiled step before the inner maximization (augment ->
+    # attack -> update, the standard AT order): aug_pad>0 = zero-pad +
+    # random crop, aug_flip = horizontal flip p=0.5, aug_cutout>0 = one
+    # zeroed square per image.  All-off (default) is bitwise identical
+    # to the pre-augmentation step (no extra key split).
+    aug_pad: int = 0
+    aug_flip: bool = False
+    aug_cutout: int = 0
     # >0: maintain an exponential moving average of the parameters
     # (theta_ema <- d*theta_ema + (1-d)*theta after every optimizer step,
     # initialized AT the initial parameters so no bias correction is
@@ -212,6 +229,31 @@ def _finish_step(state: TrainState, grads, metrics, ema_decay: float = 0.0):
     # on the AVERAGED gradient — the one the optimizer actually consumes
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
+
+
+def _augment_fn(config: AdvTrainConfig):
+    """The step's augmentation callable (or None when the policy is empty)."""
+    from .augment import AugmentConfig, make_augment_fn
+
+    return make_augment_fn(AugmentConfig(pad=int(config.aug_pad),
+                                         flip=bool(config.aug_flip),
+                                         cutout=int(config.aug_cutout)))
+
+
+def _with_augment(grads_fn, config: AdvTrainConfig):
+    """Lift ``grads_fn(state, x01, y, key)`` to augment the FULL batch
+    first (before any grad-accum micro-batching), inside the same compiled
+    program.  With an empty policy this returns ``grads_fn`` unchanged —
+    no key split, so disabled augmentation is bitwise-identical."""
+    augment = _augment_fn(config)
+    if augment is None:
+        return grads_fn
+
+    def fn(state, x01, y, key):
+        k_aug, key = jax.random.split(key)
+        return grads_fn(state, augment(k_aug, x01), y, key)
+
+    return fn
 
 
 def _with_grad_accum(grads_fn, accum: int):
@@ -364,7 +406,8 @@ def make_train_step(config: AdvTrainConfig,
         }
         return grads, metrics
 
-    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+    grads_full = _with_augment(
+        _with_grad_accum(grads_fn, int(config.grad_accum)), config)
 
     def step(state: TrainState, x01, y, key):
         # optimizer update (XLA fuses; grads psum'd by pjit when sharded)
@@ -396,9 +439,15 @@ def make_free_step(config: AdvTrainConfig,
                          "grad_accum does not compose with it")
     apply_logits = _make_apply_logits(config, mean, std)
     m = max(1, int(config.free_replays))
+    augment = _augment_fn(config)
 
     def step(state: TrainState, x01, y, key, delta):
-        del key  # deterministic: the carried perturbation IS the state
+        if augment is not None:
+            # augment once per BATCH (not per replay) — the carried
+            # perturbation keeps chasing one fixed view across replays
+            x01 = augment(key, x01)
+        else:
+            del key  # deterministic: the carried perturbation IS the state
 
         def replay(carry, _):
             st, d = carry
@@ -493,7 +542,8 @@ def make_trades_step(config: AdvTrainConfig,
         }
         return grads, metrics
 
-    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+    grads_full = _with_augment(
+        _with_grad_accum(grads_fn, int(config.grad_accum)), config)
 
     def step(state: TrainState, x01, y, key):
         # 3) optimizer update
@@ -563,7 +613,8 @@ def make_mart_step(config: AdvTrainConfig,
         }
         return grads, metrics
 
-    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+    grads_full = _with_augment(
+        _with_grad_accum(grads_fn, int(config.grad_accum)), config)
 
     def step(state: TrainState, x01, y, key):
         return _finish_step(state, *grads_full(state, x01, y, key),
@@ -590,6 +641,9 @@ def make_ibp_step(config: AdvTrainConfig, spec: tuple,
                                 verified_margin, worst_case_logits)
 
     ramp_steps = max(int(config.ibp_ramp_steps), 0)
+    use_crown = config.ibp_bound == "crown"
+    if config.ibp_bound not in ("ibp", "crown"):
+        raise ValueError(f"unknown ibp_bound '{config.ibp_bound}'")
 
     def grads_fn(state: TrainState, x01, y, key):
         del key
@@ -600,28 +654,47 @@ def make_ibp_step(config: AdvTrainConfig, spec: tuple,
         kappa_t = 1.0 - (1.0 - jnp.float32(config.ibp_kappa)) * ramp
 
         def total_loss(params):
-            def bounds(p):
-                return logit_bounds(p, spec, x01, eps_t, mean, std)
-
-            lo, hi = (jax.checkpoint(bounds)(params) if config.remat
-                      else bounds(params))
             clean = spec_forward(
                 params, spec,
                 normalize_batch(x01.astype(jnp.float32), mean, std))
+            if use_crown:
+                from ..defenses.crown_ibp import margin_spec_bounds
+
+                def bounds(p):
+                    return margin_spec_bounds(p, spec, x01, y, eps_t,
+                                              mean, std)
+
+                crown, ibp = (jax.checkpoint(bounds)(params) if config.remat
+                              else bounds(params))
+                beta_t = 1.0 - (1.0 - jnp.float32(config.ibp_final_beta)) * ramp
+                mixed = beta_t * crown + (1.0 - beta_t) * ibp  # [B, n]
+                # CE on pseudo-logits -m (column y is exactly 0): the
+                # margin formulation of Gowal's worst-case CE, shared by
+                # both bounds (CE is shift-invariant per row)
+                robust_logits = -mixed
+                n = mixed.shape[-1]
+                mask = jax.nn.one_hot(y, n, dtype=jnp.bool_)
+                margin = jnp.min(jnp.where(mask, jnp.inf, mixed), axis=-1)
+            else:
+                def bounds(p):
+                    return logit_bounds(p, spec, x01, eps_t, mean, std)
+
+                lo, hi = (jax.checkpoint(bounds)(params) if config.remat
+                          else bounds(params))
+                robust_logits = worst_case_logits(lo, hi, y)
+                margin = verified_margin(lo, hi, y)
             loss = (kappa_t * _ce_loss(clean, y, config.label_smoothing)
                     + (1.0 - kappa_t)
-                    * _ce_loss(worst_case_logits(lo, hi, y), y,
-                               config.label_smoothing))
-            return loss, (clean, lo, hi)
+                    * _ce_loss(robust_logits, y, config.label_smoothing))
+            return loss, (clean, margin)
 
-        (loss, (clean, lo, hi)), grads = jax.value_and_grad(
+        (loss, (clean, margin)), grads = jax.value_and_grad(
             total_loss, has_aux=True)(state.params)
         metrics = {
             "loss": loss,
             # verified accuracy at the CURRENT ramp eps: converges to the
             # target-eps verified accuracy once the ramp completes
-            "adv_accuracy": jnp.mean(
-                (verified_margin(lo, hi, y) > 0.0).astype(jnp.float32)),
+            "adv_accuracy": jnp.mean((margin > 0.0).astype(jnp.float32)),
             "clean_accuracy": jnp.mean(
                 (jnp.argmax(clean, -1) == y).astype(jnp.float32)),
             "ibp_eps": eps_t,
@@ -629,7 +702,8 @@ def make_ibp_step(config: AdvTrainConfig, spec: tuple,
         }
         return grads, metrics
 
-    grads_full = _with_grad_accum(grads_fn, int(config.grad_accum))
+    grads_full = _with_augment(
+        _with_grad_accum(grads_fn, int(config.grad_accum)), config)
 
     def step(state: TrainState, x01, y, key):
         return _finish_step(state, *grads_full(state, x01, y, key),
