@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cw_c", type=float, default=DEFAULT_CW_C)
     parser.add_argument("--output_dir", type=str, default="./attack_visualization")
     parser.add_argument("--save_images", action="store_true")
+    parser.add_argument("--gradcam", action="store_true",
+                        help="also emit gradcam_attack.png: Grad-CAM "
+                             "attention maps of the clean vs adversarial "
+                             "prediction per attack, with the attention-"
+                             "shift IoU (conv models; eval/explain.py)")
     add_model_args(parser)
     return parser
 
@@ -131,6 +136,44 @@ def main(argv=None) -> int:
                                output_dir / "perturbation_analysis.png")
     print(f"  saved: {output_dir / 'perturbation_analysis.png'}")
 
+    cam_report: dict[str, float] = {}
+    if args.gradcam:
+        from ..eval.explain import cam_shift_iou, make_gradcam_fn, upsample_cam
+
+        try:
+            input_dtype = (bundle.module.dtype
+                           if bundle.module.dtype != jnp.float32 else None)
+            gradcam_fn = make_gradcam_fn(bundle.module, bundle.variables,
+                                         bundle.mean, bundle.std,
+                                         input_dtype=input_dtype)
+        except ValueError as exc:
+            print(f"  gradcam skipped: {exc}")
+        else:
+            height, width = x.shape[1], x.shape[2]
+            cam_up = jax.jit(
+                lambda xx, yy: upsample_cam(gradcam_fn(xx, yy), height, width))
+            iou_fn = jax.jit(cam_shift_iou)
+            cam_clean = cam_up(x, y)
+            cam_results = {}
+            for attack_name, r in results.items():
+                x_adv = jnp.asarray(r["x_adv"])
+                y_adv = jnp.asarray([r["pred_adv"][0]], jnp.int32)
+                cam_adv = cam_up(x_adv, y_adv)
+                iou = float(iou_fn(cam_clean, cam_adv)[0])
+                cam_report[attack_name] = iou
+                cam_results[attack_name] = {
+                    "x_adv": r["x_adv"][0],
+                    "cam_clean": np.asarray(cam_clean)[0],
+                    "cam_adv": np.asarray(cam_adv)[0],
+                    "pred_clean": r["pred_clean"],
+                    "pred_adv": r["pred_adv"],
+                    "cam_iou": iou,
+                }
+            from ..viz.plots import plot_gradcam_panel
+            plot_gradcam_panel(x_np, cam_results,
+                               output_dir / "gradcam_attack.png")
+            print(f"  saved: {output_dir / 'gradcam_attack.png'}")
+
     # metric block (reference print layout, ":564-584")
     print("\nQuantitative metrics:")
     print("-" * 80)
@@ -182,6 +225,8 @@ def main(argv=None) -> int:
                 "confidence": float(r["pred_adv"][2]),
                 "success": bool(clean_id != r["pred_adv"][0]),
                 "metrics": metrics_cache[name],
+                **({"gradcam_iou": cam_report[name]}
+                   if name in cam_report else {}),
             }
             for name, r in results.items()
         },

@@ -121,6 +121,18 @@ class PreActResNet(nn.Module):
         (defenses/detector.py), same convention as resnet.py."""
         return self._run_stages(x, 3).astype(jnp.float32)
 
+    def features_last(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Last conv activation (post bn+relu, pre-GAP), the Grad-CAM tap
+        (eval/explain.py): ``__call__`` == head_from_features ∘ features_last."""
+        x = self._run_stages(x, len(self.stage_sizes))
+        x = nn.relu(self.bn(x))
+        return x.astype(jnp.float32)
+
+    def head_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B,h,w,C] -> logits: the GAP+linear tail of ``__call__``."""
+        x = jnp.mean(feats.astype(self.dtype), axis=(1, 2))
+        return self.linear(x).astype(jnp.float32)
+
 
 def preact_resnet18(num_classes: int = 10, dtype: Any = jnp.float32,
                     int8: bool = False) -> PreActResNet:

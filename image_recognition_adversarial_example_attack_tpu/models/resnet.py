@@ -163,6 +163,24 @@ class ResNet(nn.Module):
         x = self._run_stages(x, 3)
         return x.astype(jnp.float32)
 
+    def features_last(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Last convolutional activation map (after stage 4), NHWC float32.
+
+        The Grad-CAM tap (eval/explain.py): ``__call__`` is exactly
+        ``head_from_features(features_last(x))``, so gradients of a class
+        logit w.r.t. this map are well-defined through the split.
+        """
+        x = self.stem(x)
+        x = self._run_stages(x, len(self.stage_sizes))
+        return x.astype(jnp.float32)
+
+    def head_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B,h,w,C] last-conv map -> [B,num_classes] logits (the GAP+fc
+        tail of ``__call__``)."""
+        x = jnp.mean(feats.astype(self.dtype), axis=(1, 2))
+        x = self.fc(x)
+        return x.astype(jnp.float32)
+
 
 def resnet50(num_classes: int = 1000, dtype: Any = jnp.float32,
              int8: bool = False) -> ResNet:

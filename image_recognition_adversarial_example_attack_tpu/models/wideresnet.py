@@ -139,6 +139,18 @@ class WideResNet(nn.Module):
         the WRN analog of ResNet's stage-3 tap (defenses/detector.py)."""
         return self._run_groups(x, 2).astype(jnp.float32)
 
+    def features_last(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Last conv activation (post bn1+relu, pre-GAP), the Grad-CAM tap
+        (eval/explain.py): ``__call__`` == head_from_features ∘ features_last."""
+        x = self._run_groups(x, 3)
+        x = nn.relu(self.bn1(x))
+        return x.astype(jnp.float32)
+
+    def head_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B,h,w,C] -> logits: the GAP+fc tail of ``__call__``."""
+        x = jnp.mean(feats.astype(self.dtype), axis=(1, 2))
+        return self.fc(x).astype(jnp.float32)
+
 
 def wrn28_10(num_classes: int = 10, dtype: Any = jnp.float32,
              int8: bool = False) -> WideResNet:

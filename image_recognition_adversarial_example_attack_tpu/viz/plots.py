@@ -524,3 +524,57 @@ def plot_robust_accuracy(rows: Sequence[Mapping], out_path: Path) -> None:
     fig.tight_layout()
     fig.savefig(out_path, dpi=_DPI)
     plt.close(fig)
+
+
+def plot_gradcam_panel(
+    x_clean: np.ndarray,
+    results: Mapping[str, Mapping],
+    save_path: Path,
+) -> None:
+    """Grad-CAM attention-shift panel (beyond-reference extension; see
+    eval/explain.py).  One row per attack: clean image, clean-prediction
+    CAM overlay, adversarial-prediction CAM overlay, |CAM shift| map.
+
+    ``results[attack]`` needs: ``x_adv`` [H,W,3], ``cam_clean`` /
+    ``cam_adv`` [H,W] (already upsampled, [0,1]), ``pred_clean`` /
+    ``pred_adv`` (id, name, prob) and ``cam_iou`` float.
+
+    Overlays keep the house rules: the CAM rides the perceptually-uniform
+    intensity ramp (_CMAP_HEAT) at fixed alpha — never a red-green ramp —
+    and panel semantics carry the annotation (IoU in the row banner), not
+    color tricks.
+    """
+    _ensure_dir(Path(save_path))
+    n_rows = len(results)
+    fig = plt.figure(figsize=(4 * 4, 4 * n_rows))
+
+    for idx, (attack_name, r) in enumerate(results.items()):
+        x_adv = np.asarray(r["x_adv"])
+        cam_clean = np.asarray(r["cam_clean"])
+        cam_adv = np.asarray(r["cam_adv"])
+        clean_name = r["pred_clean"][1]
+        adv_name = r["pred_adv"][1]
+
+        banner = (f"{attack_name.upper()} — attention IoU "
+                  f"{float(r['cam_iou']):.3f}")
+        panels = (
+            (np.clip(x_clean, 0, 1), None, f"{banner}\nClean input"),
+            (np.clip(x_clean, 0, 1), cam_clean, f"\nCAM: {clean_name}"),
+            (np.clip(x_adv, 0, 1), cam_adv, f"\nAdv CAM: {adv_name}"),
+            (None, np.abs(cam_adv - cam_clean), "\n|CAM shift|"),
+        )
+        for col, (img, cam, title) in enumerate(panels, start=1):
+            ax = plt.subplot(n_rows, 4, idx * 4 + col)
+            if img is not None:
+                ax.imshow(img)
+            if cam is not None:
+                ax.imshow(cam, cmap=_CMAP_HEAT, vmin=0.0, vmax=1.0,
+                          alpha=0.55 if img is not None else 1.0)
+            # two-line titles carry the per-row banner in-axes (floating
+            # fig.text banners collide with titles on multi-row grids)
+            ax.set_title(title, fontsize=11, loc="left")
+            ax.axis("off")
+
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=_DPI, bbox_inches="tight")
+    plt.close()

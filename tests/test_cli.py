@@ -132,17 +132,19 @@ def test_visualize_cli(image_dir, tmp_path, capsys):
 
     out_dir = tmp_path / "vizres"
     rc = main(["--image", str(image_dir / "img_0.jpg"), "--model", "resnet_tiny",
-               "--steps", "3", "--cw_steps", "4", "--save_images",
+               "--steps", "3", "--cw_steps", "4", "--save_images", "--gradcam",
                "--output_dir", str(out_dir)])
     assert rc == 0
     for f in ("attack_comparison.png", "attack_trajectory.png",
-              "perturbation_analysis.png", "attack_report.json"):
+              "perturbation_analysis.png", "attack_report.json",
+              "gradcam_attack.png"):
         assert (out_dir / f).is_file(), f
     report = json.loads((out_dir / "attack_report.json").read_text())
     # the reference crashed on a pred_adj typo here; assert the fixed schema
     for attack in ("fgsm", "pgd", "cw"):
         assert "predicted_class" in report["attacks"][attack]
         assert "metrics" in report["attacks"][attack]
+        assert 0.0 <= report["attacks"][attack]["gradcam_iou"] <= 1.0
     assert (out_dir / "adversarial_images" / "adv_cw.png").is_file()
 
 
