@@ -14,6 +14,7 @@ from .apgd import (apgd_attack, apgd_ce_attack, apgd_dlr_attack,
 from .fab import fab_targeted_attack, project_box_hyperplane
 from .square import square_attack, square_l2_attack
 from .deepfool import deepfool_attack
+from .bandits import bandits_attack
 from .grad_est import nes_attack, spsa_attack
 from .hsja import hsja_attack
 from .ead import EADResult, ead_attack

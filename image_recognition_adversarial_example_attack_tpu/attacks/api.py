@@ -106,6 +106,14 @@ class AttackParams:
     est_samples: int = 32
     nes_sigma: float = 1e-3
     spsa_delta: float = 1e-2
+    # Bandits-TD (time+data priors): 2 queries/step, so 500 steps = the
+    # 1000-query budget used for the other query attacks; the latent
+    # prior lattice is H/prior_factor x W/prior_factor
+    bandits_steps: int = 500
+    bandits_prior_factor: int = 8
+    bandits_fd_eta: float = 0.1
+    bandits_delta: float = 0.1
+    bandits_prior_lr: float = 1.0
     # HSJA decision-based budgets (outer iterations / probes per estimate)
     hsja_steps: int = 10
     hsja_probes: int = 32
@@ -193,8 +201,8 @@ def run_attack(
 ) -> jnp.ndarray:
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'pgd_l1' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
-    | 'deepfool' | 'nes' | 'spsa' | 'hsja' | 'ead' | 'stadv' | 'boundary'
-    | 'simba' | 'jsma' -> x_adv in [0,1].
+    | 'deepfool' | 'nes' | 'spsa' | 'bandits' | 'hsja' | 'ead' | 'stadv'
+    | 'boundary' | 'simba' | 'jsma' -> x_adv in [0,1].
 
     'jsma' is the L0 greedy saliency attack (budgets jsma_steps/
     jsma_theta; eps does not apply; targeted via ``y_target``, default
@@ -203,7 +211,9 @@ def run_attack(
     'mifgsm'/'dim'/'tim' (transfer family), 'apgd' (adaptive robust eval),
     'square' (gradient-free black-box; budget = params.square_steps),
     'deepfool' (minimal-L2, attacks the model's own prediction),
-    'nes'/'spsa' (query-based gradient estimation), 'hsja' (decision-based:
+    'nes'/'spsa' (query-based gradient estimation), 'bandits' (query-based
+    with time+data priors — Ilyas et al. 2019; budgets bandits_steps at 2
+    queries/step, latent lattice bandits_prior_factor), 'hsja' (decision-based:
     hard labels only), 'ead' (elastic-net L1; cw_steps/cw_kappa budgets
     with its own ead_c/ead_lr/ead_beta — FISTA needs larger steps than
     CW's Adam), 'boundary' (the original decision-based walk — hard
@@ -324,6 +334,18 @@ def run_attack(
             steps=params.deepfool_steps,
             num_classes=params.deepfool_classes,
             overshoot=params.deepfool_overshoot,
+        )
+    if attack_name == "bandits":
+        from .bandits import bandits_attack
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return bandits_attack(
+            logits_fn, x, y_true,
+            eps=params.eps, alpha=params.alpha, steps=params.bandits_steps,
+            key=key, prior_factor=params.bandits_prior_factor,
+            fd_eta=params.bandits_fd_eta, delta=params.bandits_delta,
+            prior_lr=params.bandits_prior_lr, y_target=y_target,
         )
     if attack_name in ("nes", "spsa"):
         from .grad_est import nes_attack, spsa_attack

@@ -73,6 +73,17 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
                         help="nes Gaussian smoothing radius")
     parser.add_argument("--spsa_delta", type=float, default=1e-2,
                         help="spsa finite-difference perturbation size")
+    parser.add_argument("--bandits_steps", type=int, default=500,
+                        help="bandits-TD iterations (2 queries each)")
+    parser.add_argument("--bandits_prior_factor", type=int, default=8,
+                        help="bandits data-prior downsampling factor "
+                             "(latent lattice H/f x W/f)")
+    parser.add_argument("--bandits_fd_eta", type=float, default=0.1,
+                        help="bandits image-space exploration radius")
+    parser.add_argument("--bandits_delta", type=float, default=0.1,
+                        help="bandits latent exploration radius")
+    parser.add_argument("--bandits_prior_lr", type=float, default=1.0,
+                        help="bandits exponentiated-gradients rate")
     parser.add_argument("--hsja_steps", type=int, default=10,
                         help="hsja outer boundary-walk iterations")
     parser.add_argument("--hsja_probes", type=int, default=32,
@@ -128,6 +139,11 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "est_samples": int(args.est_samples),
         "nes_sigma": float(args.nes_sigma),
         "spsa_delta": float(args.spsa_delta),
+        "bandits_steps": int(args.bandits_steps),
+        "bandits_prior_factor": int(args.bandits_prior_factor),
+        "bandits_fd_eta": float(args.bandits_fd_eta),
+        "bandits_delta": float(args.bandits_delta),
+        "bandits_prior_lr": float(args.bandits_prior_lr),
         "hsja_steps": int(args.hsja_steps),
         "hsja_probes": int(args.hsja_probes),
         "ead_beta": float(args.ead_beta),
@@ -299,6 +315,9 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
         {"deepfool_steps", "deepfool_classes", "deepfool_overshoot"}),
     "nes": frozenset({"steps", "alpha", "est_samples", "nes_sigma"}),
     "spsa": frozenset({"steps", "alpha", "est_samples", "spsa_delta"}),
+    "bandits": frozenset({"alpha", "bandits_steps", "bandits_prior_factor",
+                          "bandits_fd_eta", "bandits_delta",
+                          "bandits_prior_lr"}),
     "hsja": frozenset({"hsja_steps", "hsja_probes"}),
     "ead": frozenset({"cw_steps", "cw_kappa", "ead_beta", "ead_c", "ead_lr"}),
     "cw": frozenset({"cw_c", "cw_kappa", "cw_steps", "cw_lr"}),

@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "attention maps of the clean vs adversarial "
                              "prediction per attack, with the attention-"
                              "shift IoU (conv models; eval/explain.py)")
+    parser.add_argument("--landscape", action="store_true",
+                        help="also emit loss_landscape.png: the CE surface "
+                             "on the plane spanned by each attack's "
+                             "direction and a random orthogonal direction "
+                             "(eval/landscape.py)")
+    parser.add_argument("--landscape_grid", type=int, default=21,
+                        help="landscape resolution (one [grid^2] batched "
+                             "forward per attack)")
     add_model_args(parser)
     return parser
 
@@ -135,6 +143,24 @@ def main(argv=None) -> int:
     plot_perturbation_analysis(x_np, grid_results,
                                output_dir / "perturbation_analysis.png")
     print(f"  saved: {output_dir / 'perturbation_analysis.png'}")
+
+    if args.landscape:
+        from ..eval.landscape import adversarial_plane, loss_landscape
+        from ..viz.plots import plot_loss_landscape
+
+        span = 1.5
+        ll_fn = jax.jit(
+            lambda xx, yy, plane: loss_landscape(
+                logits_fn, xx, yy, plane, span=span,
+                grid=int(args.landscape_grid)))
+        landscapes = {}
+        for attack_name, r in results.items():
+            key, sub = jax.random.split(key)
+            plane = adversarial_plane(x[0], jnp.asarray(r["x_adv"])[0], sub)
+            landscapes[attack_name] = np.asarray(ll_fn(x[0], y[0], plane))
+        plot_loss_landscape(landscapes, span,
+                            output_dir / "loss_landscape.png")
+        print(f"  saved: {output_dir / 'loss_landscape.png'}")
 
     cam_report: dict[str, float] = {}
     if args.gradcam:

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..attacks.api import LogitsFn
 
-CURVE_ATTACKS = ("square", "square_l2", "simba", "nes", "spsa")
+CURVE_ATTACKS = ("square", "square_l2", "simba", "nes", "spsa", "bandits")
 
 
 def _runner(attack: str, logits_fn: LogitsFn, *, eps: float, steps: int,
@@ -60,6 +60,12 @@ def _runner(attack: str, logits_fn: LogitsFn, *, eps: float, steps: int,
             logits_fn, x, y, eps=eps, alpha=alpha, steps=steps, key=k,
             n_samples=est_samples, return_history=True, **kw)), \
             2 * est_samples, 0
+    if attack == "bandits":
+        from ..attacks.bandits import bandits_attack
+
+        return (lambda x, y, k: bandits_attack(
+            logits_fn, x, y, eps=eps, alpha=alpha, steps=steps, key=k,
+            return_history=True)), 2, 0
     raise ValueError(f"no query-curve support for attack '{attack}'")
 
 
@@ -88,9 +94,9 @@ def query_curve(
     success is never un-counted by a later step).
     """
     # steps from the query budget (at least 1)
-    probe_cost = {"square": 1, "square_l2": 1, "simba": 2,
+    probe_cost = {"square": 1, "square_l2": 1, "simba": 2, "bandits": 2,
                   "nes": 2 * est_samples, "spsa": 2 * est_samples}[attack]
-    init_q = {"square": 2, "square_l2": 2, "simba": 1,
+    init_q = {"square": 2, "square_l2": 2, "simba": 1, "bandits": 0,
               "nes": 0, "spsa": 0}[attack]
     steps = max(1, (int(max_queries) - init_q) // probe_cost)
     fn, per_step, init_q = _runner(

@@ -578,3 +578,40 @@ def plot_gradcam_panel(
     plt.tight_layout()
     plt.savefig(save_path, dpi=_DPI, bbox_inches="tight")
     plt.close()
+
+
+def plot_loss_landscape(
+    landscapes: Mapping[str, "np.ndarray"],
+    span: float,
+    save_path: Path,
+) -> None:
+    """Loss-surface contour panels over the adversarial plane (one per
+    attack; eval/landscape.py).  x-axis = the attack direction in units of
+    the attack's own L2 length (the adversarial example sits at x=1),
+    y-axis = a random orthogonal direction; filled contours on the
+    perceptually-uniform intensity ramp, with the clean input (center) and
+    the adversarial endpoint annotated.
+    """
+    _ensure_dir(Path(save_path))
+    n = len(landscapes)
+    fig, axes = plt.subplots(1, n, figsize=(5.2 * n, 4.6), squeeze=False)
+
+    for ax, (attack_name, grid) in zip(axes[0], landscapes.items()):
+        grid = np.asarray(grid)
+        g = grid.shape[0]
+        coords = np.linspace(-span, span, g)
+        cf = ax.contourf(coords, coords, grid.T, levels=24, cmap=_CMAP_HEAT)
+        fig.colorbar(cf, ax=ax, shrink=0.85, label="cross-entropy")
+        ax.plot([0], [0], marker="o", color="white", markersize=7,
+                markeredgecolor="black", linestyle="none", label="clean")
+        ax.plot([1], [0], marker="X", color="white", markersize=9,
+                markeredgecolor="black", linestyle="none", label="adversarial")
+        ax.set_xlabel("attack direction (×‖δ‖)", **_LABEL)
+        ax.set_ylabel("random orthogonal direction", **_LABEL)
+        ax.set_title(f"{attack_name.upper()} loss surface", **_TITLE)
+        ax.legend(frameon=False, fontsize=9, loc="upper left",
+                  labelcolor="white")
+
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=_DPI)
+    plt.close(fig)

@@ -34,6 +34,8 @@ BASE = AttackParams(
     mu=1.0, square_steps=4,
     deepfool_steps=2, deepfool_classes=4, deepfool_overshoot=0.02,
     est_samples=2, nes_sigma=1e-3, spsa_delta=1e-2,
+    bandits_steps=2, bandits_prior_factor=4, bandits_fd_eta=0.1,
+    bandits_delta=0.1, bandits_prior_lr=1.0,
     hsja_steps=2, hsja_probes=2,
     ead_beta=1e-3, ead_c=50.0, ead_lr=0.05,
     n_target_classes=3,
@@ -50,6 +52,8 @@ PERTURB = {
     "square_steps": 6,
     "deepfool_steps": 3, "deepfool_classes": 5, "deepfool_overshoot": 0.04,
     "est_samples": 4, "nes_sigma": 2e-3, "spsa_delta": 2e-2,
+    "bandits_steps": 3, "bandits_prior_factor": 2, "bandits_fd_eta": 0.2,
+    "bandits_delta": 0.2, "bandits_prior_lr": 0.5,
     "hsja_steps": 3, "hsja_probes": 4,
     "ead_beta": 2e-3, "ead_c": 25.0, "ead_lr": 0.1,
     "n_target_classes": 4,
