@@ -103,6 +103,7 @@ def _tiny_state(config):
     return bundle, train_state_from_bundle(bundle, config)
 
 
+@pytest.mark.slow
 def test_train_step_with_augmentation_runs_and_is_deterministic():
     from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
         AdvTrainConfig,
@@ -122,6 +123,7 @@ def test_train_step_with_augmentation_runs_and_is_deterministic():
         np.asarray(a), np.asarray(b)), s1.params, s2.params)
 
 
+@pytest.mark.slow
 def test_disabled_augmentation_is_bitwise_unchanged():
     """aug all-off must not even split the key — params match a config
     that never heard of augmentation."""
@@ -146,6 +148,7 @@ def test_disabled_augmentation_is_bitwise_unchanged():
         np.asarray(a), np.asarray(b)), s_base.params, s_off.params)
 
 
+@pytest.mark.slow
 def test_augment_composes_with_grad_accum():
     """Augmentation happens on the FULL batch before micro-batching, so
     accum=1 and accum=4 see identical augmented pixels (ibp objective:

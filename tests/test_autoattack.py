@@ -196,6 +196,7 @@ class TestFABAttack:
 
 
 class TestStandardEnsemble:
+    @pytest.mark.slow
     def test_autoattack_composition(self, tiny_logits_fn, image_batch,
                                     rng_key):
         from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
@@ -337,6 +338,7 @@ class TestL2Protocol:
                                         axis=(1, 2, 3))))
         assert np.all(d[mis] < 3.0)  # small relative to the 27.7 diameter
 
+    @pytest.mark.slow
     def test_autoattack_l2_composition(self, tiny_logits_fn, image_batch,
                                        rng_key):
         from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
@@ -490,6 +492,7 @@ def test_robust_cli_save_adv_dir(tmp_path, capsys):
         assert np.abs(a - c).max() <= 0.03137 + 2 / 255
 
 
+@pytest.mark.slow
 class TestAutoAttackRand:
     """The randomized-defense protocol: EOT-APGD arms + Square on the
     expected classifier (Croce & Hein 2020, §5.3)."""

@@ -38,6 +38,7 @@ def test_cifar_grid_end_to_end(tmp_path, capsys):
     assert (out / "results_partial.json").is_file()
 
 
+@pytest.mark.slow
 def test_cifar_grid_validation(tmp_path):
     from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
         main,

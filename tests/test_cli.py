@@ -133,11 +133,12 @@ def test_visualize_cli(image_dir, tmp_path, capsys):
     out_dir = tmp_path / "vizres"
     rc = main(["--image", str(image_dir / "img_0.jpg"), "--model", "resnet_tiny",
                "--steps", "3", "--cw_steps", "4", "--save_images", "--gradcam",
+               "--landscape", "--landscape_grid", "5",
                "--output_dir", str(out_dir)])
     assert rc == 0
     for f in ("attack_comparison.png", "attack_trajectory.png",
               "perturbation_analysis.png", "attack_report.json",
-              "gradcam_attack.png"):
+              "gradcam_attack.png", "loss_landscape.png"):
         assert (out_dir / f).is_file(), f
     report = json.loads((out_dir / "attack_report.json").read_text())
     # the reference crashed on a pred_adj typo here; assert the fixed schema

@@ -19,6 +19,7 @@ from image_recognition_adversarial_example_attack_tpu.models.convnext import (
 
 
 class TestStructure:
+    @pytest.mark.slow
     def test_forward_shape_and_grad_flow(self):
         model = convnext_micro(num_classes=10)
         x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
@@ -142,6 +143,7 @@ def test_converter_roundtrip():
 
 
 class TestInt8:
+    @pytest.mark.slow
     def test_int8_agrees_with_float(self):
         rng = np.random.RandomState(5)
         x = jnp.asarray(rng.uniform(0.1, 0.9, (4, 32, 32, 3)).astype(np.float32))
@@ -156,6 +158,7 @@ class TestInt8:
 
 
 class TestTensorParallel:
+    @pytest.mark.slow
     def test_tp_forward_matches_replicated(self):
         """The existing mlp_linear/stage-conv TP rules cover ConvNeXt's
         dominant tensors with no new rules; sharded == replicated."""

@@ -32,6 +32,7 @@ def x_batch():
 
 
 class TestBankContracts:
+    @pytest.mark.slow
     def test_all_corruptions_shape_range_finite(self, x_batch, rng_key):
         for name in CORRUPTION_NAMES:
             out = np.asarray(apply_corruption(name, x_batch, 3, rng_key))

@@ -44,6 +44,7 @@ def _exact_margin(params, spec, x, y, mean, std):
     return ly - others.max(-1)
 
 
+@pytest.mark.slow
 def test_zero_eps_margin_is_exact():
     bundle, x, y = _setup()
     params, spec = bundle.variables["params"], bundle.module.spec
@@ -54,6 +55,7 @@ def test_zero_eps_margin_is_exact():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_crown_margin_at_least_ibp_and_monotone_in_eps():
     bundle, x, y = _setup()
     params, spec = bundle.variables["params"], bundle.module.spec
@@ -73,6 +75,7 @@ def test_crown_margin_at_least_ibp_and_monotone_in_eps():
             > np.asarray(ibp_v(x, y, 0.031)["margin"]) + 1e-3).any()
 
 
+@pytest.mark.slow
 def test_bound_is_sound_against_ball_samples():
     bundle, x, y = _setup(seed=1, b=4)
     params, spec = bundle.variables["params"], bundle.module.spec
@@ -107,6 +110,7 @@ def test_verified_implies_correct_and_verify_dict_contract():
     assert (~v | c).all()  # verified => correct (clean point in its ball)
 
 
+@pytest.mark.slow
 def test_crown_ibp_train_step_learns():
     """A few crown-ibp steps on a separable toy problem raise the
     verified margin (gradients flow through the backward bound)."""

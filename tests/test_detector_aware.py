@@ -95,6 +95,7 @@ class TestDetectorAwareFGSM:
         assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
 
 
+@pytest.mark.slow
 class TestDefenseEvalIntegration:
     def test_detector_aware_cell_counters(self, tiny_resnet, rng_key):
         from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (

@@ -166,6 +166,7 @@ class TestTrajectory:
 
 
 class TestRobustEval:
+    @pytest.mark.slow
     def test_autoattack_lite(self, tiny_logits_fn, image_batch, rng_key):
         from image_recognition_adversarial_example_attack_tpu.eval.robust_eval import (
             autoattack_lite,

@@ -51,6 +51,7 @@ class TestForwardSplit:
             make_gradcam_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD)
 
     @pytest.mark.parametrize("family", ["wrn", "preact"])
+    @pytest.mark.slow
     def test_cifar_families_split_and_cam(self, family):
         """The CIFAR families expose the same forward split; their CAM is
         well-formed at 32x32."""

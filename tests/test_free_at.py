@@ -42,6 +42,7 @@ def _setup(replays=3, **cfg_kw):
     return state, step, x, y
 
 
+@pytest.mark.slow
 def test_replays_update_params_and_carry_delta():
     state, step, x, y = _setup(replays=3)
     delta0 = jnp.zeros(x.shape, jnp.float32)
@@ -76,6 +77,7 @@ def test_grad_accum_rejected():
         _setup(replays=2, grad_accum=2)
 
 
+@pytest.mark.slow
 def test_composes_with_train_bn_and_ema():
     state, step, x, y = _setup(replays=2, train_bn=True, ema_decay=0.99)
     d0 = jnp.zeros(x.shape, jnp.float32)

@@ -172,6 +172,7 @@ def test_ibp_training_certifies_the_toy_task():
     assert not flipped_verified.any(), "PGD broke a certified sample"
 
 
+@pytest.mark.slow
 def test_ibp_step_grad_accum_matches_full_batch():
     from image_recognition_adversarial_example_attack_tpu.train.adversarial import (
         AdvTrainConfig,
@@ -196,6 +197,7 @@ def test_ibp_step_grad_accum_matches_full_batch():
         states[0].params, states[1].params)
 
 
+@pytest.mark.slow
 def test_zoo_registers_ibp_family():
     from image_recognition_adversarial_example_attack_tpu.models.zoo import (
         list_models,
@@ -286,6 +288,7 @@ def test_adversarial_train_cli_ibp_objective(tmp_path, capsys):
     assert payload["sweeps"][0]["results"]
 
 
+@pytest.mark.slow
 def test_ibp_objective_rejects_non_spec_models(tmp_path):
     from image_recognition_adversarial_example_attack_tpu.cli.adversarial_train import (
         main,

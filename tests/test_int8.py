@@ -119,6 +119,7 @@ class TestInt8Dot:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
 class TestInt8Models:
     @pytest.fixture(scope="class")
     def batch32(self):

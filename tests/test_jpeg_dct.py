@@ -156,6 +156,7 @@ def test_defense_cli_jpeg_dct_mode(tmp_path, capsys):
 class TestAdaptiveEvaluation:
     """--adaptive: attacks generated against the defended pipeline."""
 
+    @pytest.mark.slow
     def test_adaptive_cell_counters_and_defense_degradation(self,
                                                             tiny_resnet):
         """The adaptive attacker must hurt the defense at least as much as

@@ -65,6 +65,7 @@ class _TorchPreActResNet18(tnn.Module):
 
 
 class TestStructure:
+    @pytest.mark.slow
     def test_forward_shape_and_grad_flow(self):
         model = preact_resnet18(num_classes=10)
         x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),

@@ -43,6 +43,7 @@ def test_cifar_robust_eval_lite(tmp_path, capsys):
     assert 0.0 <= data["results"][0]["robust_accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_cifar_n_cap_and_validation(tmp_path):
     from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
         main,

@@ -309,6 +309,7 @@ class TestRealTensorParallel:
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestTPAllFamilies:
     """Round-3 extension: TP rules cover every model family's dominant
     tensors (Swin attention/MLP, VGG's classifier pair, DenseNet /

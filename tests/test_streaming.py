@@ -110,6 +110,7 @@ def test_round_up():
 class TestStreamDefenseCell:
     @pytest.mark.parametrize("attack", [
         "fgsm", pytest.param("cw", marks=pytest.mark.slow)])
+    @pytest.mark.slow
     def test_counters_identical_to_one_batch(self, tiny_resnet, eval_dataset,
                                              attack):
         """Deterministic attacks: streamed chunks through the SAME compiled
@@ -439,6 +440,7 @@ def test_defense_cli_resume_rejects_label_mismatch(eval_dataset, tmp_path,
     assert "(resumed from partial results)" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_labels_json_out_of_range_rejected(eval_dataset, tmp_path):
     """Review-r3d regression: out-of-range class ids silently corrupted
     every counter (one_hot of an invalid id is all-zeros); the CLIs now

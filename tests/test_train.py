@@ -604,6 +604,7 @@ class TestEMA:
                 np.asarray(a), np.asarray(b)),
             restored.ema_params, state.ema_params)
 
+    @pytest.mark.slow
     def test_resume_continues_shadow_exactly(self, tmp_path):
         """2 steps + checkpoint + 2 steps == 4 uninterrupted steps, EMA
         shadow included (bitwise)."""
@@ -670,6 +671,7 @@ class TestLRSchedule:
         with pytest.raises(ValueError, match="total_steps"):
             self._setup(lr_schedule="cosine", total_steps=0)
 
+    @pytest.mark.slow
     def test_cosine_trains_and_resumes_exactly(self, tmp_path):
         """Schedule state rides opt_state: 2 steps + resume + 2 steps ==
         4 uninterrupted steps, bitwise."""

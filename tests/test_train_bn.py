@@ -40,6 +40,7 @@ def _x(b=8, seed=0):
                        jnp.float32)
 
 
+@pytest.mark.slow
 def test_train_mode_uses_batch_statistics():
     """With train_bn the forward normalizes by the batch's own stats, so
     it must differ from the frozen-stats forward at identical params."""
@@ -78,6 +79,7 @@ def test_train_bn_rejected_for_non_bn_family():
         train_state_from_bundle(bundle, AdvTrainConfig(train_bn=True))
 
 
+@pytest.mark.slow
 def test_precise_bn_calibration_converges_to_batch_stats():
     """Calibrating on ONE repeated batch drives the running stats to that
     batch's statistics, so the eval-mode forward converges to the

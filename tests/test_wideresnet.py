@@ -95,6 +95,7 @@ class TestStructure:
         r50 = model_meta("resnet50")
         assert r50["input_size"] == 224
 
+    @pytest.mark.slow
     def test_load_model_uses_meta(self):
         from image_recognition_adversarial_example_attack_tpu.models.zoo import (
             load_model,
@@ -226,6 +227,7 @@ class TestAttackAndTP:
         assert float(jnp.max(jnp.abs(x_adv - x))) <= eps + 1e-6
         assert float(x_adv.min()) >= 0.0 and float(x_adv.max()) <= 1.0
 
+    @pytest.mark.slow
     def test_tp_forward_matches_replicated(self):
         """The generic block-conv TP rule partitions WRN kernels; the
         sharded forward matches the replicated one."""
