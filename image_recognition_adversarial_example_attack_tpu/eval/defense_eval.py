@@ -56,6 +56,11 @@ class DefenseEvalConfig:
     est_samples: int = 32
     nes_sigma: float = 1e-3
     spsa_delta: float = 1e-2
+    bandits_steps: int = 500
+    bandits_prior_factor: int = 8
+    bandits_fd_eta: float = 0.1
+    bandits_delta: float = 0.1
+    bandits_prior_lr: float = 1.0
     hsja_steps: int = 10
     hsja_probes: int = 32
     ead_beta: float = 1e-3
@@ -111,6 +116,11 @@ class DefenseEvalConfig:
             est_samples=self.est_samples,
             nes_sigma=self.nes_sigma,
             spsa_delta=self.spsa_delta,
+            bandits_steps=self.bandits_steps,
+            bandits_prior_factor=self.bandits_prior_factor,
+            bandits_fd_eta=self.bandits_fd_eta,
+            bandits_delta=self.bandits_delta,
+            bandits_prior_lr=self.bandits_prior_lr,
             hsja_steps=self.hsja_steps,
             hsja_probes=self.hsja_probes,
             ead_beta=self.ead_beta,

@@ -14,6 +14,7 @@ torchmetrics SSIM + numpy):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -109,3 +110,32 @@ def attack_metrics(x_clean: jnp.ndarray, x_adv: jnp.ndarray) -> dict:
 
 def metrics_to_python(metrics: dict) -> dict:
     return {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+
+def expected_calibration_error(
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    n_bins: int = 15,
+) -> jnp.ndarray:
+    """ECE (Guo et al. 2017): confidence-vs-accuracy gap, equal-width bins.
+
+    ``probs`` [B,K] softmax outputs, ``labels`` [B] int — returns a scalar
+    in [0,1].  Beyond-reference extension: adversarial examples don't just
+    flip predictions, they destroy calibration (a model can stay "accurate
+    enough" under small eps while becoming wildly over-confident);
+    comparing clean vs adversarial ECE quantifies that axis.
+
+    TPU design: bin membership as a one-hot [B, n_bins] mask matmul —
+    no sorting, no segment_sum with dynamic shapes; jits and shards over
+    the batch like every other counter.
+    """
+    conf = jnp.max(probs, axis=-1)                       # [B]
+    correct = (jnp.argmax(probs, axis=-1) == labels).astype(jnp.float32)
+    # bin index in [0, n_bins-1]; conf=1.0 lands in the last bin
+    idx = jnp.minimum((conf * n_bins).astype(jnp.int32), n_bins - 1)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)  # [B, n_bins]
+    count = jnp.sum(onehot, axis=0)                      # [n_bins]
+    acc_sum = correct @ onehot                           # [n_bins]
+    conf_sum = conf @ onehot                             # [n_bins]
+    gap = jnp.abs(acc_sum - conf_sum) / jnp.maximum(count, 1.0)
+    return jnp.sum(gap * count) / jnp.maximum(jnp.sum(count), 1.0)

@@ -1,7 +1,9 @@
 """Metric tests: SSIM/PSNR against independent references."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from image_recognition_adversarial_example_attack_tpu.eval.metrics import (
     attack_metrics,
@@ -83,3 +85,56 @@ class TestAttackMetrics:
         assert 0 <= m["High Freq Ratio %"] <= 100
         assert m["SSIM"] < 1.0
         assert m["L2"] > 0 and m["L1"] > m["L2"]
+
+
+class TestECE:
+    def _ece(self, probs, labels, **kw):
+        from image_recognition_adversarial_example_attack_tpu.eval.metrics import (
+            expected_calibration_error,
+        )
+
+        return float(expected_calibration_error(
+            jnp.asarray(probs, jnp.float32), jnp.asarray(labels), **kw))
+
+    def test_confident_and_correct_is_zero(self):
+        probs = np.eye(4, dtype=np.float32)  # conf 1.0, all correct
+        assert self._ece(probs, np.arange(4)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_confident_and_wrong_is_one(self):
+        probs = np.eye(4, dtype=np.float32)
+        labels = (np.arange(4) + 1) % 4  # all wrong at conf 1.0
+        assert self._ece(probs, labels) == pytest.approx(1.0, abs=1e-6)
+
+    def test_hand_computed_single_bin(self):
+        # conf 0.9 everywhere, half correct: ECE = |0.5 - 0.9| = 0.4
+        probs = np.tile(np.asarray([[0.9, 0.1]], np.float32), (4, 1))
+        labels = np.asarray([0, 0, 1, 1])
+        assert self._ece(probs, labels) == pytest.approx(0.4, abs=1e-6)
+
+    def test_matches_numpy_binning(self):
+        rng = np.random.RandomState(0)
+        logits = rng.randn(64, 10).astype(np.float32) * 2.0
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        labels = rng.randint(0, 10, 64)
+        n_bins = 15
+        conf = probs.max(-1)
+        correct = (probs.argmax(-1) == labels).astype(np.float64)
+        idx = np.minimum((conf * n_bins).astype(int), n_bins - 1)
+        want = 0.0
+        for b in range(n_bins):
+            m = idx == b
+            if m.any():
+                want += m.mean() * abs(correct[m].mean() - conf[m].mean())
+        got = self._ece(probs, labels, n_bins=n_bins)
+        assert got == pytest.approx(want, abs=1e-5)
+
+    def test_jits(self):
+        from image_recognition_adversarial_example_attack_tpu.eval.metrics import (
+            expected_calibration_error,
+        )
+
+        fn = jax.jit(expected_calibration_error)
+        probs = jax.nn.softmax(jnp.asarray(
+            np.random.RandomState(1).randn(8, 5), jnp.float32), -1)
+        out = float(fn(probs, jnp.arange(8) % 5))
+        assert 0.0 <= out <= 1.0
