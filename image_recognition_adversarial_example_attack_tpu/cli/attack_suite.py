@@ -34,7 +34,7 @@ from ..attacks.api import AttackParams, run_attack
 from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS, DEFAULT_STEPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
-from ..eval.metrics import psnr, ssim
+from ..eval.metrics import expected_calibration_error, psnr, ssim
 from .common import (add_extended_attack_args, add_model_args,
                      cell_key, check_label_range, extended_attack_kwargs,
                      load_bundle, make_fns, maybe_profile, n_classes_of,
@@ -104,7 +104,8 @@ def main(argv=None) -> int:
     def distortion(x_adv):
         diff = x_adv - x
         flat = diff.reshape(n, -1)
-        succ = jnp.argmax(logits_fn(x_adv), -1) != y
+        logits_adv = logits_fn(x_adv)
+        succ = jnp.argmax(logits_adv, -1) != y
         return {
             "asr": jnp.mean(succ.astype(jnp.float32)),
             "linf": jnp.max(jnp.abs(diff)),
@@ -113,14 +114,23 @@ def main(argv=None) -> int:
                 (jnp.abs(flat) > 1.0 / 255.0).astype(jnp.float32)) * 100.0,
             "ssim": ssim(x, x_adv),
             "psnr": psnr(x, x_adv),
+            # calibration damage: adversarial examples don't just flip
+            # labels, they make the survivors over-confident (ECE vs the
+            # same labels as ASR; clean baseline printed in the preamble)
+            "ece": expected_calibration_error(
+                jax.nn.softmax(logits_adv, -1), y),
         }
+
+    ece_clean = float(jax.jit(lambda xx: expected_calibration_error(
+        jax.nn.softmax(logits_fn(xx), -1), y))(x))
 
     key0 = key_from_seed(args.seed)
     header = (f"{'attack':<10} {'ASR':>6} {'L∞':>8} {'L2(mean)':>9} "
-              f"{'chg%':>6} {'SSIM':>6} {'PSNR':>6} {'compile+run':>12} "
-              f"{'steady':>8}")
+              f"{'chg%':>6} {'SSIM':>6} {'PSNR':>6} {'ECE':>6} "
+              f"{'compile+run':>12} {'steady':>8}")
     print(f"\n{n} images; eps={float(args.eps):.5f}; per attack: one "
-          f"compiled program (timed twice: compile+run, then steady)")
+          f"compiled program (timed twice: compile+run, then steady); "
+          f"clean ECE {ece_clean:.3f}")
     print(header)
     print("-" * len(header))
     rows = []
@@ -144,7 +154,7 @@ def main(argv=None) -> int:
             rows.append(row)
             print(f"{name:<10} {m['asr']:>6.3f} {m['linf']:>8.4f} "
                   f"{m['l2_mean']:>9.3f} {m['changed_pct']:>6.2f} "
-                  f"{m['ssim']:>6.3f} {m['psnr']:>6.1f} "
+                  f"{m['ssim']:>6.3f} {m['psnr']:>6.1f} {m['ece']:>6.3f} "
                   f"{row['compile_run_s']:>10.1f}s {row['steady_s']:>7.3f}s")
 
     out = Path(args.output)
@@ -153,6 +163,7 @@ def main(argv=None) -> int:
         "eps": float(args.eps),
         "model": args.model,
         "labels": "ground-truth" if args.labels_json else "pseudo",
+        "ece_clean": ece_clean,
         "results": rows,
     }, indent=2))
     print(f"\nWrote {out}")

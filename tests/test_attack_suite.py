@@ -38,7 +38,9 @@ def test_attack_suite_cli(image_dir, tmp_path, capsys):
     for r in rows.values():
         assert 0.0 <= r["asr"] <= 1.0
         assert 0.0 <= r["ssim"] <= 1.0
+        assert 0.0 <= r["ece"] <= 1.0
         assert r["steady_s"] >= 0.0
+    assert 0.0 <= data["ece_clean"] <= 1.0
     # threat models show through the distortion profile: the L0 attack
     # touches far fewer features than the Linf attacks
     assert rows["jsma"]["changed_pct"] < rows["pgd"]["changed_pct"]
