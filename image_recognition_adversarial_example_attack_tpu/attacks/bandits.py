@@ -43,11 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .api import LogitsFn
-
-
-def _per_sample_ce(logits_fn: LogitsFn, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    logp = jax.nn.log_softmax(logits_fn(x), axis=-1)
-    return -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]  # [B]
+from .grad_est import _per_sample_ce
 
 
 def _upsample(v: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -95,6 +91,13 @@ def bandits_attack(
     success mask [steps, B] (one extra forward per step) for
     query-efficiency curves.
     """
+    if int(prior_factor) < 1:
+        raise ValueError(f"bandits_prior_factor must be >= 1, got {prior_factor}")
+    if not (fd_eta > 0.0 and delta > 0.0):
+        # est divides by fd_eta*delta — zero would silently NaN the prior
+        raise ValueError(
+            f"bandits_fd_eta and bandits_delta must be > 0, got "
+            f"{fd_eta}/{delta}")
     b, height, width, chans = x.shape
     hp = max(1, height // int(prior_factor))
     wp = max(1, width // int(prior_factor))

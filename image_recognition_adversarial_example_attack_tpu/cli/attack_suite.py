@@ -131,6 +131,10 @@ def main(argv=None) -> int:
     print(f"\n{n} images; eps={float(args.eps):.5f}; per attack: one "
           f"compiled program (timed twice: compile+run, then steady); "
           f"clean ECE {ece_clean:.3f}")
+    if not args.labels_json:
+        print("NOTE: labels are the model's own pseudo-labels, so 'ECE' "
+              "degenerates to a confidence-deficit (clean accuracy is 1.0 "
+              "by construction) — pass --labels_json for true calibration")
     print(header)
     print("-" * len(header))
     rows = []

@@ -201,13 +201,20 @@ def model_input_size(args: argparse.Namespace) -> int:
     return int(model_meta(getattr(args, "model", "resnet50"))["input_size"])
 
 
+def bundle_input_dtype(bundle):
+    """The input-cast dtype for a bundle's closures (the ONE place the
+    bf16-input-cast policy lives — gradcam/feature/logits closures must
+    all agree or their forwards diverge)."""
+    return bundle.module.dtype if bundle.module.dtype != jnp.float32 else None
+
+
 def make_fns(bundle):
     """(logits_fn, features_fn) for a bundle, with bf16 input cast when the
     module computes in bf16."""
     from ..attacks.api import make_logits_fn
     from ..defenses.detector import make_features_fn
 
-    input_dtype = bundle.module.dtype if bundle.module.dtype != jnp.float32 else None
+    input_dtype = bundle_input_dtype(bundle)
     lf = make_logits_fn(bundle.module, bundle.variables, bundle.mean, bundle.std,
                         input_dtype=input_dtype)
     ff = make_features_fn(bundle.module, bundle.variables, bundle.mean, bundle.std,

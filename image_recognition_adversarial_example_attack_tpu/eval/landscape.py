@@ -32,7 +32,10 @@ class Plane(NamedTuple):
 
     d1: jnp.ndarray  # [H,W,C], unit L2
     d2: jnp.ndarray  # [H,W,C], unit L2, orthogonal to d1
-    scale: float     # pixel-space L2 length the unit coordinate maps to
+    # pixel-space L2 length the unit coordinate maps to (scalar array, so
+    # the whole plane construction stays on-device and jit-able — a host
+    # float here would force a sync per attack over the ~150ms/op relay)
+    scale: jnp.ndarray
 
 
 def adversarial_plane(x: jnp.ndarray, x_adv: jnp.ndarray,
@@ -41,19 +44,22 @@ def adversarial_plane(x: jnp.ndarray, x_adv: jnp.ndarray,
     orthogonal direction of equal length.
 
     ``x``/``x_adv`` are single images [H,W,C]; coordinate (1, 0) lands
-    exactly on ``x_adv``.
+    exactly on ``x_adv``.  Jit-able (the CLI jits it; everything stays
+    on-device).
     """
     delta = (x_adv - x).astype(jnp.float32)
     norm = jnp.linalg.norm(delta)
-    # degenerate (no perturbation): d1 collapses to zero and the slice
-    # reduces to the random line along d2 — still finite and plottable
-    safe = jnp.maximum(norm, 1e-12)
-    d1 = delta / safe
+    # degenerate (no perturbation, e.g. a failed minimal-norm attack that
+    # returned the clean input): d1 collapses to zero and scale falls back
+    # to 1 so the slice is genuinely the random line along d2 at unit
+    # pixel scale, not 441 copies of the same point
+    d1 = delta / jnp.maximum(norm, 1e-12)
+    scale = jnp.where(norm > 0.0, norm, 1.0)
 
     r = jax.random.normal(key, x.shape, jnp.float32)
     r = r - jnp.sum(r * d1) * d1  # Gram-Schmidt against d1
     d2 = r / jnp.maximum(jnp.linalg.norm(r), 1e-12)
-    return Plane(d1=d1, d2=d2, scale=float(safe))
+    return Plane(d1=d1, d2=d2, scale=scale)
 
 
 def loss_landscape(

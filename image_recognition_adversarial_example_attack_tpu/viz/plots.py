@@ -609,8 +609,9 @@ def plot_loss_landscape(
         ax.set_xlabel("attack direction (×‖δ‖)", **_LABEL)
         ax.set_ylabel("random orthogonal direction", **_LABEL)
         ax.set_title(f"{attack_name.upper()} loss surface", **_TITLE)
-        ax.legend(frameon=False, fontsize=9, loc="upper left",
-                  labelcolor="white")
+        # framed legend: white-on-contour labels vanish where magma is light
+        ax.legend(frameon=True, framealpha=0.85, fontsize=9,
+                  loc="upper left")
 
     fig.tight_layout()
     fig.savefig(save_path, dpi=_DPI)

@@ -109,7 +109,7 @@ def test_round_up():
 
 class TestStreamDefenseCell:
     @pytest.mark.parametrize("attack", [
-        "fgsm", pytest.param("cw", marks=pytest.mark.slow)])
+        "fgsm", "cw"])  # whole test is slow-marked; no per-param mark needed
     @pytest.mark.slow
     def test_counters_identical_to_one_batch(self, tiny_resnet, eval_dataset,
                                              attack):
