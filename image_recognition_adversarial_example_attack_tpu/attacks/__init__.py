@@ -25,6 +25,7 @@ from .jsma import jsma_attack
 from .boundary import boundary_attack
 from .simba import dct_basis_image, simba_attack
 from .stadv import (StAdvResult, flow_smoothness, flow_warp, stadv_attack)
+from .spatial import SpatialResult, affine_warp, spatial_attack
 from .uap import UAPResult, apply_uap, uap_attack, uap_fooling_rate
 from .patch import (PatchResult, apply_patch, patch_attack,
                     patch_success_rate, sample_placements)

@@ -148,6 +148,15 @@ class AttackParams:
     jsma_theta: float = 1.0
     # SLIDE (pgd_l1) top-|grad| coordinate fraction per step
     l1_sparsity: float = 0.01
+    # Spatial (rotation+translation; Engstrom et al. 2019) search — non-Lp:
+    # the transform bounds, not eps, define the budget.  The search set is
+    # worst-of-spatial_candidates random draws UNION an exhaustive
+    # rot x trans x trans grid; either part is disabled by zeroing it
+    spatial_max_rot: float = 30.0
+    spatial_max_trans: float = 0.1
+    spatial_candidates: int = 10
+    spatial_grid_rot: int = 0
+    spatial_grid_trans: int = 0
 
 
 def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
@@ -202,7 +211,7 @@ def run_attack(
     """String dispatch: 'fgsm' | 'pgd' | 'pgd_l2' | 'pgd_l1' | 'cw' | 'mifgsm' | 'dim'
     | 'tim' | 'apgd' | 'apgd_dlr' | 'apgd_t' | 'fab' | 'square'
     | 'deepfool' | 'nes' | 'spsa' | 'bandits' | 'hsja' | 'ead' | 'stadv'
-    | 'boundary' | 'simba' | 'jsma' -> x_adv in [0,1].
+    | 'boundary' | 'simba' | 'jsma' | 'spatial' -> x_adv in [0,1].
 
     'jsma' is the L0 greedy saliency attack (budgets jsma_steps/
     jsma_theta; eps does not apply; targeted via ``y_target``, default
@@ -223,9 +232,13 @@ def run_attack(
     values — eps does not apply; budgets stadv_steps/stadv_lr/stadv_tau,
     targeted via ``y_target``), and the ``y_target`` targeted modes for
     fgsm/pgd/mifgsm/dim/tim/nes/spsa/ead are beyond-reference extensions; they
-    plug into every harness accepting an attack name.  'apgd', 'square',
-    'deepfool', 'hsja', 'boundary' and 'simba' are untargeted-only and
-    reject ``y_target``.
+    plug into every harness accepting an attack name.  'spatial' is the
+    worst-case rotation+translation search (Engstrom et al. 2019; non-Lp —
+    budgets spatial_max_rot/spatial_max_trans; search = worst-of-
+    spatial_candidates random draws union a
+    spatial_grid_rot x spatial_grid_trans^2 grid).  'apgd', 'square',
+    'deepfool', 'hsja', 'boundary', 'simba' and 'spatial' are
+    untargeted-only and reject ``y_target``.
     """
     from .cw import cw_l2_attack
     from .fgsm import fgsm_attack
@@ -448,6 +461,23 @@ def run_attack(
             steps=params.jsma_steps, theta=params.jsma_theta,
             y_target=y_target,
         )
+    if attack_name == "spatial":
+        from .spatial import spatial_attack
+
+        if y_target is not None:
+            raise ValueError("spatial is the untargeted worst-of-k search")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        res = spatial_attack(
+            logits_fn, x, y_true,
+            max_rot=params.spatial_max_rot,
+            max_trans=params.spatial_max_trans,
+            candidates=params.spatial_candidates,
+            grid_rot=params.spatial_grid_rot,
+            grid_trans=params.spatial_grid_trans,
+            key=key,
+        )
+        return res.x_adv
     if attack_name == "stadv":
         from .stadv import stadv_attack
 

@@ -43,7 +43,7 @@ from .common import (add_extended_attack_args, add_model_args,
 ALL_ATTACKS = ("fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim", "apgd",
                "apgd_dlr", "apgd_t", "fab", "square", "square_l2",
                "deepfool", "cw", "ead", "nes", "spsa", "bandits", "hsja", "boundary",
-               "simba", "stadv", "jsma", "pgd_l1")
+               "simba", "stadv", "jsma", "pgd_l1", "spatial")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -128,6 +128,23 @@ def add_extended_attack_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--l1_sparsity", type=float, default=0.01,
                         help="pgd_l1 (SLIDE) top-|grad| coordinate "
                              "fraction per step")
+    parser.add_argument("--spatial_max_rot", type=float, default=30.0,
+                        help="spatial rotation budget in degrees "
+                             "(non-Lp: this + --spatial_max_trans, not "
+                             "eps, define the threat model)")
+    parser.add_argument("--spatial_max_trans", type=float, default=0.1,
+                        help="spatial translation budget as a fraction "
+                             "of each image axis")
+    parser.add_argument("--spatial_candidates", type=int, default=10,
+                        help="spatial worst-of-k random draws (0 disables "
+                             "the random part)")
+    parser.add_argument("--spatial_grid_rot", type=int, default=0,
+                        help="spatial exhaustive-grid rotation steps "
+                             "(grid used when this AND --spatial_grid_trans "
+                             "are > 0; paper's strongest: 31)")
+    parser.add_argument("--spatial_grid_trans", type=int, default=0,
+                        help="spatial exhaustive-grid translation steps "
+                             "per axis (paper's strongest: 5)")
 
 
 def extended_attack_kwargs(args: argparse.Namespace) -> dict:
@@ -161,6 +178,11 @@ def extended_attack_kwargs(args: argparse.Namespace) -> dict:
         "jsma_steps": int(args.jsma_steps),
         "jsma_theta": float(args.jsma_theta),
         "l1_sparsity": float(args.l1_sparsity),
+        "spatial_max_rot": float(args.spatial_max_rot),
+        "spatial_max_trans": float(args.spatial_max_trans),
+        "spatial_candidates": int(args.spatial_candidates),
+        "spatial_grid_rot": int(args.spatial_grid_rot),
+        "spatial_grid_trans": int(args.spatial_grid_trans),
     }
 
 
@@ -334,6 +356,9 @@ ATTACK_KNOB_ARGS: dict[str, frozenset] = {
     "simba": frozenset({"simba_steps", "simba_eps", "simba_mode"}),
     "jsma": frozenset({"jsma_steps", "jsma_theta"}),
     "pgd_l1": frozenset({"steps", "alpha", "l1_sparsity"}),
+    "spatial": frozenset({"spatial_max_rot", "spatial_max_trans",
+                          "spatial_candidates", "spatial_grid_rot",
+                          "spatial_grid_trans"}),
 }
 _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 
@@ -345,7 +370,7 @@ _ALL_KNOB_ARGS: frozenset = frozenset().union(*ATTACK_KNOB_ARGS.values())
 # would make a resumed/cached cell disagree with a fresh run of a
 # different eps subset.
 EPS_INDEPENDENT_ATTACKS = ("cw", "deepfool", "ead", "stadv", "boundary",
-                           "simba", "jsma")
+                           "simba", "jsma", "spatial")
 
 
 def cell_rng_id(attack_name: str, eps: float) -> str:

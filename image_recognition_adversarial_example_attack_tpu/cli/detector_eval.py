@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                                  "dim", "tim", "apgd", "square", "deepfool",
                                  "nes", "spsa", "hsja", "ead", "apgd_dlr",
                                  "apgd_t", "fab", "stadv", "boundary",
-                                 "simba", "jsma", "pgd_l1"])
+                                 "simba", "jsma", "pgd_l1", "spatial"])
     parser.add_argument("--eps", type=float, default=0.03137)
     parser.add_argument("--alpha", type=float, default=0.00784)
     parser.add_argument("--steps", type=int, default=10)

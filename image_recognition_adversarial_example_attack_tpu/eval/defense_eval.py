@@ -78,6 +78,11 @@ class DefenseEvalConfig:
     jsma_steps: int = 100
     jsma_theta: float = 1.0
     l1_sparsity: float = 0.01
+    spatial_max_rot: float = 30.0
+    spatial_max_trans: float = 0.1
+    spatial_candidates: int = 10
+    spatial_grid_rot: int = 0
+    spatial_grid_trans: int = 0
     # 'feature' = reference stage-3 statistics detector; 'squeezing' =
     # feature-squeezing prediction-inconsistency; 'mahalanobis' =
     # min class-conditional Mahalanobis distance (both beyond-reference)
@@ -138,6 +143,11 @@ class DefenseEvalConfig:
             jsma_steps=self.jsma_steps,
             jsma_theta=self.jsma_theta,
             l1_sparsity=self.l1_sparsity,
+            spatial_max_rot=self.spatial_max_rot,
+            spatial_max_trans=self.spatial_max_trans,
+            spatial_candidates=self.spatial_candidates,
+            spatial_grid_rot=self.spatial_grid_rot,
+            spatial_grid_trans=self.spatial_grid_trans,
         )
 
 

@@ -41,6 +41,7 @@ def _generate():
         nes_attack,
         pgd_linf_attack,
         simba_attack,
+        spatial_attack,
         spsa_attack,
         square_attack,
         square_l2_attack,
@@ -112,6 +113,9 @@ def _generate():
         "adv_simba": simba_attack(lf, x, y, steps=60, eps=0.3, key=key),
         # L0 greedy saliency (deterministic: no key consumed)
         "adv_jsma": jsma_attack(lf, x, y, steps=20, theta=1.0),
+        # worst-case rotation+translation (random part keyed, grid exact)
+        "adv_spatial": spatial_attack(lf, x, y, candidates=8, grid_rot=3,
+                                      grid_trans=3, key=key).x_adv,
     }
     return {k: np.asarray(v)[0] for k, v in out.items()}
 

@@ -43,6 +43,8 @@ BASE = AttackParams(
     boundary_steps=2, boundary_spherical_step=0.01, boundary_source_step=0.01,
     simba_steps=2, simba_eps=0.2, simba_mode="dct",
     jsma_steps=2, jsma_theta=1.0, l1_sparsity=0.01,
+    spatial_max_rot=30.0, spatial_max_trans=0.1, spatial_candidates=2,
+    spatial_grid_rot=2, spatial_grid_trans=2,
 )
 
 # one valid perturbed value per CLI knob (ints stay in-range for N_CLASSES)
@@ -62,6 +64,8 @@ PERTURB = {
     "boundary_source_step": 0.02,
     "simba_steps": 3, "simba_eps": 0.3, "simba_mode": "pixel",
     "jsma_steps": 3, "jsma_theta": 0.5, "l1_sparsity": 0.02,
+    "spatial_max_rot": 20.0, "spatial_max_trans": 0.2,
+    "spatial_candidates": 3, "spatial_grid_rot": 3, "spatial_grid_trans": 3,
 }
 
 
