@@ -143,6 +143,12 @@ def spatial_attack(
     b, h, w, _ = x0.shape
     dt = x0.dtype
 
+    if (int(grid_rot) > 0) != (int(grid_trans) > 0):
+        raise ValueError(
+            "grid search needs BOTH grid_rot and grid_trans > 0 (got "
+            f"grid_rot={int(grid_rot)}, grid_trans={int(grid_trans)}); "
+            "setting only one would silently drop the grid and run the "
+            "strictly weaker random-only search")
     parts = []
     if int(grid_rot) > 0 and int(grid_trans) > 0:
         rots = _grid_axis(int(grid_rot), max_rot, dt)

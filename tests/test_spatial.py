@@ -134,6 +134,17 @@ class TestAttack:
         with pytest.raises(ValueError, match="empty spatial search"):
             spatial_attack(tiny_logits_fn, x, y, candidates=0)
 
+    def test_one_sided_grid_raises(self, tiny_logits_fn, rng_key):
+        """Setting only one of grid_rot/grid_trans must error loudly, not
+        silently drop the grid and run a weaker random-only search."""
+        x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32)
+        with pytest.raises(ValueError, match="BOTH grid_rot and grid_trans"):
+            spatial_attack(tiny_logits_fn, x, y, candidates=4,
+                           grid_rot=5, key=rng_key)
+        with pytest.raises(ValueError, match="BOTH grid_rot and grid_trans"):
+            spatial_attack(tiny_logits_fn, x, y, candidates=0, grid_trans=3)
+
     def test_random_without_key_raises(self, tiny_logits_fn):
         x = jnp.zeros((1, 16, 16, 3), jnp.float32)
         y = jnp.zeros((1,), jnp.int32)
