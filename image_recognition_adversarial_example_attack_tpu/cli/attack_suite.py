@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_extended_attack_args(parser)
     parser.add_argument("--labels_json", type=str, default=None,
                         help="ground-truth labels (default: pseudo-labels)")
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="image sets larger than this STREAM fixed-"
+                             "shape chunks through the same compiled "
+                             "programs at constant memory (0 = always "
+                             "one resident batch)")
     parser.add_argument("--output", type=str, default="attack_suite.json")
     add_model_args(parser)
     return parser
@@ -81,6 +86,10 @@ def main(argv=None) -> int:
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
 
+    max_batch = int(args.max_batch)
+    if max_batch > 0 and len(paths) > max_batch:
+        return _main_streamed(args, attacks, paths, bundle, logits_fn)
+
     x_np, kept = load_image_batch_tolerant(paths, size=bundle.input_size)
     if not kept:
         raise SystemExit("no loadable images")
@@ -91,14 +100,7 @@ def main(argv=None) -> int:
         check_label_range(np.asarray(y), n_classes_of(logits_fn, int(x.shape[1])))
     n = len(kept)
 
-    params = AttackParams(
-        eps=float(args.eps), alpha=float(args.alpha), steps=int(args.steps),
-        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
-        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
-        square_steps=int(args.square_steps),
-        n_target_classes=int(args.n_target_classes),
-        **extended_attack_kwargs(args),
-    )
+    params = _suite_params(args)
 
     @jax.jit
     def distortion(x_adv):
@@ -168,6 +170,126 @@ def main(argv=None) -> int:
         "model": args.model,
         "labels": "ground-truth" if args.labels_json else "pseudo",
         "ece_clean": ece_clean,
+        "results": rows,
+    }, indent=2))
+    print(f"\nWrote {out}")
+    return 0
+
+
+def _suite_params(args) -> AttackParams:
+    return AttackParams(
+        eps=float(args.eps), alpha=float(args.alpha), steps=int(args.steps),
+        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+        square_steps=int(args.square_steps),
+        n_target_classes=int(args.n_target_classes),
+        **extended_attack_kwargs(args),
+    )
+
+
+def _main_streamed(args, attacks, paths, bundle, logits_fn) -> int:
+    """Dataset-scale suite table: fixed-shape chunks through the same
+    compiled attack programs (eval/streaming.py::stream_suite_attack) at
+    constant memory.  Every table column decomposes into per-sample
+    vectors or bin sums, so streamed values match the one-batch path up
+    to float summation order (exactly, for the counters)."""
+    import math
+
+    from ..eval.metrics import (ece_from_conf_correct, psnr, ssim,  # noqa: F401
+                                ssim_per_sample)
+    from ..eval.streaming import stream_suite_attack
+    from .common import resolve_labels_sentinel
+
+    n = len(paths)
+    size = bundle.input_size
+    chunk = int(args.max_batch)
+    labels_sent = resolve_labels_sentinel(args.labels_json, paths)
+    if labels_sent is not None:
+        check_label_range(labels_sent, n_classes_of(logits_fn, size))
+    params = _suite_params(args)
+
+    clean_fn = jax.jit(lambda xx: (
+        jnp.argmax(logits_fn(xx), -1),
+        jnp.max(jax.nn.softmax(logits_fn(xx), -1), -1)))
+
+    @jax.jit
+    def metrics_fn(xc, xa, yy):
+        diff = xa - xc
+        flat = diff.reshape(diff.shape[0], -1)
+        logits_adv = logits_fn(xa)
+        probs = jax.nn.softmax(logits_adv, -1)
+        return {
+            "succ": jnp.argmax(logits_adv, -1) != yy,
+            "linf": jnp.max(jnp.abs(flat), -1),
+            "l2": jnp.sqrt(jnp.sum(jnp.square(flat), -1)),
+            "changed": jnp.mean(
+                (jnp.abs(flat) > 1.0 / 255.0).astype(jnp.float32), -1),
+            "ssim": ssim_per_sample(xc, xa),
+            "sq_sum": jnp.sum(jnp.square(flat), -1),
+            "conf": jnp.max(probs, -1),
+        }
+
+    ece_fn = jax.jit(ece_from_conf_correct)
+    key0 = key_from_seed(args.seed)
+    header = (f"{'attack':<10} {'ASR':>6} {'L∞':>8} {'L2(mean)':>9} "
+              f"{'chg%':>6} {'SSIM':>6} {'PSNR':>6} {'ECE':>6} "
+              f"{'compile+run':>12} {'steady':>8}")
+    print(f"\n{n} images STREAMED in fixed chunks of {chunk} (constant "
+          f"memory); eps={float(args.eps):.5f}; per attack: one compiled "
+          f"program (compile+run = first chunk; steady = mean later-chunk "
+          f"device time)")
+    if not args.labels_json:
+        print("NOTE: labels are the model's own pseudo-labels, so 'ECE' "
+              "degenerates to a confidence-deficit (clean accuracy is 1.0 "
+              "by construction) — pass --labels_json for true calibration")
+    print(header)
+    print("-" * len(header))
+    rows = []
+    ece_clean = None
+    clean_cache: dict = {}
+    with maybe_profile(args.profile_dir):
+        for name in attacks:
+            fn = jax.jit(lambda xx, yy, kk, _name=name: run_attack(
+                _name, logits_fn, xx, yy, params, kk))
+            res = stream_suite_attack(
+                fn, metrics_fn, clean_fn, paths, cell_key(key0, name),
+                chunk_size=chunk, size=size, labels=labels_sent,
+                clean_cache=clean_cache)
+            if ece_clean is None:
+                ece_clean = float(ece_fn(jnp.asarray(res["clean_conf"]),
+                                         jnp.asarray(res["clean_correct"])))
+            mse = float(np.sum(res["sq_sum"], dtype=np.float64)) / (
+                res["count"] * size * size * 3)
+            m = {
+                "asr": float(np.mean(res["succ"])),
+                "linf": float(np.max(res["linf"])),
+                "l2_mean": float(np.mean(res["l2"])),
+                "changed_pct": float(np.mean(res["changed"])) * 100.0,
+                "ssim": float(np.mean(res["ssim"])),
+                "psnr": 100.0 if mse <= 1e-10 else -10.0 * math.log10(mse),
+                "ece": float(ece_fn(
+                    jnp.asarray(res["conf"]),
+                    jnp.asarray(~res["succ"], jnp.float32))),
+            }
+            row = {"attack": name, **m,
+                   "compile_run_s": round(res["compile_run_s"], 2),
+                   "steady_s": round(res["steady_s"], 4)}
+            rows.append(row)
+            print(f"{name:<10} {m['asr']:>6.3f} {m['linf']:>8.4f} "
+                  f"{m['l2_mean']:>9.3f} {m['changed_pct']:>6.2f} "
+                  f"{m['ssim']:>6.3f} {m['psnr']:>6.1f} {m['ece']:>6.3f} "
+                  f"{row['compile_run_s']:>10.1f}s {row['steady_s']:>7.3f}s")
+    print(f"clean ECE {ece_clean:.3f}")
+
+    out = Path(args.output)
+    out.write_text(json.dumps({
+        "count": n,
+        "eps": float(args.eps),
+        "model": args.model,
+        "labels": "ground-truth" if args.labels_json else "pseudo",
+        "ece_clean": ece_clean,
+        "streamed": True,
+        "max_batch": chunk,
         "results": rows,
     }, indent=2))
     print(f"\nWrote {out}")

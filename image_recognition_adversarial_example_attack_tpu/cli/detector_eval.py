@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quantile", type=float, default=0.95,
                         help="clean-score quantile for the calibrated "
                              "operating point")
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="image sets larger than this STREAM fixed-"
+                             "shape chunks through the same compiled "
+                             "attack/score programs at constant memory "
+                             "(0 = always one resident batch)")
     parser.add_argument("--output_json", type=str, default=None)
     add_model_args(parser)
     return parser
@@ -82,6 +87,11 @@ def main(argv=None) -> int:
 
     bundle = load_bundle(args)
     logits_fn, features_fn = make_fns(bundle)
+
+    max_batch = int(args.max_batch)
+    if max_batch > 0 and len(image_paths) > max_batch:
+        return _main_streamed(args, image_paths, bundle, logits_fn,
+                              features_fn)
 
     from ..core.images import load_image_batch_tolerant
 
@@ -138,6 +148,124 @@ def main(argv=None) -> int:
             for det in args.detectors:
                 r = evaluate_detector_cell(
                     score_fns[det], x, x_adv, thresholds[det],
+                    detector=det, attack=attack_name)
+                results.append(r)
+                print(f"  {det}: AUC={r.auc:.3f} "
+                      f"TPR@thr={r.tpr_at_threshold:.3f} "
+                      f"TPR@5%FPR={r.tpr_at_fpr05:.3f}")
+
+    print("\n" + "=" * 62)
+    print("DETECTOR COMPARISON")
+    print("=" * 62)
+    print(summary_table(results))
+
+    if args.output_json:
+        out = Path(args.output_json)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(
+            [dataclasses.asdict(r) for r in results], indent=2))
+        print(f"\nWrote {out}")
+    return 0
+
+
+def _build_score_fns(args, logits_fn, features_fn, x_cal, y_cal):
+    """Jitted detector score programs.  Mahalanobis Gaussians are FIT on
+    the calibration batch (x_cal, y_cal) — in streamed mode the first
+    chunk, the standard small-calibration-set deployment of Lee et al.
+    2018; feature/squeezing scores are parameter-free."""
+    from ..defenses.detector import feature_score, squeezing_score
+
+    score_fns: dict = {}
+    for det in args.detectors:
+        if det == "feature":
+            score_fns[det] = jax.jit(
+                lambda xx: feature_score(features_fn, xx))
+        elif det == "squeezing":
+            score_fns[det] = jax.jit(
+                lambda xx: squeezing_score(logits_fn, xx))
+        else:  # mahalanobis
+            from ..defenses.mahalanobis import (calibrate_mahalanobis,
+                                                mahalanobis_score)
+
+            params, _ = calibrate_mahalanobis(
+                features_fn, x_cal, y_cal,
+                n_classes_of(logits_fn, int(x_cal.shape[1])),
+                n=x_cal.shape[0], quantile=args.quantile)
+            score_fns[det] = jax.jit(
+                lambda xx, _p=params: mahalanobis_score(features_fn, xx, _p))
+    return score_fns
+
+
+def _main_streamed(args, image_paths, bundle, logits_fn,
+                   features_fn) -> int:
+    """Dataset-scale detector comparison, streamed at constant memory.
+
+    Two passes of fixed-shape chunks through the same compiled programs:
+    (1) clean scores for every detector over the FULL set (thresholds
+    then come from full-set quantiles — the exact statistic the one-batch
+    path computes, now over all N instead of an in-RAM cap); (2) per
+    attack, craft + score chunks (eval/streaming.py::
+    stream_detector_scores).  ROC arithmetic runs on the concatenated
+    host vectors — identical to the one-batch path's.  Mahalanobis
+    Gaussians fit on the first chunk (its calibration set)."""
+    from ..core.images import load_image_batch_tolerant
+    from ..defenses.detector import threshold_from_scores
+    from ..eval.detector_eval import cell_from_scores
+    from ..eval.streaming import stream_clean_scores, stream_detector_scores
+
+    chunk = int(args.max_batch)
+    print(f"({len(image_paths)} images exceed --max_batch {chunk}: "
+          f"STREAMING fixed chunks at constant memory)")
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
+
+    # Mahalanobis calibration set = the first chunk
+    x_cal_np, _ = load_image_batch_tolerant(
+        image_paths[:chunk], size=bundle.input_size)
+    if x_cal_np.shape[0] == 0:
+        raise SystemExit("no loadable images")
+    x_cal = jnp.asarray(x_cal_np)
+    score_fns = _build_score_fns(args, logits_fn, features_fn,
+                                 x_cal, pseudo_fn(x_cal))
+
+    clean = stream_clean_scores(score_fns, image_paths, chunk_size=chunk,
+                                size=bundle.input_size)
+    thresholds: dict = {}
+    for det in args.detectors:
+        if det == "feature":
+            thresholds[det] = threshold_from_scores(
+                jnp.asarray(clean[det]), args.quantile)
+        else:
+            thresholds[det] = float(np.quantile(clean[det], args.quantile))
+        print(f"  {det}: threshold={thresholds[det]:.4f} "
+              f"(q={args.quantile}, calibrated on all "
+              f"{clean[det].shape[0]} clean scores)")
+
+    base_params = AttackParams(
+        eps=float(args.eps), alpha=float(args.alpha), steps=int(args.steps),
+        cw_c=float(args.cw_c), cw_kappa=float(args.cw_kappa),
+        cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr),
+        square_steps=int(args.square_steps),
+        **extended_attack_kwargs(args),
+    )
+    key0 = key_from_seed(args.seed)
+
+    results = []
+    with maybe_profile(args.profile_dir):
+        for attack_name in args.attacks:
+            print(f"\nCrafting {attack_name.upper()} (eps={args.eps:.5f}, "
+                  f"streamed)...")
+            sub = cell_key(key0, cell_rng_id(attack_name, float(args.eps)))
+            atk = jax.jit(lambda xx, yy, kk, a=attack_name: run_attack(
+                a, logits_fn, xx, yy, base_params, key=kk))
+            got = stream_detector_scores(
+                atk, score_fns, pseudo_fn, image_paths, sub,
+                chunk_size=chunk, size=bundle.input_size)
+            asr = float(np.mean(got["succ"]))
+            print(f"  attack success rate: {asr:.3f} "
+                  f"({got['count']} images)")
+            for det in args.detectors:
+                r = cell_from_scores(
+                    clean[det], got["adv"][det], thresholds[det],
                     detector=det, attack=attack_name)
                 results.append(r)
                 print(f"  {det}: AUC={r.auc:.3f} "

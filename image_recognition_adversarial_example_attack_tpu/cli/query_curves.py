@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--simba_mode", choices=["dct", "pixel"],
                         default="dct")
     parser.add_argument("--labels_json", type=str, default=None)
+    parser.add_argument("--max_batch", type=int, default=256,
+                        help="image sets larger than this STREAM fixed-"
+                             "shape chunks through the same compiled "
+                             "history-emitting programs at constant "
+                             "memory (0 = always one resident batch)")
     parser.add_argument("--output", type=str, default="query_curves.json")
     add_model_args(parser)
     return parser
@@ -66,6 +71,10 @@ def main(argv=None) -> int:
     paths = resolve_image_inputs(args.image_dir, args.image)
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
+
+    max_batch = int(args.max_batch)
+    if max_batch > 0 and len(paths) > max_batch:
+        return _main_streamed(args, paths, bundle, logits_fn)
 
     x_np, kept = load_image_batch_tolerant(paths, size=bundle.input_size)
     if not kept:
@@ -116,6 +125,79 @@ def main(argv=None) -> int:
         "eps": float(args.eps),
         "max_queries": int(args.max_queries),
         "labels": "ground-truth" if args.labels_json else "pseudo",
+        "curves": results,
+    }, indent=2))
+    print(f"\nWrote {out}")
+    return 0
+
+
+def _main_streamed(args, paths, bundle, logits_fn) -> int:
+    """Dataset-scale curves: fixed-shape chunks through the same compiled
+    history-emitting attack program (eval/streaming.py::
+    stream_query_curve_hist).  The curve's two reductions (per-step
+    ever-succeeded count, per-sample first-success step) stream exactly,
+    so the assembled JSON matches the one-batch path for the same attack
+    draws (eval/query_curves.py::assemble_curve is shared)."""
+    from ..eval.query_curves import _runner, budget_to_steps, assemble_curve
+    from ..eval.streaming import stream_query_curve_hist
+    from .common import resolve_labels_sentinel
+
+    n = len(paths)
+    chunk = int(args.max_batch)
+    labels_sent = resolve_labels_sentinel(args.labels_json, paths)
+    if labels_sent is not None:
+        check_label_range(labels_sent,
+                          n_classes_of(logits_fn, bundle.input_size))
+    pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
+    cps = sorted(int(c) for c in args.checkpoints)
+    key0 = key_from_seed(args.seed)
+    header = (f"{'attack':<10} " +
+              " ".join(f"q={c:<6}" for c in cps) +
+              f" {'median-q':>9} {'time':>7}")
+    print(f"\n{n} images STREAMED in fixed chunks of {chunk} (constant "
+          f"memory); eps={float(args.eps):.5f}; max budget "
+          f"{int(args.max_queries)} queries (ONE run per attack per chunk "
+          f"yields the full curve)")
+    print(header)
+    print("-" * len(header))
+    results = []
+    n_loaded = n
+    with maybe_profile(args.profile_dir):
+        for name in args.attacks:
+            t0 = time.perf_counter()
+            steps = budget_to_steps(name, int(args.max_queries),
+                                    int(args.est_samples))
+            fn, per_step, init_q = _runner(
+                name, logits_fn, eps=float(args.eps), steps=steps,
+                est_samples=int(args.est_samples),
+                nes_sigma=float(args.nes_sigma),
+                spsa_delta=float(args.spsa_delta), alpha=float(args.alpha),
+                simba_eps=float(args.simba_eps),
+                simba_mode=str(args.simba_mode))
+            raw = stream_query_curve_hist(
+                jax.jit(fn), steps, paths, cell_key(key0, name),
+                chunk_size=chunk, size=bundle.input_size,
+                pseudo_label_fn=pseudo_fn, labels=labels_sent)
+            curve = assemble_curve(name, raw["ever_count"], raw["count"],
+                                   raw["first"], per_step=per_step,
+                                   init_q=init_q, steps=steps)
+            n_loaded = int(raw["count"])
+            dt = time.perf_counter() - t0
+            sampled = curve_at_checkpoints(curve, cps)
+            med = curve["median_queries_to_success"]
+            print(f"{name:<10} " +
+                  " ".join(f"{a:<8.3f}" for _, a in sampled) +
+                  f" {med if med is not None else '—':>9} {dt:>6.1f}s")
+            results.append(curve)
+
+    out = Path(args.output)
+    out.write_text(json.dumps({
+        "count": n_loaded,
+        "eps": float(args.eps),
+        "max_queries": int(args.max_queries),
+        "labels": "ground-truth" if args.labels_json else "pseudo",
+        "streamed": True,
+        "max_batch": chunk,
         "curves": results,
     }, indent=2))
     print(f"\nWrote {out}")

@@ -81,6 +81,30 @@ class DetectorCellResult:
     tpr_at_fpr05: float       # threshold-free comparison point
 
 
+def cell_from_scores(
+    s_clean: np.ndarray,
+    s_adv: np.ndarray,
+    threshold: float,
+    *,
+    detector: str,
+    attack: str,
+) -> DetectorCellResult:
+    """ROC cell from raw (clean, adv) score vectors — the host-side half
+    of ``evaluate_detector_cell``, shared with the streamed path
+    (eval/streaming.py::stream_detector_scores), so both assemble the
+    same statistics from the same per-sample data."""
+    s_clean = np.asarray(s_clean, np.float64)
+    s_adv = np.asarray(s_adv, np.float64)
+    return DetectorCellResult(
+        detector=detector,
+        attack=attack,
+        auc=roc_auc(s_clean, s_adv),
+        tpr_at_threshold=float(np.mean(s_adv > threshold)),
+        fpr_at_threshold=float(np.mean(s_clean > threshold)),
+        tpr_at_fpr05=tpr_at_fpr(s_clean, s_adv, 0.05),
+    )
+
+
 def evaluate_detector_cell(
     score_fn,
     x: jnp.ndarray,
@@ -95,15 +119,8 @@ def evaluate_detector_cell(
     stacked = jnp.concatenate([x, x_adv], axis=0)
     scores = np.asarray(jax.device_get(jax.jit(score_fn)(stacked)),
                         np.float64)
-    s_clean, s_adv = scores[:b], scores[b:]
-    return DetectorCellResult(
-        detector=detector,
-        attack=attack,
-        auc=roc_auc(s_clean, s_adv),
-        tpr_at_threshold=float(np.mean(s_adv > threshold)),
-        fpr_at_threshold=float(np.mean(s_clean > threshold)),
-        tpr_at_fpr05=tpr_at_fpr(s_clean, s_adv, 0.05),
-    )
+    return cell_from_scores(scores[:b], scores[b:], threshold,
+                            detector=detector, attack=attack)
 
 
 def summary_table(results: list[DetectorCellResult]) -> str:

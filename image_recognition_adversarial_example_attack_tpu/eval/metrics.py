@@ -73,6 +73,34 @@ def ssim(
     return jnp.mean(num / den)
 
 
+def ssim_per_sample(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Per-sample SSIM over a [B,H,W,C] pair -> [B].
+
+    The streaming harnesses (eval/streaming.py) accumulate this vector
+    across fixed-shape chunks; its host-side mean equals ``ssim`` on the
+    one-batch path up to float summation order (every sample's SSIM map
+    has the same element count, so mean-of-means == global mean)."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    mu_a = _filter2d_per_channel(a, kernel)
+    mu_b = _filter2d_per_channel(b, kernel)
+    sigma_aa = _filter2d_per_channel(a * a, kernel) - mu_a * mu_a
+    sigma_bb = _filter2d_per_channel(b * b, kernel) - mu_b * mu_b
+    sigma_ab = _filter2d_per_channel(a * b, kernel) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sigma_ab + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (sigma_aa + sigma_bb + c2)
+    return jnp.mean((num / den).reshape(a.shape[0], -1), axis=-1)
+
+
 def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
     mse = jnp.mean(jnp.square(a - b))
     return jnp.where(
@@ -131,6 +159,22 @@ def expected_calibration_error(
     """
     conf = jnp.max(probs, axis=-1)                       # [B]
     correct = (jnp.argmax(probs, axis=-1) == labels).astype(jnp.float32)
+    return ece_from_conf_correct(conf, correct, n_bins=n_bins)
+
+
+def ece_from_conf_correct(
+    conf: jnp.ndarray,
+    correct: jnp.ndarray,
+    n_bins: int = 15,
+) -> jnp.ndarray:
+    """ECE from the per-sample (confidence, correctness) vectors.
+
+    The decomposition point the streaming harnesses rely on: ECE is a
+    function of per-bin sums only, so concatenating per-chunk ``conf`` /
+    ``correct`` vectors on the host and calling this once reproduces the
+    one-batch value exactly (same one-hot matmul binning)."""
+    conf = jnp.asarray(conf, jnp.float32)
+    correct = jnp.asarray(correct, jnp.float32)
     # bin index in [0, n_bins-1]; conf=1.0 lands in the last bin
     idx = jnp.minimum((conf * n_bins).astype(jnp.int32), n_bins - 1)
     onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)  # [B, n_bins]

@@ -93,12 +93,7 @@ def query_curve(
     batch fooled within that budget (cummax of the per-step mask —
     success is never un-counted by a later step).
     """
-    # steps from the query budget (at least 1)
-    probe_cost = {"square": 1, "square_l2": 1, "simba": 2, "bandits": 2,
-                  "nes": 2 * est_samples, "spsa": 2 * est_samples}[attack]
-    init_q = {"square": 2, "square_l2": 2, "simba": 1, "bandits": 0,
-              "nes": 0, "spsa": 0}[attack]
-    steps = max(1, (int(max_queries) - init_q) // probe_cost)
+    steps = budget_to_steps(attack, max_queries, est_samples)
     fn, per_step, init_q = _runner(
         attack, logits_fn, eps=eps, steps=steps, est_samples=est_samples,
         nes_sigma=nes_sigma, spsa_delta=spsa_delta, alpha=alpha,
@@ -106,11 +101,33 @@ def query_curve(
     _, hist = jax.jit(fn)(x, y, key)
     hist = np.asarray(jax.device_get(hist))          # [steps, B] bool
     ever = np.maximum.accumulate(hist, axis=0)       # success is sticky
-    asr = ever.mean(axis=1)                          # [steps]
-    queries = init_q + per_step * np.arange(1, steps + 1)
-
-    # median queries to success over samples that ever succeed
     first = np.where(ever.any(axis=0), ever.argmax(axis=0), -1)  # [B]
+    return assemble_curve(attack, ever.sum(axis=1), hist.shape[1], first,
+                          per_step=per_step, init_q=init_q, steps=steps)
+
+
+def budget_to_steps(attack: str, max_queries: int,
+                    est_samples: int = 32) -> int:
+    """Scan length from the query budget (at least 1) via each attack's
+    per-step probe cost and init cost."""
+    probe_cost = {"square": 1, "square_l2": 1, "simba": 2, "bandits": 2,
+                  "nes": 2 * est_samples, "spsa": 2 * est_samples}[attack]
+    init_q = {"square": 2, "square_l2": 2, "simba": 1, "bandits": 0,
+              "nes": 0, "spsa": 0}[attack]
+    return max(1, (int(max_queries) - init_q) // probe_cost)
+
+
+def assemble_curve(attack: str, ever_count: np.ndarray, count: int,
+                   first: np.ndarray, *, per_step: int, init_q: int,
+                   steps: int) -> dict:
+    """Curve dict from the two streamable reductions: the per-step
+    ever-succeeded count ([steps] — the ASR numerator) and each sample's
+    first-success step ([N], -1 = never).  Shared by the one-batch path
+    and eval/streaming.py::stream_query_curve_hist, so the two assemble
+    byte-identical JSON for the same statistics."""
+    asr = np.asarray(ever_count, np.float64) / max(int(count), 1)
+    queries = init_q + per_step * np.arange(1, steps + 1)
+    first = np.asarray(first)
     solved = first >= 0
     median_q = (float(np.median(init_q + per_step * (first[solved] + 1)))
                 if solved.any() else None)

@@ -218,6 +218,194 @@ def stream_correctness_cell(
     return {k: np.concatenate([p[k] for p in parts]) for k in keys}
 
 
+def _merge_labels(y_np, pseudo):
+    """Per-chunk label resolution shared by the streaming harnesses:
+    ``None`` -> pure pseudo-labels; entries of ``-1`` (UNLABELED) -> that
+    image's pseudo-label (the resolve_labels partial-file convention)."""
+    if y_np is None:
+        return pseudo
+    y_np = np.asarray(y_np)
+    return np.where(y_np < 0, pseudo, y_np)
+
+
+def stream_suite_attack(
+    attack_fn,
+    metrics_fn,
+    clean_fn,
+    paths: Sequence,
+    key: jax.Array,
+    *,
+    chunk_size: int,
+    size: int = 224,
+    labels: Sequence[int] | None = None,
+    place: Callable[[np.ndarray], jax.Array] | None = None,
+    clean_cache: dict | None = None,
+) -> dict:
+    """One attack row of the zoo-comparison table (cli/attack_suite.py),
+    streamed at constant memory.
+
+    ``attack_fn(x, y, key) -> x_adv`` is the one compiled attack program;
+    ``metrics_fn(x, x_adv, y) -> {succ, linf, l2, changed, ssim, sq_sum,
+    conf}`` returns PER-SAMPLE vectors (the streamable decomposition of
+    the one-batch scalar program: batch means/maxes happen on the host,
+    PSNR re-forms from the global squared-error sum, ECE from the
+    (conf, correct) vectors via ece_from_conf_correct);
+    ``clean_fn(x) -> (pred, conf)`` is the clean forward (pseudo-labels +
+    clean calibration).  ``clean_cache`` (optional) carries the per-chunk
+    clean predictions across the CLI's attack loop so the clean forward
+    runs once per chunk for the whole table, not once per attack.
+
+    Timing split mirrors the one-batch path: ``compile_run_s`` is the
+    first chunk's attack call (compile + run), ``steady_s`` the mean of
+    the remaining chunks' calls (pure device time — same program, same
+    shapes).
+    """
+    import time
+
+    place = place or jnp.asarray
+    acc: dict[str, list[np.ndarray]] = {
+        k: [] for k in ("succ", "linf", "l2", "changed", "ssim", "sq_sum",
+                        "conf", "clean_conf", "clean_correct")}
+    chunk_times: list[float] = []
+    count = 0
+    pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
+    for step, x_np, y_np, n_valid in pipe:
+        x = place(x_np)
+        if clean_cache is not None and step in clean_cache:
+            pred, conf_clean = clean_cache[step]
+        else:
+            pred, conf_clean = (np.asarray(v) for v in
+                                jax.device_get(clean_fn(x)))
+            if clean_cache is not None:
+                clean_cache[step] = (pred, conf_clean)
+        y_eff = _merge_labels(y_np, pred)
+        y = jnp.asarray(y_eff)
+        t0 = time.perf_counter()
+        x_adv = attack_fn(x, y, jax.random.fold_in(key, step))
+        jax.block_until_ready(x_adv)
+        chunk_times.append(time.perf_counter() - t0)
+        m = jax.device_get(metrics_fn(x, x_adv, y))
+        for k, v in m.items():
+            acc[k].append(np.asarray(v)[:n_valid])
+        acc["clean_conf"].append(conf_clean[:n_valid])
+        acc["clean_correct"].append(
+            (pred[:n_valid] == y_eff[:n_valid]).astype(np.float32))
+        count += int(n_valid)
+    out = {k: np.concatenate(v) for k, v in acc.items()}
+    out["count"] = count
+    out["compile_run_s"] = chunk_times[0]
+    out["steady_s"] = (float(np.mean(chunk_times[1:]))
+                       if len(chunk_times) > 1 else None)
+    return out
+
+
+def stream_query_curve_hist(
+    run_fn,
+    n_steps: int,
+    paths: Sequence,
+    key: jax.Array,
+    *,
+    chunk_size: int,
+    size: int = 224,
+    pseudo_label_fn,
+    labels: Sequence[int] | None = None,
+    place: Callable[[np.ndarray], jax.Array] | None = None,
+) -> dict[str, np.ndarray]:
+    """One attack's ASR-vs-queries raw statistics, streamed.
+
+    ``run_fn(x, y, key) -> (x_adv, succ_hist [steps, B])`` is the compiled
+    history-emitting attack (eval/query_curves.py::_runner).  The curve
+    needs only two reductions over samples, both streamable: the per-step
+    count of ever-succeeded samples ([steps] ints — the ASR numerator)
+    and each sample's first-success step (for the median-queries stat).
+    The [steps, B] history never accumulates across chunks — one chunk's
+    slice is fetched, reduced, and dropped.
+    """
+    place = place or jnp.asarray
+    ever_count = np.zeros((int(n_steps),), np.int64)
+    firsts: list[np.ndarray] = []
+    count = 0
+    pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
+    for step, x_np, y_np, n_valid in pipe:
+        x = place(x_np)
+        pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+        y = jnp.asarray(_merge_labels(y_np, pseudo))
+        _, hist = run_fn(x, y, jax.random.fold_in(key, step))
+        hist = np.asarray(jax.device_get(hist))[:, :n_valid]  # [steps, B]
+        ever = np.maximum.accumulate(hist, axis=0)
+        ever_count += ever.sum(axis=1)
+        firsts.append(np.where(ever.any(axis=0), ever.argmax(axis=0), -1))
+        count += int(n_valid)
+    return {
+        "ever_count": ever_count,
+        "first": np.concatenate(firsts) if firsts else np.empty(0, np.int64),
+        "count": count,
+    }
+
+
+def stream_detector_scores(
+    attack_fn,
+    score_fns: dict,
+    pred_fn,
+    paths: Sequence,
+    key: jax.Array,
+    *,
+    chunk_size: int,
+    size: int = 224,
+    place: Callable[[np.ndarray], jax.Array] | None = None,
+) -> dict:
+    """Adversarial-side scores of one attack for every detector, streamed
+    (cli/detector_eval.py).  ``attack_fn(x, y, key) -> x_adv``;
+    ``score_fns`` maps detector name -> compiled score program;
+    ``pred_fn(x) -> argmax labels`` provides per-chunk pseudo-labels and
+    the ASR check.  Only [B] score vectors reach the host — the ROC
+    arithmetic (AUC/TPR) runs downstream on the full concatenated
+    vectors, identical to the one-batch path.
+    """
+    place = place or jnp.asarray
+    adv: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
+    succ: list[np.ndarray] = []
+    count = 0
+    pipe = EvalBatchPipeline(paths, chunk_size, size=size)
+    for step, x_np, _y, n_valid in pipe:
+        x = place(x_np)
+        y = pred_fn(x)
+        x_adv = attack_fn(x, y, jax.random.fold_in(key, step))
+        pred_adv = np.asarray(jax.device_get(pred_fn(x_adv)))
+        succ.append((pred_adv != np.asarray(jax.device_get(y)))[:n_valid])
+        for det, fn in score_fns.items():
+            s = np.asarray(jax.device_get(fn(x_adv)), np.float64)
+            adv[det].append(s[:n_valid])
+        count += int(n_valid)
+    return {
+        "adv": {d: np.concatenate(v) for d, v in adv.items()},
+        "succ": np.concatenate(succ),
+        "count": count,
+    }
+
+
+def stream_clean_scores(
+    score_fns: dict,
+    paths: Sequence,
+    *,
+    chunk_size: int,
+    size: int = 224,
+    place: Callable[[np.ndarray], jax.Array] | None = None,
+) -> dict[str, np.ndarray]:
+    """Clean-side detector scores over the full set (the calibration pass
+    of the streamed detector comparison — thresholds then come from the
+    SAME full-set quantiles the one-batch path uses)."""
+    place = place or jnp.asarray
+    clean: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
+    pipe = EvalBatchPipeline(paths, chunk_size, size=size)
+    for _step, x_np, _y, n_valid in pipe:
+        x = place(x_np)
+        for det, fn in score_fns.items():
+            s = np.asarray(jax.device_get(fn(x)), np.float64)
+            clean[det].append(s[:n_valid])
+    return {d: np.concatenate(v) for d, v in clean.items()}
+
+
 def stream_robust_cell(
     run_fn,
     paths: Sequence,
