@@ -410,7 +410,7 @@ def labels_digest(labels_json: str | None) -> str | None:
 
 
 def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
-                                      "profile_dir"),
+                                      "profile_dir", "certified"),
                        attack_name: str | None = None,
                        labels_content: str | None = None) -> str:
     """Short hash of every result-semantics-defining CLI argument plus the
@@ -443,6 +443,73 @@ def config_fingerprint(args, exclude=("output_dir", "resume", "viz_samples",
         payload.pop("labels_json", None)
     blob = _json.dumps(payload, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def imagenet_val_inputs(val_dir: str) -> tuple[list, str]:
+    """ImageNet-val ground-truth data plane: ``(paths, labels_json_path)``.
+
+    Scans the standard on-disk layouts (class subfolders or flat +
+    val_map.txt — core/datasets.py::list_imagenet_val) and materializes
+    the ground truth as a content-addressed labels JSON in the tmp dir,
+    so EVERY downstream consumer — resolve_labels, the streaming
+    UNLABELED sentinel, --resume config digests (which hash labels-file
+    CONTENT, so the digest is stable across runs and hosts) — runs the
+    one existing labels code path with guaranteed full coverage.  This is
+    `/root/reference/test.py:48-60`'s labels-from-files semantics at
+    dataset scale: ground truth becomes one flag instead of a hand-built
+    labels_json.
+    """
+    import hashlib
+    import json as _json
+    import tempfile
+    from pathlib import Path as _Path
+
+    from ..core.datasets import list_imagenet_val
+
+    paths, labels, classes = list_imagenet_val(val_dir)
+    table = {str(p): int(l) for p, l in zip(paths, labels)}
+    blob = _json.dumps(table, sort_keys=True)
+    digest = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    out = _Path(tempfile.gettempdir()) / f"imagenet_val_labels_{digest}.json"
+    if not out.is_file():
+        out.write_text(blob)
+    layout = (f"{len(classes)} class folders" if classes
+              else "flat + val_map")
+    print(f"ImageNet-val ground truth: {len(paths)} images ({layout}, "
+          f"{len(set(table.values()))} distinct labels) -> {out}")
+    return paths, str(out)
+
+
+def add_imagenet_val_arg(parser) -> None:
+    parser.add_argument(
+        "--imagenet_val_dir", type=str, default=None,
+        help="ImageNet validation directory with GROUND-TRUTH labels: "
+             "either torchvision-style class subfolders (sorted folder "
+             "names -> class indices, matching converted checkpoints "
+             "when folders are WNIDs) or flat images + val_map.txt "
+             "'<filename> <class_index>' lines; replaces --image_dir "
+             "and implies the labels (mutually exclusive with "
+             "--labels_json)")
+
+
+def apply_imagenet_val(args) -> list | None:
+    """Shared --imagenet_val_dir resolution: returns the path list and
+    sets ``args.labels_json`` to the materialized ground truth, or None
+    when the flag is absent.  Fails fast on conflicting data planes."""
+    if not getattr(args, "imagenet_val_dir", None):
+        return None
+    if getattr(args, "labels_json", None):
+        raise SystemExit("--imagenet_val_dir carries its own ground-truth "
+                         "labels; drop --labels_json")
+    if getattr(args, "cifar10_dir", None):
+        raise SystemExit("pass at most one of --imagenet_val_dir / "
+                         "--cifar10_dir")
+    if getattr(args, "image_dir", None):
+        raise SystemExit("--imagenet_val_dir replaces --image_dir; "
+                         "pass only one")
+    paths, labels_json = imagenet_val_inputs(args.imagenet_val_dir)
+    args.labels_json = labels_json
+    return paths
 
 
 def resolve_labels_sentinel(labels_json: str | None, paths):

@@ -37,7 +37,8 @@ from ..core.constants import DEFAULT_EPS_LIST
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack, autoattack_lite
-from .common import (add_model_args, check_label_range, load_bundle,
+from .common import (add_imagenet_val_arg, add_model_args,
+                     apply_imagenet_val, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
                      resolve_image_inputs, resolve_labels,
                      resolve_labels_sentinel)
@@ -104,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "with a streaming-size image set)")
     parser.add_argument("--plot", type=str, default=None,
                         help="write the robust-accuracy-vs-eps figure here")
+    add_imagenet_val_arg(parser)
     add_model_args(parser)
     return parser
 
@@ -124,7 +126,9 @@ def main(argv=None) -> int:
         paths = [f"cifar10_{args.cifar10_split}_{i:05d}"
                  for i in range(len(y_all))]
     else:
-        paths = resolve_image_inputs(args.image_dir, args.image)
+        val_paths = apply_imagenet_val(args)
+        paths = (val_paths if val_paths is not None
+                 else resolve_image_inputs(args.image_dir, args.image))
     bundle = load_bundle(args)
     if cifar and bundle.input_size != 32:
         raise SystemExit(f"--cifar10_dir is 32x32 data but --model "

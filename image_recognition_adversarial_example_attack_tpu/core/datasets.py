@@ -112,3 +112,88 @@ def load_cifar10(
     raise FileNotFoundError(
         f"no CIFAR-10 archive found under {root} (looked for "
         f"{_PY_DIR}/data_batch_1 and {_BIN_DIR}/data_batch_1.bin)")
+
+
+# ---------------------------------------------------------------------------
+# ImageNet validation set (ground-truth data plane at ImageNet scale)
+# ---------------------------------------------------------------------------
+
+_VAL_MAP_NAMES = ("val_map.txt", "val_annotations.txt")
+
+
+def list_imagenet_val(
+    val_dir: str | Path,
+) -> tuple[list[Path], np.ndarray, list[str] | None]:
+    """Paths + ground-truth labels from an ImageNet-val directory.
+
+    The reference takes labels from per-image files / filenames only
+    (test.py:48-60); at the dataset scale this rebuild targets, the two
+    standard on-disk layouts are supported instead (auto-detected):
+
+    - **class subfolders** (torchvision ``ImageFolder``):
+      ``val_dir/<class>/*.JPEG``.  Class index = position of the folder
+      name in the SORTED folder list — torchvision's exact convention, so
+      when the folders are the standard WNIDs (``n01440764``...) the
+      indices line up with any checkpoint imported by models/convert.py.
+    - **flat files + annotation file** ``val_map.txt`` (or
+      ``val_annotations.txt``): whitespace-separated lines
+      ``<filename> <class_index>`` (the devkit-derived val_map format);
+      extra columns (tiny-imagenet box coords) are ignored.
+
+    Returns ``(paths sorted, labels int64 [N], class_names or None)``
+    (class names only for the subfolder layout).  Unlike the tolerant
+    eval loaders, an image with no label is an error — this entry point
+    exists precisely to guarantee ground truth.
+    """
+    from .constants import IMAGE_EXTS
+
+    exts = tuple(IMAGE_EXTS)
+    root = Path(val_dir)
+    if not root.is_dir():
+        raise FileNotFoundError(f"imagenet_val_dir not found: {root}")
+
+    classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    if classes:
+        idx = {c: i for i, c in enumerate(classes)}
+        pairs: list[tuple[Path, int]] = []
+        for c in classes:
+            for p in sorted((root / c).iterdir()):
+                if p.is_file() and p.suffix.lower() in exts:
+                    pairs.append((p, idx[c]))
+        if not pairs:
+            raise FileNotFoundError(
+                f"{root}: {len(classes)} class folders but no images with "
+                f"extensions {exts}")
+        paths = [p for p, _ in pairs]
+        labels = np.asarray([l for _, l in pairs], np.int64)
+        return paths, labels, classes
+
+    for name in _VAL_MAP_NAMES:
+        map_file = root / name
+        if map_file.is_file():
+            table: dict[str, int] = {}
+            for ln, line in enumerate(map_file.read_text().splitlines(), 1):
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) < 2:
+                    raise ValueError(
+                        f"{map_file}:{ln}: expected '<filename> "
+                        f"<class_index>', got {line!r}")
+                table[parts[0]] = int(parts[1])
+            paths = sorted(p for p in root.iterdir()
+                           if p.is_file() and p.suffix.lower() in exts)
+            if not paths:
+                raise FileNotFoundError(f"{root}: no images next to {name}")
+            missing = [p.name for p in paths if p.name not in table]
+            if missing:
+                raise ValueError(
+                    f"{map_file}: no entry for {len(missing)} image(s) "
+                    f"({missing[:3]}{'...' if len(missing) > 3 else ''}) — "
+                    f"ground-truth mode requires every image labeled")
+            labels = np.asarray([table[p.name] for p in paths], np.int64)
+            return paths, labels, None
+
+    raise FileNotFoundError(
+        f"{root}: neither class subfolders nor a "
+        f"{'/'.join(_VAL_MAP_NAMES)} annotation file found")
