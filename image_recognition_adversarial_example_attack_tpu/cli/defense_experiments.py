@@ -47,7 +47,8 @@ from ..eval.defense_eval import (
     summary_line,
 )
 from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
-                     add_model_args, cell_key, cell_rng_id,
+                     add_imagenet_val_arg, add_model_args,
+                     apply_imagenet_val, cell_key, cell_rng_id,
                      extended_attack_kwargs, load_bundle, make_fns,
                      maybe_profile, resolve_image_inputs)
 
@@ -67,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fgsm", "pgd", "cw", "mifgsm", "dim", "tim", "apgd", "square", "deepfool", "nes", "spsa", "bandits", "hsja", "ead", "apgd_dlr", "apgd_t", "fab", "stadv", "boundary", "simba", "jsma", "pgd_l1", "spatial"])
     parser.add_argument("--eps_list", type=float, nargs="+",
                         default=list(DEFAULT_EPS_LIST))
+    parser.add_argument("--certified", type=str, default="off",
+                        choices=["off", "ibp", "crown-ibp"],
+                        help="append per-eps CERTIFIED (verified) accuracy "
+                             "rows to the experiment summary — "
+                             "deterministic L-inf interval bounds "
+                             "(defenses/ibp.py / crown_ibp.py) computed on "
+                             "the SAME images and labels as the empirical "
+                             "grid; spec-driven models only "
+                             "(ibp_cnn7/ibp_tiny)")
     parser.add_argument("--cifar10_dir", type=str, default=None,
                         help="run the grid on a standard CIFAR-10 archive "
                              "(core/datasets.py) with REAL labels instead "
@@ -152,6 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="number of attack samples to visualize (0 disables)")
     parser.add_argument("--resume", action="store_true",
                         help="skip (attack, eps) cells already in results_partial.json")
+    add_imagenet_val_arg(parser)
     add_model_args(parser)
     return parser
 
@@ -233,11 +244,15 @@ def main(argv=None) -> int:
         print(f"Loaded CIFAR-10 {args.cifar10_split} split: "
               f"{len(image_paths)} images")
     else:
-        image_paths = resolve_image_inputs(args.image_dir, args.image)
-        if args.image_dir is not None:
-            print(f"Loaded image directory: {args.image_dir} ({len(image_paths)} images)")
+        val_paths = apply_imagenet_val(args)
+        if val_paths is not None:
+            image_paths = val_paths
         else:
-            print(f"Loaded single image: {image_paths[0]}")
+            image_paths = resolve_image_inputs(args.image_dir, args.image)
+            if args.image_dir is not None:
+                print(f"Loaded image directory: {args.image_dir} ({len(image_paths)} images)")
+            else:
+                print(f"Loaded single image: {image_paths[0]}")
 
     print(f"Using device: {jax.devices()[0]}")
 
@@ -255,6 +270,14 @@ def main(argv=None) -> int:
                          f"{bundle.input_size}; use the CIFAR family "
                          "(wrn28_10/wrn34_10/preact_resnet18)")
     logits_fn, features_fn = make_fns(bundle)
+
+    # fail fast BEFORE the grid runs, not after (the certified rows are
+    # computed post-summary)
+    if args.certified != "off" and not hasattr(bundle.module, "spec"):
+        raise SystemExit(
+            f"--certified {args.certified} needs a spec-driven model "
+            f"(ibp_cnn7 / ibp_tiny, models/ibp.py); --model {args.model} "
+            "has no interval propagator")
 
     # one padded batch on the device mesh (sharded over 'data' when the
     # host sees multiple chips); counters are trimmed back to n_valid.
@@ -540,6 +563,16 @@ def main(argv=None) -> int:
 
     output_dir.mkdir(parents=True, exist_ok=True)
 
+    # --- certified rows on the same summary surface (VERDICT r3 #9):
+    # empirical and verified robustness side by side, same images, same
+    # labels (the reference's single-summary design :843-850, extended) ---
+    if args.certified != "off":
+        _certified_summary(args, bundle, logits_fn, pseudo_fn,
+                           image_paths=image_paths, streaming=streaming,
+                           x=x, n=n, y_true=y_true, labels_np=labels_np,
+                           chunk=(chunk if streaming else 0),
+                           output_dir=output_dir)
+
     # --- sample visualization (PGD at eps_list[1] or 8/255, alpha=eps/4) ---
     if args.viz_samples > 0:
         print("\n" + "=" * 60)
@@ -585,6 +618,77 @@ def main(argv=None) -> int:
 
     print("\nAll experiments complete. Results saved to:", output_dir)
     return 0
+
+
+def _certified_summary(args, bundle, logits_fn, pseudo_fn, *, image_paths,
+                       streaming, x, n, y_true, labels_np, chunk,
+                       output_dir) -> None:
+    """Per-eps verified accuracy appended to the experiment summary.
+
+    One deterministic interval forward per eps (defenses/ibp.py or the
+    tighter crown_ibp backward bound) over the SAME evaluated images and
+    the SAME label convention as the empirical grid (ground truth where
+    given, pseudo-labels otherwise — so 'verified' means 'provably keeps
+    the prediction the summary's accuracy column is judged by').  The
+    streaming path reuses the fixed-chunk pipeline; only per-chunk count
+    sums reach the host."""
+    if not hasattr(bundle.module, "spec"):
+        raise SystemExit(
+            f"--certified {args.certified} needs a spec-driven model "
+            f"(ibp_cnn7 / ibp_tiny, models/ibp.py); --model {args.model} "
+            "has no interval propagator")
+    if args.certified == "crown-ibp":
+        from ..defenses.crown_ibp import make_crown_verify_fn as _mk
+    else:
+        from ..defenses.ibp import make_verify_fn as _mk
+
+    verify = jax.jit(_mk(bundle.variables["params"], bundle.module.spec,
+                         bundle.mean, bundle.std))
+    eps_list = [float(e) for e in args.eps_list]
+    print("-" * 60)
+    rows = []
+    if not streaming:
+        for eps in eps_list:
+            out = jax.device_get(verify(x, y_true, jnp.float32(eps)))
+            v = float(np.mean(np.asarray(out["verified"])[:n]))
+            c = float(np.mean(np.asarray(out["correct"])[:n]))
+            print(f"certified({args.certified}), eps={eps:.5f}: "
+                  f"verified_acc={v:.4f}, clean_acc={c:.4f} ({n} images)")
+            rows.append({"eps": eps, "verified_accuracy": v,
+                         "clean_accuracy": c, "count": n})
+    else:
+        from ..eval.streaming import EvalBatchPipeline
+
+        labels = labels_np.tolist() if labels_np is not None else None
+        counts = {eps: [0, 0, 0] for eps in eps_list}  # verified, correct, n
+        pipe = EvalBatchPipeline(image_paths, chunk,
+                                 labels=labels, size=bundle.input_size)
+        for _step, x_np, y_np, n_valid in pipe:
+            xc = jnp.asarray(x_np)
+            pseudo = np.asarray(jax.device_get(pseudo_fn(xc)))
+            if y_np is None:
+                y_eff = pseudo
+            else:
+                y_arr = np.asarray(y_np)
+                y_eff = np.where(y_arr < 0, pseudo, y_arr)
+            yc = jnp.asarray(y_eff.astype(np.int32))
+            for eps in eps_list:
+                out = jax.device_get(verify(xc, yc, jnp.float32(eps)))
+                counts[eps][0] += int(np.sum(np.asarray(out["verified"])[:n_valid]))
+                counts[eps][1] += int(np.sum(np.asarray(out["correct"])[:n_valid]))
+                counts[eps][2] += int(n_valid)
+        for eps in eps_list:
+            nv, nc, tot = counts[eps]
+            v, c = nv / max(tot, 1), nc / max(tot, 1)
+            print(f"certified({args.certified}), eps={eps:.5f}: "
+                  f"verified_acc={v:.4f}, clean_acc={c:.4f} ({tot} images)")
+            rows.append({"eps": eps, "verified_accuracy": v,
+                         "clean_accuracy": c, "count": tot})
+    path = output_dir / "certified_accuracy.json"
+    path.write_text(json.dumps(
+        {"method": args.certified, "model": args.model, "rows": rows},
+        indent=2))
+    print(f"Certified rows: {path}")
 
 
 def _visualize_samples(logits_fn, x, y_true, eps, defense_cfg, output_dir, key):

@@ -254,3 +254,63 @@ class TestCertifyLabelsJson:
                    "--output", str(tmp_path / "c.json")])
         assert rc == 0
         assert fig.is_file()
+
+
+class TestCertifiedSummaryColumn:
+    """--certified on defense_experiments (VERDICT r3 #9): per-eps
+    verified-accuracy rows on the same summary surface as the empirical
+    grid, one-batch and streamed, with the fail-fast rail."""
+
+    def _tree(self, tmp_path, n=6):
+        from PIL import Image
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(3)
+        for i in range(n):
+            Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+                d / f"im_{i}.jpg")
+        return d
+
+    @pytest.mark.slow
+    def test_certified_rows_one_batch_and_streamed_agree(self, tmp_path,
+                                                         capsys):
+        import json
+
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main,
+        )
+
+        d = self._tree(tmp_path)
+        rows = {}
+        for mb, name in ((0, "one"), (4, "stream")):
+            out = tmp_path / name
+            rc = main(["--image_dir", str(d), "--model", "ibp_tiny",
+                       "--attacks", "fgsm", "--eps_list", "0.004",
+                       "--steps", "2", "--certified", "ibp",
+                       "--max_batch", str(mb), "--viz_samples", "0",
+                       "--output_dir", str(out)])
+            assert rc == 0
+            rows[name] = json.loads(
+                (out / "certified_accuracy.json").read_text())["rows"]
+        text = capsys.readouterr().out
+        assert "certified(ibp), eps=0.00400:" in text
+        for a, b in zip(rows["one"], rows["stream"]):
+            # same deterministic interval forward, same labels -> equal
+            assert a["count"] == b["count"] == 6
+            assert a["verified_accuracy"] == pytest.approx(
+                b["verified_accuracy"], abs=1e-9)
+            assert a["clean_accuracy"] == pytest.approx(
+                b["clean_accuracy"], abs=1e-9)
+            assert 0.0 <= a["verified_accuracy"] <= a["clean_accuracy"] <= 1.0
+
+    def test_certified_fails_fast_on_specless_model(self, tmp_path):
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main,
+        )
+
+        d = self._tree(tmp_path, n=2)
+        with pytest.raises(SystemExit, match="spec-driven model"):
+            main(["--image_dir", str(d), "--model", "resnet_tiny",
+                  "--attacks", "fgsm", "--certified", "ibp",
+                  "--viz_samples", "0", "--output_dir", str(tmp_path / "o")])
