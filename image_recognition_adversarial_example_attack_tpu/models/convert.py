@@ -389,6 +389,10 @@ def convnext_rename(path: str) -> str:
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
     "resnet50_robust": resnet_rename,
+    # same Bottleneck topology at 1/8 width — lets the weights-day
+    # runbook (scripts/weights_day.py) drill the REAL conversion path on
+    # a model this 1-core host can synthesize in seconds
+    "resnet_tiny": resnet_rename,
     "vgg19": vgg_rename,
     "vit_b_16": vit_rename,
     "swin_t": swin_rename,

@@ -34,7 +34,12 @@ REF_PICTURE = Path("/root/reference/picture")
 REF_TEST_SET = Path("/root/reference/test_set")
 
 
-_WEIGHTS_DIR = Path(__file__).parent.parent / "weights"  # cwd-independent
+import os as _os
+
+# cwd-independent; ADV_TPU_WEIGHTS_DIR override keeps the weights-day
+# runbook (scripts/weights_day.py) drillable against a scratch directory
+_WEIGHTS_DIR = Path(_os.environ.get(
+    "ADV_TPU_WEIGHTS_DIR", Path(__file__).parent.parent / "weights"))
 
 
 def _weights_path(name: str) -> Path | None:
