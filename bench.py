@@ -38,9 +38,12 @@ import numpy as np
 
 
 def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
-                 sharded: bool = False):
+                 sharded: bool = False, int8: bool = False):
     """Returns (attack_fn, x, y); with ``sharded`` the batch is device_put
-    over a 1-D 'data' mesh spanning every visible device."""
+    over a 1-D 'data' mesh spanning every visible device.  ``int8`` routes
+    the model's convs/classifier onto the int8 MXU (ops/int8.py) with the
+    attack gradient taken through the op-granular float VJP — a documented
+    NON-PARITY fast mode (the parity attack path is bf16/f32)."""
     from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
     from image_recognition_adversarial_example_attack_tpu.attacks.pgd import pgd_linf_attack
     from image_recognition_adversarial_example_attack_tpu.core.constants import (
@@ -53,7 +56,8 @@ def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
     )
 
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    model = resnet50(dtype=dtype) if model_name == "resnet50" else resnet_tiny(dtype=dtype)
+    make = resnet50 if model_name == "resnet50" else resnet_tiny
+    model = make(dtype=dtype, int8=int8)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
     )
@@ -107,6 +111,61 @@ def measure(batch: int, iters: int, warmup: int = 2, **build_kw) -> float:
     return batch * iters / dt
 
 
+def agreement_check(batch: int, model_name: str, size: int) -> dict:
+    """PGD-10 against the int8 model vs the bf16 model on the SAME batch
+    and key: per-model ASR (pred != y after attack, each model judging its
+    own adversarial batch), success-flag agreement between the two attack
+    runs, and top-1 inference agreement of the two models on the bf16
+    adversarial batch.  This is the parity evidence the --int8 throughput
+    number ships with (VERDICT r3 next #1)."""
+    atk_bf, x, y = build_attack(batch, model_name=model_name, size=size)
+    atk_i8, _, _ = build_attack(batch, model_name=model_name, size=size,
+                                int8=True)
+    key = jax.random.PRNGKey(7)
+    adv_bf = atk_bf(x, y, key)
+    adv_i8 = atk_i8(x, y, key)
+
+    # prediction programs: each model judges inputs through its own forward
+    def preds(int8, xx):
+        from image_recognition_adversarial_example_attack_tpu.attacks import (
+            make_logits_fn,
+        )
+        from image_recognition_adversarial_example_attack_tpu.core.constants import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from image_recognition_adversarial_example_attack_tpu.models.resnet import (
+            resnet50,
+            resnet_tiny,
+        )
+
+        dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+        make = resnet50 if model_name == "resnet50" else resnet_tiny
+        model = make(dtype=dtype, int8=int8)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
+        fn = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD,
+                            input_dtype=dtype if dtype != jnp.float32 else None)
+        return np.asarray(jax.jit(lambda a: jnp.argmax(fn(a), -1))(xx))
+
+    y_np = np.asarray(y)
+    p_bf_on_bf = preds(False, adv_bf)
+    p_i8_on_i8 = preds(True, adv_i8)
+    p_i8_on_bf = preds(True, adv_bf)
+    succ_bf = p_bf_on_bf != y_np
+    succ_i8 = p_i8_on_i8 != y_np
+    return {
+        "asr_bf16": round(float(np.mean(succ_bf)), 4),
+        "asr_int8": round(float(np.mean(succ_i8)), 4),
+        "success_flag_agreement": round(float(np.mean(succ_bf == succ_i8)), 4),
+        "top1_agreement_on_bf16_adv": round(
+            float(np.mean(p_bf_on_bf == p_i8_on_bf)), 4),
+        "adv_linf_diff": round(
+            float(np.max(np.abs(np.asarray(adv_i8, np.float32)
+                                - np.asarray(adv_bf, np.float32)))), 4),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=None,
@@ -120,6 +179,14 @@ def main() -> None:
                         default="resnet50",
                         help="resnet_tiny is for virtual-mesh validation only")
     parser.add_argument("--size", type=int, default=224)
+    parser.add_argument("--int8", action="store_true",
+                        help="bench PGD-10 against the int8-quantized model "
+                             "(int8 MXU forward + float VJP — documented "
+                             "NON-PARITY fast mode; also runs the ASR/top-1 "
+                             "agreement check vs the bf16 attack)")
+    parser.add_argument("--skip_agreement", action="store_true",
+                        help="with --int8: skip the bf16-vs-int8 agreement "
+                             "programs (throughput number only)")
     args = parser.parse_args()
 
     n_devices = len(jax.devices())
@@ -137,7 +204,7 @@ def main() -> None:
         global_batch = b * n_chips
         try:
             ex_s = measure(global_batch, args.iters, model_name=args.model,
-                           size=args.size, sharded=sharded)
+                           size=args.size, sharded=sharded, int8=args.int8)
         except Exception as e:  # OOM at large batch etc. — keep best so far
             print(f"batch {global_batch}: {type(e).__name__}: {e}", file=sys.stderr)
             continue
@@ -154,24 +221,29 @@ def main() -> None:
     # honest per-chip number is aggregate / chips (== the measurement
     # itself when unsharded on exactly one chip)
     per_chip = best / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "pgd10_resnet50_224_adv_examples_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "examples/sec/chip",
-                "vs_baseline": round(per_chip / 5000.0, 4),
-                "aggregate_ex_per_s": round(best, 1),
-                "batch": best_batch,
-                "sharded": sharded,
-                "n_chips": n_chips,
-                "devices_visible": n_devices,
-                "device": str(jax.devices()[0]),
-                "model": args.model,
-                "size": args.size,
-            }
-        )
-    )
+    record = {
+        "metric": ("pgd10_resnet50_224_int8fwd_adv_examples_per_sec_per_chip"
+                   if args.int8 else
+                   "pgd10_resnet50_224_adv_examples_per_sec_per_chip"),
+        "value": round(per_chip, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(per_chip / 5000.0, 4),
+        "aggregate_ex_per_s": round(best, 1),
+        "batch": best_batch,
+        "sharded": sharded,
+        "n_chips": n_chips,
+        "devices_visible": n_devices,
+        "device": str(jax.devices()[0]),
+        "model": args.model,
+        "size": args.size,
+    }
+    if args.int8:
+        record["mode"] = "int8_forward_float_vjp_NON_PARITY"
+        if not args.skip_agreement:
+            print("running bf16-vs-int8 agreement check...", file=sys.stderr)
+            record["agreement"] = agreement_check(
+                best_batch * n_chips, args.model, args.size)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

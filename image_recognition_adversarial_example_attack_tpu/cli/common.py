@@ -51,8 +51,10 @@ def add_model_args(parser: argparse.ArgumentParser, default_model: str = "resnet
                         help="compute dtype (default: bfloat16 on TPU, float32 on CPU)")
     parser.add_argument("--int8", action="store_true",
                         help="quantized inference on the int8 MXU (every zoo "
-                             "family; measured 2.0x forward throughput on "
-                             "v5e at 100%% top-1 agreement — ops/int8.py)")
+                             "family; ~parity throughput on the "
+                             "bandwidth-bound ImageNet families — a "
+                             "robustness-evaluation mode, not a speed "
+                             "lever; benchmarks/ROOFLINE.md, ops/int8.py)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax profiler trace here")
