@@ -386,6 +386,43 @@ def convnext_rename(path: str) -> str:
     return f"{prefix}/{sub}"
 
 
+def conform_qkv_layout(converted: dict, template: dict) -> dict:
+    """Reshape packed qkv leaves to the template's head-aligned layout.
+
+    torch stores fused attention projections PACKED — MHA's
+    ``in_proj_weight`` [3D, D] and Swin's qkv Linear [3D, D] — which the
+    generic pass above converts to [D, 3D] / bias [3D].  The flax models
+    store the same values HEAD-ALIGNED as [D, 3, H, hd] / [3, H, hd]
+    (models/vit.py::MHSA — the tensor-parallel shard of H then never
+    crosses a q/k/v or head boundary; measured in
+    benchmarks/tp_qkv_probe.py).  torch's packing order is exactly
+    (part, head, head_dim) row-major, so a reshape to the template's
+    shape is the precise re-layout — no permutation needed.  Element
+    counts are checked; every other leaf passes through untouched.
+    """
+
+    def walk(conv, tmpl, path):
+        if not isinstance(conv, dict):
+            return conv
+        out = {}
+        for k, v in conv.items():
+            t = tmpl.get(k) if isinstance(tmpl, dict) else None
+            if (path and path[-1] == "qkv" and k in ("kernel", "bias")
+                    and t is not None and v.shape != np.shape(t)):
+                if v.size != np.size(t):
+                    raise ValueError(
+                        f"qkv {k} at {'/'.join(path)}: {v.shape} has "
+                        f"{v.size} elements, template wants "
+                        f"{np.shape(t)} ({np.size(t)})")
+                out[k] = np.ascontiguousarray(v).reshape(np.shape(t))
+            else:
+                out[k] = walk(v, t, path + (k,))
+        return out
+
+    return {coll: walk(tree, template.get(coll, {}), ())
+            for coll, tree in converted.items()}
+
+
 RENAMES: dict[str, Callable[[str], str]] = {
     "resnet50": resnet_rename,
     "resnet50_robust": resnet_rename,

@@ -90,13 +90,15 @@ class WindowAttention(nn.Module):
 
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
                         **quant_dense_kwargs(self.int8))
-        qkv = dense(3 * self.dim, name="qkv")(x)  # one fused GEMM
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(z):
-            return z.reshape(-1, wsq, nh, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
+        # one fused GEMM, kernel stored head-aligned [C, 3, H, hd] — the
+        # TP shard of H never crosses a q/k/v boundary (see
+        # models/vit.py::MHSA and benchmarks/tp_qkv_probe.py; torch's
+        # packed [3C, C] Linear re-layouts row-major at conversion)
+        qkv = nn.DenseGeneral(
+            features=(3, nh, hd), name="qkv", dtype=self.dtype,
+            param_dtype=jnp.float32,
+            **quant_dense_kwargs(self.int8))(x)   # [B*nW, wsq, 3, H, hd]
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.array(hd, self.dtype))
 
         table = self.param(

@@ -3,9 +3,12 @@
 Transfer-study target (reference blackbox_transfer.py:36-43 loads
 ``torchvision.models.vit_b_16``).  TPU design choices:
 
-- the qkv projection is ONE fused [D, 3D] matmul (matches torch's
-  ``in_proj_weight`` layout for conversion, and keeps the MXU busy with one
-  large GEMM instead of three small ones);
+- the qkv projection is ONE fused GEMM with the kernel stored
+  HEAD-ALIGNED [D, 3, H, hd] (one large MXU GEMM, and the tensor-parallel
+  shard of the H axis never crosses a q/k/v or head boundary — measured 7
+  collective-permutes/block cheaper than a packed [D, 3D] contiguous
+  split, benchmarks/tp_qkv_probe.py); torch's packed ``in_proj_weight``
+  re-layouts into it row-major at conversion;
 - attention math follows jax.nn conventions with static shapes — 197 tokens
   pad well onto the 8x128 VPU lanes after the [B, heads, T, T] softmax;
 - GELU is torch-exact (erf form), matching torchvision inference.
@@ -41,13 +44,21 @@ class MHSA(nn.Module):
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32,
                         **quant_dense_kwargs(self.int8))
 
-        qkv = dense(3 * self.dim, name="qkv")(x)  # [B, T, 3D]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(z):
-            return z.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
+        # One fused qkv GEMM with the kernel stored HEAD-ALIGNED
+        # [D, 3, H, hd] (bias [3, H, hd]) instead of packed [D, 3D]:
+        # under tensor parallelism the H axis shards cleanly
+        # (P(None, None, 'model', None)), so the q/k/v slice + head split
+        # below never crosses a shard boundary.  Measured on the 8-device
+        # virtual mesh at ViT-B geometry (benchmarks/tp_qkv_probe.py):
+        # the packed-contiguous layout costs 7 collective-permutes per
+        # block vs 1 all-reduce here, 1.09x slower per block.  Same math,
+        # same FLOPs; converters reshape torch's packed [3D, D] into this
+        # layout row-major (models/convert.py::conform_qkv_layout).
+        qkv = nn.DenseGeneral(
+            features=(3, self.num_heads, head_dim), name="qkv",
+            dtype=self.dtype, param_dtype=jnp.float32,
+            **quant_dense_kwargs(self.int8))(x)       # [B, T, 3, H, hd]
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.array(head_dim, self.dtype)
         )

@@ -172,6 +172,8 @@ def _convert_torch(name: str, pth: Path, template: dict) -> dict:
         raise ValueError(f"no torch->flax converter registered for '{name}'")
     sd = conv_mod.load_torch_checkpoint(pth)
     converted = conv_mod.convert_state_dict(sd, rename)
+    # packed torch qkv -> the models' head-aligned [D, 3, H, hd] layout
+    converted = conv_mod.conform_qkv_layout(converted, template)
     conv_mod.assert_tree_shapes_match(converted, template)
     return converted
 

@@ -147,14 +147,16 @@ def int8_dot_general(
     precision=None,
     preferred_element_type=None,
 ):
-    """lax.dot_general signature for the Dense case (contract lhs's last
-    dim with rhs's first, no batch dims — covers [B,K] and [B,T,K] token
-    inputs) on the int8 MXU; any other contraction falls back to the
-    float op unquantized."""
+    """lax.dot_general signature for the Dense/DenseGeneral case
+    (contract lhs's last dim with rhs's first, no batch dims — covers
+    [B,K] / [B,T,K] token inputs against [K,O] Dense kernels AND the
+    head-aligned multi-feature [K,3,H,hd] qkv kernels flax's
+    DenseGeneral injects here) on the int8 MXU; any other contraction
+    falls back to the float op unquantized."""
     (lc, rc), (lb, rb) = dimension_numbers
     dense_case = (
         tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,)
-        and not lb and not rb and rhs.ndim == 2
+        and not lb and not rb and rhs.ndim >= 2
     )
     if not dense_case:
         return lax.dot_general(
@@ -165,12 +167,15 @@ def int8_dot_general(
 
     def quantized(l, r):
         ql, sl = quantize_symmetric(l, axes=_batch_axes(l.ndim))  # [B,1(,1)]
-        qr, sr = quantize_symmetric(r, axes=(0,))                 # [1,O]
+        qr, sr = quantize_symmetric(r, axes=(0,))    # [1, *feature_dims]
         acc = lax.dot_general(
             ql, qr, dimension_numbers, preferred_element_type=jnp.int32)
-        # output [B,...,O]: sl keeps lhs's ndim == acc's ndim; sr -> last axis
-        scale = sl * sr.reshape((1,) * (acc.ndim - 1) + (-1,))
-        return (acc.astype(jnp.float32) * scale).astype(out_dtype)
+        # acc = l.shape[:-1] + r.shape[1:]; broadcast the two scale
+        # factors into that layout (sl keeps per-example leading dims,
+        # sr keeps per-output-feature trailing dims)
+        sl_b = sl.reshape(sl.shape[: l.ndim - 1] + (1,) * (r.ndim - 1))
+        sr_b = sr.reshape((1,) * (l.ndim - 1) + r.shape[1:])
+        return (acc.astype(jnp.float32) * (sl_b * sr_b)).astype(out_dtype)
 
     def float_dot(l, r):
         return lax.dot_general(l, r, dimension_numbers, precision=precision)

@@ -47,10 +47,21 @@ def _fill_from_template(template_params: dict, template_stats: dict | None,
             sd[torch_key + ".bias"] = torch.tensor(
                 np.asarray(get(template_params, flax_path + "/bias")))
         elif kind == "qkv":
+            # template is head-aligned [D, 3, H, hd]; torch MHA packs it
+            # [3D, D] row-major by (part, head, hd) — the inverse of
+            # convert.conform_qkv_layout
             kern = np.asarray(get(template_params, flax_path + "/qkv/kernel"))
-            sd[torch_key + ".in_proj_weight"] = torch.tensor(kern.T)
-            sd[torch_key + ".in_proj_bias"] = torch.tensor(
-                np.asarray(get(template_params, flax_path + "/qkv/bias")))
+            sd[torch_key + ".in_proj_weight"] = torch.tensor(
+                kern.reshape(kern.shape[0], -1).T)
+            sd[torch_key + ".in_proj_bias"] = torch.tensor(np.asarray(
+                get(template_params, flax_path + "/qkv/bias")).reshape(-1))
+        elif kind == "qkv_linear":
+            # swin's qkv is a plain Linear [3C, C] — same packed layout
+            kern = np.asarray(get(template_params, flax_path + "/kernel"))
+            sd[torch_key + ".weight"] = torch.tensor(
+                kern.reshape(kern.shape[0], -1).T)
+            sd[torch_key + ".bias"] = torch.tensor(np.asarray(
+                get(template_params, flax_path + "/bias")).reshape(-1))
         elif kind == "param":
             sd[torch_key] = torch.tensor(np.asarray(get(template_params, flax_path)))
         else:
@@ -88,6 +99,7 @@ def test_vit_converter_roundtrip():
     sd = _fill_from_template(p, None, entries)
 
     converted = convert.convert_state_dict(sd, convert.vit_rename)
+    converted = convert.conform_qkv_layout(converted, template)
     convert.assert_tree_shapes_match(converted, template)
 
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
@@ -121,7 +133,7 @@ def test_swin_converter_roundtrip():
             base_f = f"stage{stage}_block{blk}"
             entries += [
                 (f"{base_t}.norm1", f"{base_f}/norm1", "ln"),
-                (f"{base_t}.attn.qkv", f"{base_f}/attn/qkv", "dense"),
+                (f"{base_t}.attn.qkv", f"{base_f}/attn/qkv", "qkv_linear"),
                 (f"{base_t}.attn.proj", f"{base_f}/attn/proj", "dense"),
                 (f"{base_t}.attn.relative_position_bias_table",
                  f"{base_f}/attn/relative_position_bias_table", "param"),
@@ -134,6 +146,7 @@ def test_swin_converter_roundtrip():
     sd["features.1.0.attn.relative_position_index"] = torch.zeros(16 * 16, dtype=torch.long)
 
     converted = convert.convert_state_dict(sd, convert.swin_rename)
+    converted = convert.conform_qkv_layout(converted, template)
     convert.assert_tree_shapes_match(converted, template)
 
     x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)

@@ -236,8 +236,13 @@ class TestRealTensorParallel:
         model, variables = vit
         placed = shard_model_variables(variables, mesh8, tensor_parallel=True)
         blk = placed["params"]["encoder_layer_0"]
-        assert blk["self_attention"]["qkv"]["kernel"].sharding.spec == P(None, "model")
-        assert blk["self_attention"]["qkv"]["bias"].sharding.spec == P("model")
+        # head-aligned [D, 3, H, hd] layout, sharded on the head axis
+        # (benchmarks/tp_qkv_probe.py: 7 collective-permutes/block cheaper
+        # than the packed contiguous split)
+        assert blk["self_attention"]["qkv"]["kernel"].sharding.spec == P(
+            None, None, "model", None)
+        assert blk["self_attention"]["qkv"]["bias"].sharding.spec == P(
+            None, "model", None)
         assert blk["self_attention"]["out"]["kernel"].sharding.spec == P("model", None)
         assert blk["mlp_linear_1"]["kernel"].sharding.spec == P(None, "model")
         assert blk["mlp_linear_1"]["bias"].sharding.spec == P("model")
