@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="shard request batches over a data mesh when "
                              "multiple devices are visible (batch rounds up "
                              "to a multiple of the device count)")
+    parser.add_argument("--transfer_uint8", action="store_true",
+                        help="ship uint8 pixels to the device and convert "
+                             "to float there — 4x less host->device "
+                             "transfer (the measured bottleneck on "
+                             "relay/PCIe-attached hosts); pixels re-"
+                             "quantize to the 1/255 grid post-resize, so "
+                             "predictions can differ in the last ulp")
     add_model_args(parser)
     return parser
 
@@ -123,13 +130,23 @@ def _chunk_responses(out: dict, names: list[str], topk: int, labels,
 
 
 def _make_service_fn(logits_fn, features_fn, args):
-    """ONE jitted program: forward (+ defended forward, + detector score)."""
+    """ONE jitted program: forward (+ defended forward, + detector score).
+
+    With --transfer_uint8 the program takes uint8 pixels and converts to
+    float ON DEVICE: the host->device image upload (the measured
+    bottleneck for relay/PCIe-attached serving — 77 MB/chunk at batch
+    128 float32) shrinks 4x.  Pixels are re-quantized to the 1/255 grid
+    after the resize interpolation, so predictions can differ in the
+    last ulp vs the float path; OFF by default for exactness."""
     from ..defenses.detector import score_from_features, squeezing_score
     from ..defenses.preprocess import DefenseConfig, defend_input
 
     defense_cfg = DefenseConfig()
+    uint8_in = bool(getattr(args, "transfer_uint8", False))
 
     def service(x):
+        if uint8_in:
+            x = x.astype(jnp.float32) / 255.0
         probs = jax.nn.softmax(logits_fn(x), axis=-1)
         out = {"probs": probs}
         if args.defend:
@@ -285,7 +302,7 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
 
     from PIL import Image
 
-    from ..core.images import load_image, preprocess_pil
+    from ..core.images import load_image, load_image_bytes
 
     def decode_entry(entry: dict) -> tuple[np.ndarray | None, str, str | None]:
         """-> (img, name, error).  Decode failures isolate per request."""
@@ -298,8 +315,11 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
         name = str(entry.get("name", "b64"))
         try:
             raw = base64.b64decode(entry["image_b64"], validate=True)
-            with Image.open(io.BytesIO(raw)) as img:
-                arr = preprocess_pil(img, crop=size)
+            # load_image's exact resize/crop semantics (core/images.py::
+            # load_image_bytes) — the old preprocess_pil(crop=size) call
+            # kept the DEFAULT 256 resize at every size, so b64 and path
+            # requests to a non-224 model saw different pixels
+            arr = load_image_bytes(raw, size=size)
             return arr, name, None
         except Exception as e:  # noqa: BLE001
             return None, name, f"{type(e).__name__}: {e}"
@@ -541,7 +561,12 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         sharding = data_sharding(make_mesh(n_data=n_dev, n_model=1))
 
+    transfer_uint8 = bool(args.transfer_uint8)
+
     def place(x_np):
+        if transfer_uint8:
+            x_np = np.clip(np.round(np.asarray(x_np) * 255.0), 0, 255
+                           ).astype(np.uint8)
         x = jnp.asarray(x_np)
         return jax.device_put(x, sharding) if sharding is not None else x
 

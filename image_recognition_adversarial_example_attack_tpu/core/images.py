@@ -57,8 +57,24 @@ def preprocess_pil(
 def load_image(path: str | Path, size: int = IMAGE_SIZE) -> np.ndarray:
     """Load one image -> [1, size, size, 3] float32 in [0,1] (NHWC)."""
     with Image.open(path) as img:
-        arr = preprocess_pil(img, crop=size, resize=max(size, round(size * RESIZE_SIZE / IMAGE_SIZE)))
+        arr = preprocess_pil(img, crop=size, resize=_resize_for(size))
     return arr[None]
+
+
+def _resize_for(size: int) -> int:
+    """The resize edge for a given crop: 256/224 scaled, floor ``size``."""
+    return max(size, round(size * RESIZE_SIZE / IMAGE_SIZE))
+
+
+def load_image_bytes(raw: bytes, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Decode encoded image BYTES -> [size, size, 3] float32 in [0,1],
+    with exactly ``load_image``'s resize/crop semantics — in-memory
+    requests (serve's image_b64 route) must see the same pixels a path
+    request to the same model sees at every input size, not just 224."""
+    import io
+
+    with Image.open(io.BytesIO(raw)) as img:
+        return preprocess_pil(img, crop=size, resize=_resize_for(size))
 
 
 def list_images(image_dir: str | Path, recursive: bool = False) -> list[Path]:

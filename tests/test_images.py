@@ -108,3 +108,26 @@ class TestBatching:
             (tmp_path / name).write_bytes(b"x")
         names = [p.name for p in list_images(tmp_path)]
         assert names == ["a.png", "b.jpg", "d.jpeg", "e.bmp"]
+
+
+def test_load_image_bytes_matches_load_image_at_every_size(tmp_path):
+    """Serve's image_b64 route decodes through load_image_bytes; it must
+    produce EXACTLY load_image's pixels at every model input size (the
+    round-4 bug: the b64 path kept the default 256 resize at every crop,
+    so b64 and path requests to a non-224 model saw different images)."""
+    from image_recognition_adversarial_example_attack_tpu.core.images import (
+        load_image,
+        load_image_bytes,
+    )
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    p = tmp_path / "x.png"
+    Image.fromarray((rng.rand(90, 70, 3) * 255).astype(np.uint8)).save(p)
+    raw = p.read_bytes()
+    for size in (16, 32, 224):
+        a = load_image(p, size=size)[0]
+        b = load_image_bytes(raw, size=size)
+        assert b.shape == (size, size, 3)
+        np.testing.assert_array_equal(a, b)

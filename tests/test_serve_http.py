@@ -172,3 +172,51 @@ def test_metrics_endpoint(http_server, tmp_path):
             == before["serve_decode_errors_total"] + 1)
     assert after["serve_device_ms_sum"] > before["serve_device_ms_sum"]
     assert after["serve_batch_capacity"] == 4
+
+
+def test_concurrent_clients_batch_and_isolate(http_server, tmp_path):
+    """VERDICT r3 #7's concurrent-client check: 12 clients fire
+    simultaneously (batch=4, max_wait 0.2s, so the worker co-batches
+    strangers' requests); every client gets ITS OWN image's prediction
+    (deterministic per image — co-batching must not leak across
+    requests), errors stay isolated to the failing client, and the
+    b64 route works under concurrency too."""
+    paths = [_img_file(tmp_path, f"cc_{i}.png", seed=100 + i)
+             for i in range(10)]
+
+    # sequential ground truth, one request each
+    want = {str(p): _post(http_server, {"path": str(p)})["results"][0]["topk"]
+            for p in paths}
+
+    results: dict[int, dict | Exception] = {}
+
+    def client(i):
+        try:
+            if i == 10:   # one bad path, mid-burst
+                results[i] = _post(http_server, {"path": "/nope/missing.png"})
+            elif i == 11:  # one b64 body
+                raw = paths[0].read_bytes()
+                results[i] = _post(http_server, {
+                    "image_b64": base64.b64encode(raw).decode()})
+            else:
+                results[i] = _post(http_server, {"path": str(paths[i])})
+        except Exception as e:  # surface in main thread
+            results[i] = e
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 12
+    for i in range(10):
+        r = results[i]
+        assert not isinstance(r, Exception), r
+        (resp,) = r["results"]
+        assert resp["path"] == str(paths[i])
+        assert resp["topk"] == want[str(paths[i])], (
+            "co-batched prediction differs from the sequential one")
+    bad = results[10]["results"][0]
+    assert "error" in bad
+    b64r = results[11]["results"][0]
+    assert b64r["topk"] == want[str(paths[0])]
