@@ -45,14 +45,48 @@ def round_up(n: int, multiple: int) -> int:
     return -(-int(n) // multiple) * multiple
 
 
-def make_placer(mesh=None) -> Callable[[np.ndarray], jax.Array]:
-    """host chunk -> device (data-sharded over the mesh when given)."""
-    if mesh is None:
-        return jnp.asarray
-    from ..parallel.mesh import data_sharding
+def make_placer(
+    mesh=None,
+    transfer_uint8: bool | None = None,
+) -> Callable[[np.ndarray], jax.Array]:
+    """host chunk -> device float32 (data-sharded over the mesh when given).
 
-    sharding = data_sharding(mesh)
-    return lambda x_np: jax.device_put(jnp.asarray(x_np), sharding)
+    ``transfer_uint8`` (default: the ``ADV_TPU_TRANSFER_UINT8`` env
+    toggle) ships uint8 pixels over the host->device link and converts
+    to float32/255 in a tiny jitted program ON DEVICE.  Dataset-scale
+    eval chunks are transfer-bound on relay/PCIe-attached hosts — a
+    float32 batch-128 image chunk is 77 MB; serving measured 2.4x
+    steady throughput from the same trick (docs/EXPERIMENTS.md).
+    Pixels re-quantize to the 1/255 grid (max error 0.5/255 per
+    channel), so attack/eval results can differ in the last ulp vs the
+    float path — OPT-IN, off by default for exactness.
+    """
+    if transfer_uint8 is None:
+        import os
+
+        transfer_uint8 = os.environ.get(
+            "ADV_TPU_TRANSFER_UINT8", "") not in ("", "0")
+    sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding
+
+        sharding = data_sharding(mesh)
+
+    def put(a) -> jax.Array:
+        a = jnp.asarray(a)
+        return jax.device_put(a, sharding) if sharding is not None else a
+
+    if not transfer_uint8:
+        return put
+
+    conv = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+
+    def place(x_np):
+        u8 = np.clip(np.round(np.asarray(x_np, np.float32) * 255.0),
+                     0, 255).astype(np.uint8)
+        return conv(put(u8))
+
+    return place
 
 
 def stream_defense_cell(
@@ -86,7 +120,7 @@ def stream_defense_cell(
         raise ValueError(
             "labels contain the UNLABELED (-1) sentinel but no "
             "pseudo_label_fn was given to substitute for them")
-    place = place or jnp.asarray
+    place = place or make_placer()
     totals = {k: 0 for k in STAT_KEYS}
     count = 0
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
@@ -135,7 +169,7 @@ def stream_transfer_cell(
     (bytes/image); only decoded IMAGES were the memory ceiling.
     ``save_adv(x_adv_chunk, kept_paths_chunk)`` runs per chunk when given.
     """
-    place = place or jnp.asarray
+    place = place or make_placer()
     src_parts: list[np.ndarray] = []
     tgt_parts: dict[str, list[np.ndarray]] = {n: [] for n in target_names}
     path_list = [p for p in paths]
@@ -196,7 +230,7 @@ def stream_correctness_cell(
         raise ValueError(
             "labels contain the UNLABELED (-1) sentinel but no "
             "pseudo_label_fn was given to substitute for them")
-    place = place or jnp.asarray
+    place = place or make_placer()
     parts: list[dict[str, np.ndarray]] = []
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:
@@ -262,7 +296,7 @@ def stream_suite_attack(
     """
     import time
 
-    place = place or jnp.asarray
+    place = place or make_placer()
     acc: dict[str, list[np.ndarray]] = {
         k: [] for k in ("succ", "linf", "l2", "changed", "ssim", "sq_sum",
                         "conf", "clean_conf", "clean_correct")}
@@ -321,7 +355,7 @@ def stream_query_curve_hist(
     The [steps, B] history never accumulates across chunks — one chunk's
     slice is fetched, reduced, and dropped.
     """
-    place = place or jnp.asarray
+    place = place or make_placer()
     ever_count = np.zeros((int(n_steps),), np.int64)
     firsts: list[np.ndarray] = []
     count = 0
@@ -362,7 +396,7 @@ def stream_detector_scores(
     arithmetic (AUC/TPR) runs downstream on the full concatenated
     vectors, identical to the one-batch path.
     """
-    place = place or jnp.asarray
+    place = place or make_placer()
     adv: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
     succ: list[np.ndarray] = []
     count = 0
@@ -395,7 +429,7 @@ def stream_clean_scores(
     """Clean-side detector scores over the full set (the calibration pass
     of the streamed detector comparison — thresholds then come from the
     SAME full-set quantiles the one-batch path uses)."""
-    place = place or jnp.asarray
+    place = place or make_placer()
     clean: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
     pipe = EvalBatchPipeline(paths, chunk_size, size=size)
     for _step, x_np, _y, n_valid in pipe:
@@ -427,7 +461,7 @@ def stream_robust_cell(
     evaluation.  Returns concatenated vectors ``arm0..armK`` (the
     program's outputs) plus ``clean_correct``.
     """
-    place = place or jnp.asarray
+    place = place or make_placer()
     parts: list[dict[str, np.ndarray]] = []
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:

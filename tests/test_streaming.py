@@ -672,3 +672,64 @@ def test_defense_cli_resume_rejects_config_change(eval_dataset, tmp_path,
     # identical config resumes
     assert main(base + ["--resume", "--adaptive"]) == 0
     assert "(resumed from partial results)" in capsys.readouterr().out
+
+
+class TestUint8TransferPlacer:
+    """ADV_TPU_TRANSFER_UINT8: uint8 host->device transfer with on-device
+    float conversion (the serve-measured 2.4x trick, applied to eval
+    chunk placement).  Off by default; results land on the 1/255 grid."""
+
+    def test_default_placer_is_exact(self):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            make_placer,
+        )
+
+        x = np.random.RandomState(0).rand(4, 8, 8, 3).astype(np.float32)
+        got = make_placer()(x)
+        assert got.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(got), x)
+
+    def test_uint8_placer_quantizes_to_grid(self):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            make_placer,
+        )
+
+        x = np.random.RandomState(1).rand(4, 8, 8, 3).astype(np.float32)
+        got = np.asarray(make_placer(transfer_uint8=True)(x))
+        assert got.dtype == np.float32
+        assert np.max(np.abs(got - x)) <= 0.5 / 255 + 1e-7
+        # exactly on the 1/255 grid
+        np.testing.assert_allclose(got * 255.0, np.round(got * 255.0),
+                                   atol=1e-4)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+
+    def test_env_toggle(self, monkeypatch):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            make_placer,
+        )
+
+        x = np.full((2, 4, 4, 3), 0.34567, np.float32)
+        monkeypatch.setenv("ADV_TPU_TRANSFER_UINT8", "1")
+        on = np.asarray(make_placer()(x))
+        monkeypatch.setenv("ADV_TPU_TRANSFER_UINT8", "0")
+        off = np.asarray(make_placer()(x))
+        assert not np.array_equal(on, off)
+        np.testing.assert_array_equal(off, x)
+
+    def test_uint8_placer_keeps_mesh_sharding(self, monkeypatch):
+        from jax.sharding import PartitionSpec as P
+
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            make_placer,
+        )
+        from image_recognition_adversarial_example_attack_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        x = np.random.RandomState(2).rand(8, 8, 8, 3).astype(np.float32)
+        got = make_placer(mesh, transfer_uint8=True)(x)
+        assert got.dtype == jnp.float32
+        # the device-side convert must preserve the data sharding
+        assert got.sharding.spec == P("data")
+        assert np.max(np.abs(np.asarray(got) - x)) <= 0.5 / 255 + 1e-7
