@@ -35,7 +35,8 @@ from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS, DEFAULT_STEPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.metrics import expected_calibration_error, psnr, ssim
-from .common import (add_extended_attack_args, add_model_args,
+from .common import (add_imagenet_val_arg, apply_imagenet_val,
+                     add_extended_attack_args, add_model_args,
                      cell_key, check_label_range, extended_attack_kwargs,
                      load_bundle, make_fns, maybe_profile, n_classes_of,
                      resolve_image_inputs, resolve_labels)
@@ -73,6 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "programs at constant memory (0 = always "
                              "one resident batch)")
     parser.add_argument("--output", type=str, default="attack_suite.json")
+    add_imagenet_val_arg(parser)
     add_model_args(parser)
     return parser
 
@@ -82,7 +84,9 @@ def main(argv=None) -> int:
     attacks = list(ALL_ATTACKS) if "all" in args.attacks else args.attacks
     print(f"Using device: {jax.devices()[0]}")
 
-    paths = resolve_image_inputs(args.image_dir, args.image)
+    val_paths = apply_imagenet_val(args)
+    paths = (val_paths if val_paths is not None
+             else resolve_image_inputs(args.image_dir, args.image))
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
 

@@ -28,7 +28,8 @@ from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
-from .common import (add_model_args, model_input_size, load_bundle, make_fns, maybe_profile,
+from .common import (add_imagenet_val_arg, apply_imagenet_val,
+                     add_model_args, model_input_size, load_bundle, make_fns, maybe_profile,
                      resolve_image_inputs, resolve_labels)
 
 
@@ -78,6 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "labels for certified ACCURACY; default = the "
                              "base model's clean predictions")
     parser.add_argument("--output", type=str, default="certify_results.json")
+    add_imagenet_val_arg(parser)
     add_model_args(parser)
     return parser
 
@@ -85,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
 def _main_ibp(args) -> int:
     """Deterministic L-inf certification: one interval forward per
     (batch, eps) — no sampling, no abstention, exact by construction."""
-    paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
+    val_paths = apply_imagenet_val(args)
+    paths = (val_paths if val_paths is not None
+             else resolve_image_inputs(args.image_dir, args.image,
+                                       skip_bmp=False))
     x_np, kept = load_image_batch_tolerant(paths, size=model_input_size(args))
     if not kept:
         raise SystemExit("no loadable images")
@@ -157,7 +162,10 @@ def main(argv=None) -> int:
     if args.method in ("ibp", "crown-ibp"):
         return _main_ibp(args)
 
-    paths = resolve_image_inputs(args.image_dir, args.image, skip_bmp=False)
+    val_paths = apply_imagenet_val(args)
+    paths = (val_paths if val_paths is not None
+             else resolve_image_inputs(args.image_dir, args.image,
+                                       skip_bmp=False))
     x_np, kept = load_image_batch_tolerant(
         paths, size=model_input_size(args))
     if not kept:

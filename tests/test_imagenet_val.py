@@ -203,3 +203,61 @@ def test_defense_cli_imagenet_val(subfolder_tree, tmp_path, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "ImageNet-val ground truth: 9 images" in text
+
+
+@pytest.mark.slow
+def test_attack_suite_cli_imagenet_val_streamed(subfolder_tree, tmp_path,
+                                                capsys):
+    """--imagenet_val_dir on the suite table, streamed: ground-truth
+    labels flow through the UNLABELED-sentinel chunk path, ECE becomes a
+    true calibration number (not the pseudo-label degenerate)."""
+    from image_recognition_adversarial_example_attack_tpu.cli.attack_suite import (
+        main,
+    )
+
+    root, _ = subfolder_tree
+    out = tmp_path / "s.json"
+    rc = main(["--imagenet_val_dir", str(root), "--model", "resnet_tiny",
+               "--attacks", "fgsm", "--steps", "2", "--max_batch", "4",
+               "--output", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "ImageNet-val ground truth: 9 images" in text
+    # the pseudo-label ECE caveat must NOT print in ground-truth mode
+    assert "labels are the model's own pseudo-labels" not in text
+    data = json.loads(out.read_text())
+    assert data["labels"] == "ground-truth"
+    assert data["count"] == 9 and data["streamed"] is True
+
+
+@pytest.mark.slow
+def test_query_curves_cli_imagenet_val(subfolder_tree, tmp_path, capsys):
+    from image_recognition_adversarial_example_attack_tpu.cli.query_curves import (
+        main,
+    )
+
+    root, _ = subfolder_tree
+    out = tmp_path / "q.json"
+    rc = main(["--imagenet_val_dir", str(root), "--model", "resnet_tiny",
+               "--attacks", "square", "--max_queries", "10",
+               "--checkpoints", "10", "--max_batch", "0",
+               "--output", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["labels"] == "ground-truth"
+
+
+@pytest.mark.slow
+def test_certify_cli_imagenet_val(subfolder_tree, tmp_path):
+    from image_recognition_adversarial_example_attack_tpu.cli.certify import (
+        main,
+    )
+
+    root, _ = subfolder_tree
+    out = tmp_path / "c.json"
+    rc = main(["--imagenet_val_dir", str(root), "--model", "resnet_tiny",
+               "--n0", "8", "--n", "16", "--chunk", "8",
+               "--output", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert len(data["sweeps"][0]["results"]) == 9
