@@ -241,8 +241,12 @@ def main() -> None:
         record["mode"] = "int8_forward_float_vjp_NON_PARITY"
         if not args.skip_agreement:
             print("running bf16-vs-int8 agreement check...", file=sys.stderr)
+            # per-chip batch, unsharded: the agreement programs are a
+            # SEMANTICS check (batch size is irrelevant to it), and an
+            # unsharded global batch would land on one device and OOM on
+            # a multi-chip run
             record["agreement"] = agreement_check(
-                best_batch * n_chips, args.model, args.size)
+                best_batch, args.model, args.size)
     print(json.dumps(record))
 
 

@@ -275,19 +275,26 @@ def _main_streamed(args, attacks, paths, bundle, logits_fn) -> int:
                     jnp.asarray(res["conf"]),
                     jnp.asarray(~res["succ"], jnp.float32))),
             }
+            steady = res["steady_s"]  # None when only ONE chunk survived
             row = {"attack": name, **m,
                    "compile_run_s": round(res["compile_run_s"], 2),
-                   "steady_s": round(res["steady_s"], 4)}
+                   "steady_s": None if steady is None else round(steady, 4)}
             rows.append(row)
+            steady_txt = ("      —" if steady is None
+                          else f"{steady:>7.3f}s")
             print(f"{name:<10} {m['asr']:>6.3f} {m['linf']:>8.4f} "
                   f"{m['l2_mean']:>9.3f} {m['changed_pct']:>6.2f} "
                   f"{m['ssim']:>6.3f} {m['psnr']:>6.1f} {m['ece']:>6.3f} "
-                  f"{row['compile_run_s']:>10.1f}s {row['steady_s']:>7.3f}s")
+                  f"{row['compile_run_s']:>10.1f}s {steady_txt}")
     print(f"clean ECE {ece_clean:.3f}")
 
     out = Path(args.output)
     out.write_text(json.dumps({
-        "count": n,
+        # the EVALUATED count (unreadable files drop tolerantly) — same
+        # convention as the one-batch path's len(kept); nargs='+' on
+        # --attacks guarantees the loop ran
+        "count": int(res["count"]),
+        "requested": n,
         "eps": float(args.eps),
         "model": args.model,
         "labels": "ground-truth" if args.labels_json else "pseudo",

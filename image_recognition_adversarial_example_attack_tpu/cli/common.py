@@ -473,8 +473,19 @@ def imagenet_val_inputs(val_dir: str) -> tuple[list, str]:
     blob = _json.dumps(table, sort_keys=True)
     digest = hashlib.sha256(blob.encode()).hexdigest()[:16]
     out = _Path(tempfile.gettempdir()) / f"imagenet_val_labels_{digest}.json"
-    if not out.is_file():
-        out.write_text(blob)
+    # atomic + content-verified: concurrent CLIs on the same val dir must
+    # never read a half-written file, and a pre-existing file is trusted
+    # only if its bytes hash to the name's digest
+    if (not out.is_file()
+            or hashlib.sha256(out.read_bytes()).hexdigest()[:16] != digest):
+        fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".json")
+        try:
+            _os.write(fd, blob.encode())
+            _os.close(fd)
+            _os.replace(tmp, out)
+        except BaseException:
+            _Path(tmp).unlink(missing_ok=True)
+            raise
     layout = (f"{len(classes)} class folders" if classes
               else "flat + val_map")
     print(f"ImageNet-val ground truth: {len(paths)} images ({layout}, "

@@ -218,17 +218,31 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
           f"STREAMING fixed chunks at constant memory)")
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
 
-    # Mahalanobis calibration set = the first chunk
+    # Mahalanobis calibration set = the first chunk; decoded ONCE — its
+    # clean scores are computed here (padded to the compiled chunk shape)
+    # and the streaming pass covers only the remaining paths
     x_cal_np, _ = load_image_batch_tolerant(
         image_paths[:chunk], size=bundle.input_size)
-    if x_cal_np.shape[0] == 0:
+    n0 = x_cal_np.shape[0]
+    if n0 == 0:
         raise SystemExit("no loadable images")
     x_cal = jnp.asarray(x_cal_np)
     score_fns = _build_score_fns(args, logits_fn, features_fn,
                                  x_cal, pseudo_fn(x_cal))
 
-    clean = stream_clean_scores(score_fns, image_paths, chunk_size=chunk,
-                                size=bundle.input_size)
+    pad = chunk - n0
+    x0 = (jnp.concatenate([x_cal, jnp.zeros((pad,) + x_cal.shape[1:],
+                                            x_cal.dtype)]) if pad else x_cal)
+    clean0 = {det: np.asarray(jax.device_get(fn(x0)), np.float64)[:n0]
+              for det, fn in score_fns.items()}
+    try:
+        rest = stream_clean_scores(score_fns, image_paths[chunk:],
+                                   chunk_size=chunk, size=bundle.input_size)
+    except SystemExit:
+        # every remaining file unreadable: score what the first chunk has
+        rest = {det: np.empty(0, np.float64) for det in score_fns}
+    clean = {det: np.concatenate([clean0[det], rest[det]])
+             for det in score_fns}
     thresholds: dict = {}
     for det in args.detectors:
         if det == "feature":

@@ -135,10 +135,14 @@ def list_imagenet_val(
       name in the SORTED folder list — torchvision's exact convention, so
       when the folders are the standard WNIDs (``n01440764``...) the
       indices line up with any checkpoint imported by models/convert.py.
-    - **flat files + annotation file** ``val_map.txt`` (or
-      ``val_annotations.txt``): whitespace-separated lines
-      ``<filename> <class_index>`` (the devkit-derived val_map format);
-      extra columns (tiny-imagenet box coords) are ignored.
+    - **annotation file** ``val_map.txt`` (or ``val_annotations.txt``):
+      whitespace-separated lines ``<filename> <class_index>`` (the
+      devkit-derived val_map format); extra columns (tiny-imagenet box
+      coords) are ignored.  Images may sit next to the file OR in an
+      ``images/`` subdirectory (the tiny-imagenet layout).  When an
+      annotation file exists it WINS over subfolder detection — the
+      tiny-imagenet tree has both, and treating ``images/`` as a class
+      folder would silently label everything 0.
 
     Returns ``(paths sorted, labels int64 [N], class_names or None)``
     (class names only for the subfolder layout).  Unlike the tolerant
@@ -151,6 +155,11 @@ def list_imagenet_val(
     root = Path(val_dir)
     if not root.is_dir():
         raise FileNotFoundError(f"imagenet_val_dir not found: {root}")
+
+    for name in _VAL_MAP_NAMES:
+        map_file = root / name
+        if map_file.is_file():
+            return _val_from_annotations(root, map_file, exts)
 
     classes = sorted(d.name for d in root.iterdir() if d.is_dir())
     if classes:
@@ -168,32 +177,34 @@ def list_imagenet_val(
         labels = np.asarray([l for _, l in pairs], np.int64)
         return paths, labels, classes
 
-    for name in _VAL_MAP_NAMES:
-        map_file = root / name
-        if map_file.is_file():
-            table: dict[str, int] = {}
-            for ln, line in enumerate(map_file.read_text().splitlines(), 1):
-                parts = line.split()
-                if not parts:
-                    continue
-                if len(parts) < 2:
-                    raise ValueError(
-                        f"{map_file}:{ln}: expected '<filename> "
-                        f"<class_index>', got {line!r}")
-                table[parts[0]] = int(parts[1])
-            paths = sorted(p for p in root.iterdir()
-                           if p.is_file() and p.suffix.lower() in exts)
-            if not paths:
-                raise FileNotFoundError(f"{root}: no images next to {name}")
-            missing = [p.name for p in paths if p.name not in table]
-            if missing:
-                raise ValueError(
-                    f"{map_file}: no entry for {len(missing)} image(s) "
-                    f"({missing[:3]}{'...' if len(missing) > 3 else ''}) — "
-                    f"ground-truth mode requires every image labeled")
-            labels = np.asarray([table[p.name] for p in paths], np.int64)
-            return paths, labels, None
-
     raise FileNotFoundError(
         f"{root}: neither class subfolders nor a "
         f"{'/'.join(_VAL_MAP_NAMES)} annotation file found")
+
+
+def _val_from_annotations(root: Path, map_file: Path, exts) -> tuple:
+    table: dict[str, int] = {}
+    for ln, line in enumerate(map_file.read_text().splitlines(), 1):
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) < 2:
+            raise ValueError(
+                f"{map_file}:{ln}: expected '<filename> "
+                f"<class_index>', got {line!r}")
+        table[parts[0]] = int(parts[1])
+    scan_dirs = [root]
+    if (root / "images").is_dir():  # tiny-imagenet: val/images/*.JPEG
+        scan_dirs.append(root / "images")
+    paths = sorted(p for d in scan_dirs for p in d.iterdir()
+                   if p.is_file() and p.suffix.lower() in exts)
+    if not paths:
+        raise FileNotFoundError(f"{root}: no images next to {map_file.name}")
+    missing = [p.name for p in paths if p.name not in table]
+    if missing:
+        raise ValueError(
+            f"{map_file}: no entry for {len(missing)} image(s) "
+            f"({missing[:3]}{'...' if len(missing) > 3 else ''}) — "
+            f"ground-truth mode requires every image labeled")
+    labels = np.asarray([table[p.name] for p in paths], np.int64)
+    return paths, labels, None

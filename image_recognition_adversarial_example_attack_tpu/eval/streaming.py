@@ -325,6 +325,8 @@ def stream_suite_attack(
         acc["clean_correct"].append(
             (pred[:n_valid] == y_eff[:n_valid]).astype(np.float32))
         count += int(n_valid)
+    if count == 0:
+        raise SystemExit("no loadable images")  # the one-batch invariant
     out = {k: np.concatenate(v) for k, v in acc.items()}
     out["count"] = count
     out["compile_run_s"] = chunk_times[0]
@@ -370,6 +372,8 @@ def stream_query_curve_hist(
         ever_count += ever.sum(axis=1)
         firsts.append(np.where(ever.any(axis=0), ever.argmax(axis=0), -1))
         count += int(n_valid)
+    if count == 0:
+        raise SystemExit("no loadable images")  # the one-batch invariant
     return {
         "ever_count": ever_count,
         "first": np.concatenate(firsts) if firsts else np.empty(0, np.int64),
@@ -411,6 +415,8 @@ def stream_detector_scores(
             s = np.asarray(jax.device_get(fn(x_adv)), np.float64)
             adv[det].append(s[:n_valid])
         count += int(n_valid)
+    if count == 0:
+        raise SystemExit("no loadable images")  # the one-batch invariant
     return {
         "adv": {d: np.concatenate(v) for d, v in adv.items()},
         "succ": np.concatenate(succ),
@@ -437,6 +443,8 @@ def stream_clean_scores(
         for det, fn in score_fns.items():
             s = np.asarray(jax.device_get(fn(x)), np.float64)
             clean[det].append(s[:n_valid])
+    if not any(clean.values()) or not next(iter(clean.values())):
+        raise SystemExit("no loadable images")  # the one-batch invariant
     return {d: np.concatenate(v) for d, v in clean.items()}
 
 

@@ -130,7 +130,9 @@ def run_oracles(weights_dir: Path, extra_args: str) -> tuple[list[dict], str]:
     plugin dependency in this container)."""
     import xml.etree.ElementTree as ET
 
-    report = Path(tempfile.mkstemp(suffix=".xml")[1])
+    fd, report_name = tempfile.mkstemp(suffix=".xml")
+    os.close(fd)
+    report = Path(report_name)
     cmd = [sys.executable, "-m", "pytest",
            "tests/test_reference_oracles.py", "tests/test_pretrained_parity.py",
            "-q", f"--junit-xml={report}"] + (

@@ -84,6 +84,23 @@ class TestListImagenetVal:
         paths, labels, _ = list_imagenet_val(root)
         assert labels.tolist() == [7]
 
+    def test_tiny_imagenet_images_subdir_layout(self, tmp_path):
+        """The REAL tiny-imagenet val tree: val/images/*.JPEG +
+        val/val_annotations.txt.  The round-4 review bug: subfolder
+        detection used to win, silently labeling everything 0 from a
+        single 'images' pseudo-class — the annotation file must take
+        precedence and the images/ subdir must be scanned."""
+        root = tmp_path / "tinv"
+        (root / "images").mkdir(parents=True)
+        for i in range(4):
+            _write_img(root / "images" / f"val_{i}.jpg", seed=50 + i)
+        (root / "val_annotations.txt").write_text("\n".join(
+            f"val_{i}.jpg {i + 3} 0 0 62 62" for i in range(4)))
+        paths, labels, classes = list_imagenet_val(root)
+        assert classes is None          # NOT the subfolder layout
+        assert labels.tolist() == [3, 4, 5, 6]
+        assert all(p.parent.name == "images" for p in paths)
+
     def test_empty_dir_fails_fast(self, tmp_path):
         d = tmp_path / "empty"
         d.mkdir()
