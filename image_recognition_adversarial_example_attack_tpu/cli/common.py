@@ -486,7 +486,8 @@ def imagenet_val_inputs(val_dir: str) -> tuple[list, str]:
         except BaseException:
             _Path(tmp).unlink(missing_ok=True)
             raise
-    layout = (f"{len(classes)} class folders" if classes
+    # classes is non-None for subfolders AND named (WNID) annotations
+    layout = (f"{len(classes)} named classes" if classes
               else "flat + val_map")
     print(f"ImageNet-val ground truth: {len(paths)} images ({layout}, "
           f"{len(set(table.values()))} distinct labels) -> {out}")

@@ -657,7 +657,7 @@ def _certified_summary(args, bundle, logits_fn, pseudo_fn, *, image_paths,
             rows.append({"eps": eps, "verified_accuracy": v,
                          "clean_accuracy": c, "count": n})
     else:
-        from ..eval.streaming import EvalBatchPipeline
+        from ..eval.streaming import EvalBatchPipeline, _merge_labels
 
         labels = labels_np.tolist() if labels_np is not None else None
         counts = {eps: [0, 0, 0] for eps in eps_list}  # verified, correct, n
@@ -666,12 +666,8 @@ def _certified_summary(args, bundle, logits_fn, pseudo_fn, *, image_paths,
         for _step, x_np, y_np, n_valid in pipe:
             xc = jnp.asarray(x_np)
             pseudo = np.asarray(jax.device_get(pseudo_fn(xc)))
-            if y_np is None:
-                y_eff = pseudo
-            else:
-                y_arr = np.asarray(y_np)
-                y_eff = np.where(y_arr < 0, pseudo, y_arr)
-            yc = jnp.asarray(y_eff.astype(np.int32))
+            y_eff = _merge_labels(y_np, pseudo)
+            yc = jnp.asarray(np.asarray(y_eff).astype(np.int32))
             for eps in eps_list:
                 out = jax.device_get(verify(xc, yc, jnp.float32(eps)))
                 counts[eps][0] += int(np.sum(np.asarray(out["verified"])[:n_valid]))

@@ -218,14 +218,24 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
           f"STREAMING fixed chunks at constant memory)")
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))
 
-    # Mahalanobis calibration set = the first chunk; decoded ONCE — its
-    # clean scores are computed here (padded to the compiled chunk shape)
-    # and the streaming pass covers only the remaining paths
-    x_cal_np, _ = load_image_batch_tolerant(
-        image_paths[:chunk], size=bundle.input_size)
-    n0 = x_cal_np.shape[0]
-    if n0 == 0:
+    # Mahalanobis calibration set = the first DECODABLE chunk; decoded
+    # ONCE — its clean scores are computed here (padded to the compiled
+    # chunk shape) and the streaming pass covers only the remaining paths.
+    # load_image_batch_tolerant raises ValueError on an all-unreadable
+    # chunk, so scan forward until one chunk survives (unreadable files
+    # drop tolerantly everywhere else too).
+    x_cal_np, cal_end = None, 0
+    for off in range(0, len(image_paths), chunk):
+        try:
+            x_cal_np, _ = load_image_batch_tolerant(
+                image_paths[off:off + chunk], size=bundle.input_size)
+            cal_end = off + chunk
+            break
+        except ValueError:
+            continue
+    if x_cal_np is None:
         raise SystemExit("no loadable images")
+    n0 = x_cal_np.shape[0]
     x_cal = jnp.asarray(x_cal_np)
     score_fns = _build_score_fns(args, logits_fn, features_fn,
                                  x_cal, pseudo_fn(x_cal))
@@ -236,7 +246,7 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
     clean0 = {det: np.asarray(jax.device_get(fn(x0)), np.float64)[:n0]
               for det, fn in score_fns.items()}
     try:
-        rest = stream_clean_scores(score_fns, image_paths[chunk:],
+        rest = stream_clean_scores(score_fns, image_paths[cal_end:],
                                    chunk_size=chunk, size=bundle.input_size)
     except SystemExit:
         # every remaining file unreadable: score what the first chunk has
@@ -264,6 +274,7 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
     key0 = key_from_seed(args.seed)
 
     results = []
+    clean_preds: dict = {}  # per-chunk clean predictions, shared by attacks
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             print(f"\nCrafting {attack_name.upper()} (eps={args.eps:.5f}, "
@@ -273,7 +284,8 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
                 a, logits_fn, xx, yy, base_params, key=kk))
             got = stream_detector_scores(
                 atk, score_fns, pseudo_fn, image_paths, sub,
-                chunk_size=chunk, size=bundle.input_size)
+                chunk_size=chunk, size=bundle.input_size,
+                clean_cache=clean_preds)
             asr = float(np.mean(got["succ"]))
             print(f"  attack success rate: {asr:.3f} "
                   f"({got['count']} images)")

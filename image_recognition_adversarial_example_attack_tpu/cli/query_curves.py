@@ -166,6 +166,7 @@ def _main_streamed(args, paths, bundle, logits_fn) -> int:
     print("-" * len(header))
     results = []
     n_loaded = n
+    clean_preds: dict = {}  # per-chunk pseudo-labels, shared by attacks
     with maybe_profile(args.profile_dir):
         for name in args.attacks:
             t0 = time.perf_counter()
@@ -181,7 +182,8 @@ def _main_streamed(args, paths, bundle, logits_fn) -> int:
             raw = stream_query_curve_hist(
                 jax.jit(fn), steps, paths, cell_key(key0, name),
                 chunk_size=chunk, size=bundle.input_size,
-                pseudo_label_fn=pseudo_fn, labels=labels_sent)
+                pseudo_label_fn=pseudo_fn, labels=labels_sent,
+                clean_cache=clean_preds)
             curve = assemble_curve(name, raw["ever_count"], raw["count"],
                                    raw["first"], per_step=per_step,
                                    init_q=init_q, steps=steps)

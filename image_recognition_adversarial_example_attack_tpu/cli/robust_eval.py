@@ -248,6 +248,7 @@ def main(argv=None) -> int:
     n = len(kept)
     print(f"{n} images; protocol={args.protocol}; norm={args.norm}; "
           f"arms: {arm_desc} (one compiled program, eps traced)")
+    clean_preds: dict = {}  # per-chunk pseudo-labels, shared across eps
     with maybe_profile(args.profile_dir):
         for eps in args.eps_list:
             key, sub = jax.random.split(key)
@@ -258,6 +259,7 @@ def main(argv=None) -> int:
                 got = stream_robust_cell(
                     run, kept, sub, float(eps), chunk_size=max_batch,
                     pseudo_label_fn=pseudo_fn, labels=labels_np,
+                    clean_cache=clean_preds,
                 )
                 if not got:  # every chunk dropped: nothing decoded
                     raise SystemExit("no loadable images")

@@ -297,10 +297,7 @@ def make_http_server(host: str, port: int, worker: _BatchWorker,
     requests.  Returns the server; callers run ``serve_forever()``.
     """
     import base64
-    import io
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    from PIL import Image
 
     from ..core.images import load_image, load_image_bytes
 

@@ -136,18 +136,22 @@ def list_imagenet_val(
       when the folders are the standard WNIDs (``n01440764``...) the
       indices line up with any checkpoint imported by models/convert.py.
     - **annotation file** ``val_map.txt`` (or ``val_annotations.txt``):
-      whitespace-separated lines ``<filename> <class_index>`` (the
-      devkit-derived val_map format); extra columns (tiny-imagenet box
-      coords) are ignored.  Images may sit next to the file OR in an
-      ``images/`` subdirectory (the tiny-imagenet layout).  When an
-      annotation file exists it WINS over subfolder detection — the
-      tiny-imagenet tree has both, and treating ``images/`` as a class
-      folder would silently label everything 0.
+      whitespace-separated lines ``<filename> <label>`` where label is
+      either an integer class index (the devkit-derived val_map format)
+      or a class-name string such as a WNID (the real tiny-imagenet
+      ``val_annotations.txt`` has ``n03444034`` in column 2 — indices are
+      then positions in the SORTED unique-name list, the same convention
+      as the subfolder layout); extra columns (tiny-imagenet box coords)
+      are ignored.  Images may sit next to the file OR in an ``images/``
+      subdirectory (the tiny-imagenet layout).  When an annotation file
+      exists it WINS over subfolder detection — the tiny-imagenet tree
+      has both, and treating ``images/`` as a class folder would silently
+      label everything 0.
 
     Returns ``(paths sorted, labels int64 [N], class_names or None)``
-    (class names only for the subfolder layout).  Unlike the tolerant
-    eval loaders, an image with no label is an error — this entry point
-    exists precisely to guarantee ground truth.
+    (class names for the subfolder and named-annotation layouts).  Unlike
+    the tolerant eval loaders, an image with no label is an error — this
+    entry point exists precisely to guarantee ground truth.
     """
     from .constants import IMAGE_EXTS
 
@@ -183,7 +187,7 @@ def list_imagenet_val(
 
 
 def _val_from_annotations(root: Path, map_file: Path, exts) -> tuple:
-    table: dict[str, int] = {}
+    raw: dict[str, str] = {}
     for ln, line in enumerate(map_file.read_text().splitlines(), 1):
         parts = line.split()
         if not parts:
@@ -191,8 +195,30 @@ def _val_from_annotations(root: Path, map_file: Path, exts) -> tuple:
         if len(parts) < 2:
             raise ValueError(
                 f"{map_file}:{ln}: expected '<filename> "
-                f"<class_index>', got {line!r}")
-        table[parts[0]] = int(parts[1])
+                f"<label>', got {line!r}")
+        raw[parts[0]] = parts[1]
+
+    def _is_int(v: str) -> bool:
+        try:
+            int(v)
+            return True
+        except ValueError:
+            return False
+
+    int_like = [_is_int(v) for v in raw.values()]
+    class_names: list[str] | None = None
+    if all(int_like):
+        table = {k: int(v) for k, v in raw.items()}
+    elif not any(int_like):
+        # tiny-imagenet WNID column: sorted unique names -> indices
+        # (the subfolder-layout convention applied to annotation labels)
+        class_names = sorted(set(raw.values()))
+        idx = {c: i for i, c in enumerate(class_names)}
+        table = {k: idx[v] for k, v in raw.items()}
+    else:
+        raise ValueError(
+            f"{map_file}: labels mix integer class indices and class-name "
+            f"strings — ground-truth mode needs one convention")
     scan_dirs = [root]
     if (root / "images").is_dir():  # tiny-imagenet: val/images/*.JPEG
         scan_dirs.append(root / "images")
@@ -207,4 +233,4 @@ def _val_from_annotations(root: Path, map_file: Path, exts) -> tuple:
             f"({missing[:3]}{'...' if len(missing) > 3 else ''}) — "
             f"ground-truth mode requires every image labeled")
     labels = np.asarray([table[p.name] for p in paths], np.int64)
-    return paths, labels, None
+    return paths, labels, class_names

@@ -54,23 +54,13 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jnp.ndarray:
-    """Mean SSIM over a [B,H,W,C] pair (scalar), torchmetrics-default recipe."""
-    kernel = _gaussian_kernel(kernel_size, sigma)
-    c1 = (k1 * data_range) ** 2
-    c2 = (k2 * data_range) ** 2
+    """Mean SSIM over a [B,H,W,C] pair (scalar), torchmetrics-default recipe.
 
-    mu_a = _filter2d_per_channel(a, kernel)
-    mu_b = _filter2d_per_channel(b, kernel)
-    mu_aa = mu_a * mu_a
-    mu_bb = mu_b * mu_b
-    mu_ab = mu_a * mu_b
-    sigma_aa = _filter2d_per_channel(a * a, kernel) - mu_aa
-    sigma_bb = _filter2d_per_channel(b * b, kernel) - mu_bb
-    sigma_ab = _filter2d_per_channel(a * b, kernel) - mu_ab
-
-    num = (2 * mu_ab + c1) * (2 * sigma_ab + c2)
-    den = (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
-    return jnp.mean(num / den)
+    Exactly the batch mean of ``ssim_per_sample`` (equal element counts per
+    sample, so mean-of-per-sample-means == global mean) — one SSIM body."""
+    return jnp.mean(ssim_per_sample(
+        a, b, data_range=data_range, kernel_size=kernel_size, sigma=sigma,
+        k1=k1, k2=k2))
 
 
 def ssim_per_sample(

@@ -64,8 +64,10 @@ def make_placer(
     if transfer_uint8 is None:
         import os
 
+        # opt-in whitelist — same convention as ADV_TPU_NATIVE_LOADER
+        # (core/images.py): 'false'/'off'/anything else stays OFF
         transfer_uint8 = os.environ.get(
-            "ADV_TPU_TRANSFER_UINT8", "") not in ("", "0")
+            "ADV_TPU_TRANSFER_UINT8", "").lower() in ("1", "on", "true")
     sharding = None
     if mesh is not None:
         from ..parallel.mesh import data_sharding
@@ -346,6 +348,7 @@ def stream_query_curve_hist(
     pseudo_label_fn,
     labels: Sequence[int] | None = None,
     place: Callable[[np.ndarray], jax.Array] | None = None,
+    clean_cache: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """One attack's ASR-vs-queries raw statistics, streamed.
 
@@ -355,7 +358,10 @@ def stream_query_curve_hist(
     count of ever-succeeded samples ([steps] ints — the ASR numerator)
     and each sample's first-success step (for the median-queries stat).
     The [steps, B] history never accumulates across chunks — one chunk's
-    slice is fetched, reduced, and dropped.
+    slice is fetched, reduced, and dropped.  ``clean_cache`` (optional)
+    carries per-chunk pseudo-labels across the CLI's attack loop — same
+    mechanism as stream_suite_attack — so the clean forward runs once per
+    chunk for the whole table, not once per attack.
     """
     place = place or make_placer()
     ever_count = np.zeros((int(n_steps),), np.int64)
@@ -364,7 +370,12 @@ def stream_query_curve_hist(
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:
         x = place(x_np)
-        pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+        if clean_cache is not None and step in clean_cache:
+            pseudo = clean_cache[step]
+        else:
+            pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+            if clean_cache is not None:
+                clean_cache[step] = pseudo
         y = jnp.asarray(_merge_labels(y_np, pseudo))
         _, hist = run_fn(x, y, jax.random.fold_in(key, step))
         hist = np.asarray(jax.device_get(hist))[:, :n_valid]  # [steps, B]
@@ -391,6 +402,7 @@ def stream_detector_scores(
     chunk_size: int,
     size: int = 224,
     place: Callable[[np.ndarray], jax.Array] | None = None,
+    clean_cache: dict | None = None,
 ) -> dict:
     """Adversarial-side scores of one attack for every detector, streamed
     (cli/detector_eval.py).  ``attack_fn(x, y, key) -> x_adv``;
@@ -398,7 +410,10 @@ def stream_detector_scores(
     ``pred_fn(x) -> argmax labels`` provides per-chunk pseudo-labels and
     the ASR check.  Only [B] score vectors reach the host — the ROC
     arithmetic (AUC/TPR) runs downstream on the full concatenated
-    vectors, identical to the one-batch path.
+    vectors, identical to the one-batch path.  ``clean_cache`` (optional)
+    carries per-chunk clean predictions across the CLI's attack loop —
+    same mechanism as stream_suite_attack — so the clean forward runs
+    once per chunk for the whole comparison, not once per attack.
     """
     place = place or make_placer()
     adv: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
@@ -407,10 +422,16 @@ def stream_detector_scores(
     pipe = EvalBatchPipeline(paths, chunk_size, size=size)
     for step, x_np, _y, n_valid in pipe:
         x = place(x_np)
-        y = pred_fn(x)
+        if clean_cache is not None and step in clean_cache:
+            y_np_clean = clean_cache[step]
+        else:
+            y_np_clean = np.asarray(jax.device_get(pred_fn(x)))
+            if clean_cache is not None:
+                clean_cache[step] = y_np_clean
+        y = jnp.asarray(y_np_clean)
         x_adv = attack_fn(x, y, jax.random.fold_in(key, step))
         pred_adv = np.asarray(jax.device_get(pred_fn(x_adv)))
-        succ.append((pred_adv != np.asarray(jax.device_get(y)))[:n_valid])
+        succ.append((pred_adv != y_np_clean)[:n_valid])
         for det, fn in score_fns.items():
             s = np.asarray(jax.device_get(fn(x_adv)), np.float64)
             adv[det].append(s[:n_valid])
@@ -459,6 +480,7 @@ def stream_robust_cell(
     pseudo_label_fn,
     labels: Sequence[int] | None = None,
     place: Callable[[np.ndarray], jax.Array] | None = None,
+    clean_cache: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """One eps of the AutoAttack protocol, streamed.
 
@@ -467,16 +489,23 @@ def stream_robust_cell(
     ids with ``-1`` meaning "unlabeled — use the pseudo-label" (the
     resolve_labels partial-file convention); omit for pure pseudo-label
     evaluation.  Returns concatenated vectors ``arm0..armK`` (the
-    program's outputs) plus ``clean_correct``.
+    program's outputs) plus ``clean_correct``.  ``clean_cache``
+    (optional) carries per-chunk pseudo-labels across the CLI's eps loop
+    — same mechanism as stream_suite_attack — so the clean forward runs
+    once per chunk for all eps cells, not once per eps.
     """
     place = place or make_placer()
     parts: list[dict[str, np.ndarray]] = []
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:
         x = place(x_np)
-        pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
-        y_eff = (pseudo if y_np is None
-                 else np.where(np.asarray(y_np) < 0, pseudo, y_np))
+        if clean_cache is not None and step in clean_cache:
+            pseudo = clean_cache[step]
+        else:
+            pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+            if clean_cache is not None:
+                clean_cache[step] = pseudo
+        y_eff = _merge_labels(y_np, pseudo)
         outs = jax.device_get(run_fn(x, jnp.asarray(y_eff),
                                      jax.random.fold_in(key, step),
                                      jnp.float32(eps)))

@@ -105,3 +105,38 @@ class TestCellAndCLI:
         for row in data:
             assert 0.0 <= row["auc"] <= 1.0
             assert row["attack"] == "fgsm"
+
+    @pytest.mark.slow
+    def test_streamed_calibration_skips_corrupt_first_chunk(self, tmp_path,
+                                                            capsys):
+        """Streamed mode with the FIRST chunk entirely unreadable: the
+        Mahalanobis/clean calibration set scans forward to the first
+        decodable chunk instead of crashing (round-4 review — the
+        tolerant loader raises ValueError on an all-corrupt batch)."""
+        from PIL import Image as PILImage
+
+        from image_recognition_adversarial_example_attack_tpu.cli.detector_eval import (
+            main,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(3)
+        for i in range(4):  # '_' sorts before letters: these lead
+            (d / f"_bad_{i}.jpg").write_text("not an image")
+        for i in range(6):
+            PILImage.fromarray(
+                (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+            ).save(d / f"img_{i}.jpg")
+        out = tmp_path / "det.json"
+        rc = main(["--image_dir", str(d), "--attacks", "fgsm",
+                   "--eps", "0.1", "--steps", "2", "--model", "resnet_tiny",
+                   "--detectors", "feature", "mahalanobis",
+                   "--max_batch", "4", "--output_json", str(out)])
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "STREAMING fixed chunks" in txt
+        data = json.loads(out.read_text())
+        assert {r["detector"] for r in data} == {"feature", "mahalanobis"}
+        for row in data:
+            assert 0.0 <= row["auc"] <= 1.0

@@ -84,6 +84,32 @@ class TestListImagenetVal:
         paths, labels, _ = list_imagenet_val(root)
         assert labels.tolist() == [7]
 
+    def test_tiny_imagenet_wnid_labels(self, tmp_path):
+        """The REAL tiny-imagenet annotation format has a WNID string in
+        column 2 ('val_0.JPEG n03444034 0 32 44 62'), not an int — labels
+        map through the sorted unique-name convention (round-4 review:
+        int(parts[1]) used to crash on this advertised layout)."""
+        root = tmp_path / "tinw"
+        (root / "images").mkdir(parents=True)
+        wnids = ["n03444034", "n01443537", "n03444034", "n09246464"]
+        lines = []
+        for i, w in enumerate(wnids):
+            _write_img(root / "images" / f"val_{i}.jpg", seed=70 + i)
+            lines.append(f"val_{i}.jpg\t{w}\t0\t32\t44\t62")
+        (root / "val_annotations.txt").write_text("\n".join(lines))
+        paths, labels, classes = list_imagenet_val(root)
+        assert classes == sorted(set(wnids))  # n01..., n034..., n092...
+        assert labels.tolist() == [1, 0, 1, 2]
+
+    def test_mixed_int_and_wnid_labels_rejected(self, tmp_path):
+        root = tmp_path / "tmix"
+        root.mkdir()
+        _write_img(root / "a.jpg", seed=1)
+        _write_img(root / "b.jpg", seed=2)
+        (root / "val_map.txt").write_text("a.jpg 7\nb.jpg n01443537\n")
+        with pytest.raises(ValueError, match="mix integer class indices"):
+            list_imagenet_val(root)
+
     def test_tiny_imagenet_images_subdir_layout(self, tmp_path):
         """The REAL tiny-imagenet val tree: val/images/*.JPEG +
         val/val_annotations.txt.  The round-4 review bug: subfolder

@@ -674,6 +674,64 @@ def test_defense_cli_resume_rejects_config_change(eval_dataset, tmp_path,
     assert "(resumed from partial results)" in capsys.readouterr().out
 
 
+class TestCleanForwardCache:
+    """clean_cache on the streamed harnesses: the per-chunk clean forward
+    runs once for a whole attack/eps loop, not once per attack (round-4
+    review — stream_suite_attack had the cache, the other three didn't)."""
+
+    def test_query_curve_hist_cache_skips_pseudo_pass(self, eval_dataset):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_query_curve_hist,
+        )
+
+        calls = []
+
+        def pseudo_fn(x):
+            calls.append(x.shape[0])
+            return jnp.zeros((x.shape[0],), jnp.int32)
+
+        def run_fn(x, y, key):
+            hist = jnp.ones((3, x.shape[0]), jnp.int32)
+            return x, hist
+
+        cache = {}
+        a = stream_query_curve_hist(run_fn, 3, eval_dataset,
+                                    jax.random.PRNGKey(0), chunk_size=4,
+                                    size=32, pseudo_label_fn=pseudo_fn,
+                                    clean_cache=cache)
+        assert len(calls) == 3  # 10 images / chunk 4 -> 3 chunks
+        b = stream_query_curve_hist(run_fn, 3, eval_dataset,
+                                    jax.random.PRNGKey(1), chunk_size=4,
+                                    size=32, pseudo_label_fn=pseudo_fn,
+                                    clean_cache=cache)
+        assert len(calls) == 3  # second attack: zero new pseudo passes
+        np.testing.assert_array_equal(a["ever_count"], b["ever_count"])
+
+    def test_detector_scores_cache_halves_pred_calls(self, eval_dataset):
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_detector_scores,
+        )
+
+        calls = []
+
+        def pred_fn(x):
+            calls.append(1)
+            return jnp.zeros((x.shape[0],), jnp.int32)
+
+        score_fns = {"s": lambda x: jnp.mean(x, axis=(1, 2, 3))}
+        atk = lambda x, y, k: x
+        cache = {}
+        got1 = stream_detector_scores(atk, score_fns, pred_fn, eval_dataset,
+                                      jax.random.PRNGKey(0), chunk_size=4,
+                                      size=32, clean_cache=cache)
+        n1 = len(calls)  # clean + adv per chunk = 6
+        got2 = stream_detector_scores(atk, score_fns, pred_fn, eval_dataset,
+                                      jax.random.PRNGKey(0), chunk_size=4,
+                                      size=32, clean_cache=cache)
+        assert n1 == 6 and len(calls) == 9  # warm cache: adv-only (3)
+        np.testing.assert_array_equal(got1["adv"]["s"], got2["adv"]["s"])
+
+
 class TestUint8TransferPlacer:
     """ADV_TPU_TRANSFER_UINT8: uint8 host->device transfer with on-device
     float conversion (the serve-measured 2.4x trick, applied to eval
@@ -715,6 +773,21 @@ class TestUint8TransferPlacer:
         off = np.asarray(make_placer()(x))
         assert not np.array_equal(on, off)
         np.testing.assert_array_equal(off, x)
+
+    def test_env_toggle_is_a_whitelist(self, monkeypatch):
+        """'false'/'off'/'no' must NOT silently enable the lossy path
+        (round-4 review: anything != ''/'0' used to switch it on)."""
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            make_placer,
+        )
+
+        x = np.full((2, 4, 4, 3), 0.34567, np.float32)
+        for v in ("false", "off", "no", "FALSE"):
+            monkeypatch.setenv("ADV_TPU_TRANSFER_UINT8", v)
+            np.testing.assert_array_equal(np.asarray(make_placer()(x)), x)
+        for v in ("1", "on", "true", "True"):
+            monkeypatch.setenv("ADV_TPU_TRANSFER_UINT8", v)
+            assert not np.array_equal(np.asarray(make_placer()(x)), x)
 
     def test_uint8_placer_keeps_mesh_sharding(self, monkeypatch):
         from jax.sharding import PartitionSpec as P
