@@ -35,11 +35,11 @@ from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS, DEFAULT_STEPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.metrics import expected_calibration_error, psnr, ssim
-from .common import (add_imagenet_val_arg, apply_imagenet_val,
+from .common import (add_imagenet_val_arg, 
                      add_extended_attack_args, add_model_args,
                      cell_key, check_label_range, extended_attack_kwargs,
                      load_bundle, make_fns, maybe_profile, n_classes_of,
-                     resolve_image_inputs, resolve_labels)
+                     resolve_eval_inputs, resolve_labels)
 
 ALL_ATTACKS = ("fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim", "apgd",
                "apgd_dlr", "apgd_t", "fab", "square", "square_l2",
@@ -84,9 +84,7 @@ def main(argv=None) -> int:
     attacks = list(ALL_ATTACKS) if "all" in args.attacks else args.attacks
     print(f"Using device: {jax.devices()[0]}")
 
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image))
+    paths = resolve_eval_inputs(args)
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
 
@@ -199,8 +197,7 @@ def _main_streamed(args, attacks, paths, bundle, logits_fn) -> int:
     to float summation order (exactly, for the counters)."""
     import math
 
-    from ..eval.metrics import (ece_from_conf_correct, psnr, ssim,  # noqa: F401
-                                ssim_per_sample)
+    from ..eval.metrics import ece_from_conf_correct, ssim_per_sample
     from ..eval.streaming import stream_suite_attack
     from .common import resolve_labels_sentinel
 

@@ -28,9 +28,9 @@ from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
-from .common import (add_imagenet_val_arg, apply_imagenet_val,
+from .common import (add_imagenet_val_arg, 
                      add_model_args, model_input_size, load_bundle, make_fns, maybe_profile,
-                     resolve_image_inputs, resolve_labels)
+                     resolve_eval_inputs, resolve_labels)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -87,10 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
 def _main_ibp(args) -> int:
     """Deterministic L-inf certification: one interval forward per
     (batch, eps) — no sampling, no abstention, exact by construction."""
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image,
-                                       skip_bmp=False))
+    paths = resolve_eval_inputs(args, skip_bmp=False)
     x_np, kept = load_image_batch_tolerant(paths, size=model_input_size(args))
     if not kept:
         raise SystemExit("no loadable images")
@@ -162,10 +159,7 @@ def main(argv=None) -> int:
     if args.method in ("ibp", "crown-ibp"):
         return _main_ibp(args)
 
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image,
-                                       skip_bmp=False))
+    paths = resolve_eval_inputs(args, skip_bmp=False)
     x_np, kept = load_image_batch_tolerant(
         paths, size=model_input_size(args))
     if not kept:

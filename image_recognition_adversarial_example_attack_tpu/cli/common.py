@@ -526,6 +526,18 @@ def apply_imagenet_val(args) -> list | None:
     return paths
 
 
+def resolve_eval_inputs(args, *, skip_bmp: bool = True) -> list:
+    """The one shared input plane for the eval CLIs: --imagenet_val_dir
+    (ground truth materialized into ``args.labels_json``) wins, else
+    --image_dir / --image.  Conflicting data-plane flags fail fast inside
+    apply_imagenet_val."""
+    val_paths = apply_imagenet_val(args)
+    if val_paths is not None:
+        return val_paths
+    return resolve_image_inputs(args.image_dir, args.image,
+                                skip_bmp=skip_bmp)
+
+
 def resolve_labels_sentinel(labels_json: str | None, paths):
     """Ground-truth label vector with ``UNLABELED`` (-1) where the file has
     no entry, for streaming paths that substitute pseudo-labels per chunk.

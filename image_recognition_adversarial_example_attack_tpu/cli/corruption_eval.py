@@ -39,8 +39,8 @@ from ..core.rng import key_from_seed
 from ..eval.corruptions import CORRUPTION_NAMES, make_corruption_run
 from .common import (add_model_args, cell_key, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of, positive_int,
-                     add_imagenet_val_arg, apply_imagenet_val,
-                     resolve_image_inputs, resolve_labels,
+                     add_imagenet_val_arg, 
+                     resolve_eval_inputs, resolve_labels,
                      resolve_labels_sentinel)
 
 
@@ -86,9 +86,7 @@ def main(argv=None) -> int:
     if any(s < 1 or s > 5 for s in severities):
         raise SystemExit("severities must be in 1..5")
 
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image))
+    paths = resolve_eval_inputs(args)
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
     pseudo_fn = jax.jit(lambda xx: jnp.argmax(logits_fn(xx), -1))

@@ -232,6 +232,11 @@ def main(argv=None) -> int:
         if args.labels_json:
             raise SystemExit("--cifar10_dir carries its own ground-truth "
                              "labels; drop --labels_json")
+        if getattr(args, "imagenet_val_dir", None):
+            # mutually exclusive data planes; fail fast instead of
+            # silently running CIFAR when ImageNet-val was requested
+            raise SystemExit("pass at most one of --imagenet_val_dir / "
+                             "--cifar10_dir")
         from ..core.datasets import load_cifar10
 
         x_cifar, y_cifar = load_cifar10(args.cifar10_dir,
@@ -457,6 +462,9 @@ def main(argv=None) -> int:
     # 20s-4min each — this drops an attacks x eps grid from
     # len(attacks)*len(eps_list) compiles to len(attacks))
     eval_fns: dict = {}
+    # per-chunk pseudo-labels survive the whole attack x eps grid: the
+    # clean forward runs once per chunk total, not once per cell
+    stream_clean_cache: dict = {}
     with maybe_profile(args.profile_dir):
         for attack_name in args.attacks:
             for eps in args.eps_list:
@@ -533,7 +541,7 @@ def main(argv=None) -> int:
                             jnp.float32(eps), chunk_size=chunk,
                             size=bundle.input_size,
                             pseudo_label_fn=pseudo_fn, labels=labels_np,
-                            place=place,
+                            place=place, clean_cache=stream_clean_cache,
                         )
                     else:
                         out = fn(x, y_true, detector_threshold, sub,
@@ -632,11 +640,7 @@ def _certified_summary(args, bundle, logits_fn, pseudo_fn, *, image_paths,
     the prediction the summary's accuracy column is judged by').  The
     streaming path reuses the fixed-chunk pipeline; only per-chunk count
     sums reach the host."""
-    if not hasattr(bundle.module, "spec"):
-        raise SystemExit(
-            f"--certified {args.certified} needs a spec-driven model "
-            f"(ibp_cnn7 / ibp_tiny, models/ibp.py); --model {args.model} "
-            "has no interval propagator")
+    # spec presence was fail-fast-checked in main() before the grid ran
     if args.certified == "crown-ibp":
         from ..defenses.crown_ibp import make_crown_verify_fn as _mk
     else:

@@ -245,11 +245,18 @@ def _main_streamed(args, image_paths, bundle, logits_fn,
                                             x_cal.dtype)]) if pad else x_cal)
     clean0 = {det: np.asarray(jax.device_get(fn(x0)), np.float64)[:n0]
               for det, fn in score_fns.items()}
-    try:
-        rest = stream_clean_scores(score_fns, image_paths[cal_end:],
-                                   chunk_size=chunk, size=bundle.input_size)
-    except SystemExit:
-        # every remaining file unreadable: score what the first chunk has
+    rest_paths = image_paths[cal_end:]
+    if rest_paths:
+        try:
+            rest = stream_clean_scores(score_fns, rest_paths,
+                                       chunk_size=chunk,
+                                       size=bundle.input_size)
+        except SystemExit:
+            # every remaining file unreadable: score what the first chunk has
+            rest = {det: np.empty(0, np.float64) for det in score_fns}
+    else:
+        # calibration chunk was the LAST chunk (earlier ones unreadable):
+        # nothing left to stream — EvalBatchPipeline rejects an empty set
         rest = {det: np.empty(0, np.float64) for det in score_fns}
     clean = {det: np.concatenate([clean0[det], rest[det]])
              for det in score_fns}

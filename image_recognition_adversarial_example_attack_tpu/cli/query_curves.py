@@ -26,10 +26,10 @@ from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.query_curves import CURVE_ATTACKS, curve_at_checkpoints, query_curve
-from .common import (add_imagenet_val_arg, apply_imagenet_val,
+from .common import (add_imagenet_val_arg, 
                      add_model_args, cell_key, check_label_range,
                      load_bundle, make_fns, maybe_profile, n_classes_of,
-                     resolve_image_inputs, resolve_labels)
+                     resolve_eval_inputs, resolve_labels)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -70,9 +70,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image))
+    paths = resolve_eval_inputs(args)
     bundle = load_bundle(args)
     logits_fn, _ = make_fns(bundle)
 

@@ -38,9 +38,9 @@ from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack, autoattack_lite
 from .common import (add_imagenet_val_arg, add_model_args,
-                     apply_imagenet_val, check_label_range, load_bundle,
+                      check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
-                     resolve_image_inputs, resolve_labels,
+                     resolve_eval_inputs, resolve_labels,
                      resolve_labels_sentinel)
 
 
@@ -115,6 +115,11 @@ def main(argv=None) -> int:
     print(f"Using device: {jax.devices()[0]}")
 
     cifar = args.cifar10_dir is not None
+    if cifar and getattr(args, "imagenet_val_dir", None):
+        # the data planes are mutually exclusive; fail fast instead of
+        # silently evaluating CIFAR while the user asked for ImageNet-val
+        raise SystemExit("pass at most one of --imagenet_val_dir / "
+                         "--cifar10_dir")
     if cifar:
         from ..core.datasets import load_cifar10
 
@@ -126,9 +131,7 @@ def main(argv=None) -> int:
         paths = [f"cifar10_{args.cifar10_split}_{i:05d}"
                  for i in range(len(y_all))]
     else:
-        val_paths = apply_imagenet_val(args)
-        paths = (val_paths if val_paths is not None
-                 else resolve_image_inputs(args.image_dir, args.image))
+        paths = resolve_eval_inputs(args)
     bundle = load_bundle(args)
     if cifar and bundle.input_size != 32:
         raise SystemExit(f"--cifar10_dir is 32x32 data but --model "

@@ -31,10 +31,10 @@ from ..attacks.patch import apply_patch, patch_attack, patch_success_rate
 from ..attacks.uap import apply_uap, uap_attack, uap_fooling_rate
 from ..core.images import load_image_batch_tolerant, save_image_01
 from ..core.rng import key_from_seed
-from .common import (add_imagenet_val_arg, apply_imagenet_val,
+from .common import (add_imagenet_val_arg, 
                      add_model_args, model_input_size, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
-                     resolve_image_inputs, resolve_labels)
+                     resolve_eval_inputs, resolve_labels)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -83,10 +83,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(f"Using device: {jax.devices()[0]}")
 
-    val_paths = apply_imagenet_val(args)
-    paths = (val_paths if val_paths is not None
-             else resolve_image_inputs(args.image_dir, args.image,
-                                       skip_bmp=False))
+    paths = resolve_eval_inputs(args, skip_bmp=False)
     x_np, kept = load_image_batch_tolerant(
         paths, size=model_input_size(args))
     if not kept:

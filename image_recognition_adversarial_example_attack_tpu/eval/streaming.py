@@ -104,6 +104,7 @@ def stream_defense_cell(
     labels: Sequence[int] | None = None,
     place: Callable[[np.ndarray], jax.Array] | None = None,
     progress: Callable[[int, int], None] | None = None,
+    clean_cache: dict | None = None,
 ) -> dict[str, int]:
     """One (attack, eps) defense grid cell over arbitrarily many images.
 
@@ -113,7 +114,10 @@ def stream_defense_cell(
     clean predictions — reference :818-819 semantics); ``labels`` entries
     of ``-1`` mean "unlabeled — use the pseudo-label" (the resolve_labels
     partial-file convention).  Returns the six summed counters plus
-    ``count``.
+    ``count``.  ``clean_cache`` (optional) carries per-chunk pseudo-labels
+    across the CLI's attack x eps grid — same mechanism as the other
+    streaming harnesses — so the clean forward runs once per chunk total,
+    not once per grid cell.
     """
     if labels is None and pseudo_label_fn is None:
         raise ValueError("need labels or pseudo_label_fn")
@@ -129,13 +133,17 @@ def stream_defense_cell(
     n_chunks = pipe.n_chunks
     for step, x_np, y_np, n_valid in pipe:
         x = place(x_np)
-        if y_np is None:
-            y = pseudo_label_fn(x)
-        elif pseudo_label_fn is not None and np.any(np.asarray(y_np) < 0):
-            pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
-            y = jnp.asarray(np.where(np.asarray(y_np) < 0, pseudo, y_np))
+        if y_np is not None and not (pseudo_label_fn is not None
+                                     and np.any(np.asarray(y_np) < 0)):
+            y = jnp.asarray(y_np)  # fully labeled: no clean forward at all
         else:
-            y = jnp.asarray(y_np)
+            if clean_cache is not None and step in clean_cache:
+                pseudo = clean_cache[step]
+            else:
+                pseudo = np.asarray(jax.device_get(pseudo_label_fn(x)))
+                if clean_cache is not None:
+                    clean_cache[step] = pseudo
+            y = jnp.asarray(_merge_labels(y_np, pseudo))
         out = eval_fn(x, y, threshold, jax.random.fold_in(key, step), eps)
         # fetch ONLY the counter vectors (6 x chunk int32) — x_adv stays on
         # device; this is the whole host<->device traffic of a chunk

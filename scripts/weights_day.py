@@ -45,10 +45,17 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:  # runnable as `python scripts/weights_day.py`
     sys.path.insert(0, str(REPO))
 
+# Robust-checkpoint keyword (Madry-lab / RobustBench naming).  Checked
+# SEPARATELY from the architecture hints: a robust checkpoint of a known
+# non-ResNet50 architecture (e.g. wrn34_10_robust.pth) belongs to THAT
+# family — same module, adversarially-trained weights; only robust
+# ResNet-50s (or robust files with no recognizable architecture) go to
+# the dedicated identity-normalization resnet50_robust entry.
+ROBUST_HINT = re.compile(r"robust|madry|engstrom|salman")
+
 # filename hint -> zoo family (checked in order; first match wins).
 # torchvision's published checkpoint names all start with the model name.
 FAMILY_HINTS: tuple[tuple[str, str], ...] = (
-    (r"robust|madry|engstrom|salman", "resnet50_robust"),
     (r"^resnet50", "resnet50"),
     (r"^vgg19", "vgg19"),
     (r"^vit_b_16|^vit-b-16|^vit_base_patch16", "vit_b_16"),
@@ -82,14 +89,16 @@ def map_checkpoints(ckpt_dir: Path) -> tuple[dict[str, Path], list[Path]]:
         if p.stem in known:                       # exact zoo name
             mapped[p.stem] = p
             continue
-        for pat, family in FAMILY_HINTS:
-            if re.search(pat, stem):
-                if family not in mapped or len(p.name) < len(
-                        mapped[family].name):
-                    mapped[family] = p
-                break
+        arch = next((family for pat, family in FAMILY_HINTS
+                     if re.search(pat, stem)), None)
+        if ROBUST_HINT.search(stem) and arch in (None, "resnet50"):
+            family = "resnet50_robust"            # robust ResNet-50 lineage
         else:
+            family = arch                         # architecture hint wins
+        if family is None:
             unmapped.append(p)
+        elif family not in mapped or len(p.name) < len(mapped[family].name):
+            mapped[family] = p
     # exact names override hint matches for the same family
     for p in files:
         if p.stem in known:

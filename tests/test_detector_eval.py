@@ -140,3 +140,36 @@ class TestCellAndCLI:
         assert {r["detector"] for r in data} == {"feature", "mahalanobis"}
         for row in data:
             assert 0.0 <= row["auc"] <= 1.0
+
+    @pytest.mark.slow
+    def test_streamed_calibration_chunk_is_last_chunk(self, tmp_path,
+                                                      capsys):
+        """Round-4 review F1: when the first DECODABLE chunk is also the
+        LAST chunk (every earlier file corrupt), nothing remains to
+        stream — the empty-tail guard must score the calibration chunk
+        instead of crashing on EvalBatchPipeline([])."""
+        from PIL import Image as PILImage
+
+        from image_recognition_adversarial_example_attack_tpu.cli.detector_eval import (
+            main,
+        )
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(5)
+        for i in range(4):  # '_' sorts before letters: these lead
+            (d / f"_bad_{i}.jpg").write_text("not an image")
+        for i in range(4):  # exactly one decodable chunk, and it's last
+            PILImage.fromarray(
+                (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+            ).save(d / f"img_{i}.jpg")
+        out = tmp_path / "det.json"
+        rc = main(["--image_dir", str(d), "--attacks", "fgsm",
+                   "--eps", "0.1", "--steps", "2", "--model", "resnet_tiny",
+                   "--detectors", "feature",
+                   "--max_batch", "4", "--output_json", str(out)])
+        assert rc == 0
+        data = json.loads(out.read_text())
+        assert {r["detector"] for r in data} == {"feature"}
+        for row in data:
+            assert 0.0 <= row["auc"] <= 1.0

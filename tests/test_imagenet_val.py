@@ -189,6 +189,23 @@ class TestImagenetValInputs:
                                 cifar10_dir=None, image_dir=None)
         assert apply_imagenet_val(ns) is None
 
+    def test_cifar_branch_rejects_imagenet_val(self, subfolder_tree):
+        """Round-4 review F2: the CLIs that also have --cifar10_dir take
+        the CIFAR branch first, so the conflict must be rejected BEFORE
+        branching — not silently resolved in CIFAR's favor."""
+        from image_recognition_adversarial_example_attack_tpu.cli.defense_experiments import (
+            main as defense_main,
+        )
+        from image_recognition_adversarial_example_attack_tpu.cli.robust_eval import (
+            main as robust_main,
+        )
+
+        root, _ = subfolder_tree
+        for main in (robust_main, defense_main):
+            with pytest.raises(SystemExit, match="at most one"):
+                main(["--cifar10_dir", "/tmp/nonexistent-cifar",
+                      "--imagenet_val_dir", str(root)])
+
 
 @pytest.mark.slow
 def test_robust_eval_cli_imagenet_val(subfolder_tree, tmp_path, capsys):

@@ -731,6 +731,63 @@ class TestCleanForwardCache:
         assert n1 == 6 and len(calls) == 9  # warm cache: adv-only (3)
         np.testing.assert_array_equal(got1["adv"]["s"], got2["adv"]["s"])
 
+    def test_defense_cell_cache_skips_pseudo_pass(self, eval_dataset):
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            STAT_KEYS,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_defense_cell,
+        )
+
+        calls = []
+
+        def pseudo_fn(x):
+            calls.append(x.shape[0])
+            return jnp.zeros((x.shape[0],), jnp.int32)
+
+        def eval_fn(x, y, threshold, key, eps):
+            return {k: jnp.ones((x.shape[0],), jnp.int32)
+                    for k in STAT_KEYS}
+
+        cache = {}
+        a = stream_defense_cell(eval_fn, eval_dataset, 2.0,
+                                jax.random.PRNGKey(0), jnp.float32(0.03),
+                                chunk_size=4, size=32,
+                                pseudo_label_fn=pseudo_fn,
+                                clean_cache=cache)
+        assert len(calls) == 3  # 10 images / chunk 4 -> 3 chunks
+        b = stream_defense_cell(eval_fn, eval_dataset, 2.0,
+                                jax.random.PRNGKey(1), jnp.float32(0.06),
+                                chunk_size=4, size=32,
+                                pseudo_label_fn=pseudo_fn,
+                                clean_cache=cache)
+        assert len(calls) == 3  # second grid cell: zero new clean passes
+        assert a == b
+
+    def test_defense_cell_fully_labeled_skips_clean_forward(
+            self, eval_dataset):
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            STAT_KEYS,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_defense_cell,
+        )
+
+        def pseudo_fn(x):  # pragma: no cover - must never run
+            raise AssertionError("clean forward ran on fully-labeled data")
+
+        def eval_fn(x, y, threshold, key, eps):
+            return {k: jnp.ones((x.shape[0],), jnp.int32)
+                    for k in STAT_KEYS}
+
+        out = stream_defense_cell(eval_fn, eval_dataset, 2.0,
+                                  jax.random.PRNGKey(0), jnp.float32(0.03),
+                                  chunk_size=4, size=32,
+                                  pseudo_label_fn=pseudo_fn,
+                                  labels=[i % 3 for i in range(10)],
+                                  clean_cache={})
+        assert out["count"] == 10
+
 
 class TestUint8TransferPlacer:
     """ADV_TPU_TRANSFER_UINT8: uint8 host->device transfer with on-device

@@ -51,6 +51,21 @@ class TestCheckpointMapping:
         mapped, _ = weights_day.map_checkpoints(tmp_path)
         assert mapped["resnet50"].name == "resnet50.pth"
 
+    def test_robust_keyword_does_not_hijack_other_architectures(
+            self, tmp_path):
+        # round-4 review: the unanchored robust hint used to claim ANY
+        # robust-named checkpoint for resnet50_robust, displacing the
+        # real architecture (and the real robust resnet50)
+        for n in ["wrn34_10_robust.pth", "engstrom2019_robust_eps3.pth",
+                  "resnet50_madry.pth"]:
+            (tmp_path / n).write_bytes(b"x")
+        mapped, unmapped = weights_day.map_checkpoints(tmp_path)
+        assert mapped["wrn34_10"].name == "wrn34_10_robust.pth"
+        # robust resnet50 lineage: shortest of the two contenders wins
+        assert mapped["resnet50_robust"].name == "resnet50_madry.pth"
+        assert "resnet50" not in mapped  # madry file is NOT plain resnet50
+        assert unmapped == []
+
 
 @pytest.mark.slow
 def test_weights_day_end_to_end_drill(tmp_path, capsys):
