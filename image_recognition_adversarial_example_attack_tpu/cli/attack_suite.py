@@ -35,7 +35,7 @@ from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS, DEFAULT_STEPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.metrics import expected_calibration_error, psnr, ssim
-from .common import (add_imagenet_val_arg, 
+from .common import (add_imagenet_val_arg,
                      add_extended_attack_args, add_model_args,
                      cell_key, check_label_range, extended_attack_kwargs,
                      load_bundle, make_fns, maybe_profile, n_classes_of,

@@ -28,7 +28,7 @@ from ..core.images import load_image_batch_tolerant
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
 from ..defenses.smoothing import ABSTAIN, SmoothedClassifier, SmoothingConfig
-from .common import (add_imagenet_val_arg, 
+from .common import (add_imagenet_val_arg,
                      add_model_args, model_input_size, load_bundle, make_fns, maybe_profile,
                      resolve_eval_inputs, resolve_labels)
 

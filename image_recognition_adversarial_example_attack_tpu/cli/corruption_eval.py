@@ -39,7 +39,7 @@ from ..core.rng import key_from_seed
 from ..eval.corruptions import CORRUPTION_NAMES, make_corruption_run
 from .common import (add_model_args, cell_key, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of, positive_int,
-                     add_imagenet_val_arg, 
+                     add_imagenet_val_arg,
                      resolve_eval_inputs, resolve_labels,
                      resolve_labels_sentinel)
 

@@ -26,7 +26,7 @@ from ..core.constants import DEFAULT_ALPHA, DEFAULT_EPS
 from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.query_curves import CURVE_ATTACKS, curve_at_checkpoints, query_curve
-from .common import (add_imagenet_val_arg, 
+from .common import (add_imagenet_val_arg,
                      add_model_args, cell_key, check_label_range,
                      load_bundle, make_fns, maybe_profile, n_classes_of,
                      resolve_eval_inputs, resolve_labels)

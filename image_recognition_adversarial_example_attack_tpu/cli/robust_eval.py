@@ -38,7 +38,7 @@ from ..core.images import load_image_batch_tolerant
 from ..core.rng import key_from_seed
 from ..eval.robust_eval import autoattack, autoattack_lite
 from .common import (add_imagenet_val_arg, add_model_args,
-                      check_label_range, load_bundle,
+                     check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
                      resolve_eval_inputs, resolve_labels,
                      resolve_labels_sentinel)

@@ -31,7 +31,7 @@ from ..attacks.patch import apply_patch, patch_attack, patch_success_rate
 from ..attacks.uap import apply_uap, uap_attack, uap_fooling_rate
 from ..core.images import load_image_batch_tolerant, save_image_01
 from ..core.rng import key_from_seed
-from .common import (add_imagenet_val_arg, 
+from .common import (add_imagenet_val_arg,
                      add_model_args, model_input_size, check_label_range, load_bundle,
                      make_fns, maybe_profile, n_classes_of,
                      resolve_eval_inputs, resolve_labels)

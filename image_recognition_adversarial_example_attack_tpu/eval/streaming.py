@@ -39,6 +39,23 @@ from ..utils.pipeline import EvalBatchPipeline
 from .defense_eval import STAT_KEYS
 
 
+def _check_cache_sig(clean_cache: dict | None, paths, chunk_size: int,
+                     size: int) -> None:
+    """Guard a cross-call ``clean_cache``: entries are keyed by chunk
+    step and valid only for one ``(n_paths, chunk_size, size)`` chunking.
+    The cache self-identifies with a ``"__sig__"`` entry (written on
+    first use); a reuse under a different chunking raises instead of
+    silently serving stale pseudo-labels (advisor r4)."""
+    if clean_cache is None:
+        return
+    sig = (len(paths), int(chunk_size), int(size))
+    prior = clean_cache.setdefault("__sig__", sig)
+    if prior != sig:
+        raise ValueError(
+            f"clean_cache was built for (n_paths, chunk_size, size)={prior} "
+            f"but this call streams {sig} — pass a fresh dict")
+
+
 def round_up(n: int, multiple: int) -> int:
     """Smallest multiple of ``multiple`` that is >= n."""
     multiple = max(1, int(multiple))
@@ -117,10 +134,15 @@ def stream_defense_cell(
     ``count``.  ``clean_cache`` (optional) carries per-chunk pseudo-labels
     across the CLI's attack x eps grid — same mechanism as the other
     streaming harnesses — so the clean forward runs once per chunk total,
-    not once per grid cell.
+    not once per grid cell.  Cache entries are keyed by chunk step and
+    valid ONLY for identical ``(paths, chunk_size, size)``: the cache
+    self-identifies with a ``"__sig__"`` entry and a reuse under a
+    different chunking raises instead of silently serving stale
+    pseudo-labels.
     """
     if labels is None and pseudo_label_fn is None:
         raise ValueError("need labels or pseudo_label_fn")
+    _check_cache_sig(clean_cache, paths, chunk_size, size)
     if (pseudo_label_fn is None and labels is not None
             and np.any(np.asarray(labels) < 0)):
         raise ValueError(
@@ -307,6 +329,7 @@ def stream_suite_attack(
     import time
 
     place = place or make_placer()
+    _check_cache_sig(clean_cache, paths, chunk_size, size)
     acc: dict[str, list[np.ndarray]] = {
         k: [] for k in ("succ", "linf", "l2", "changed", "ssim", "sq_sum",
                         "conf", "clean_conf", "clean_correct")}
@@ -372,6 +395,7 @@ def stream_query_curve_hist(
     chunk for the whole table, not once per attack.
     """
     place = place or make_placer()
+    _check_cache_sig(clean_cache, paths, chunk_size, size)
     ever_count = np.zeros((int(n_steps),), np.int64)
     firsts: list[np.ndarray] = []
     count = 0
@@ -424,6 +448,7 @@ def stream_detector_scores(
     once per chunk for the whole comparison, not once per attack.
     """
     place = place or make_placer()
+    _check_cache_sig(clean_cache, paths, chunk_size, size)
     adv: dict[str, list[np.ndarray]] = {d: [] for d in score_fns}
     succ: list[np.ndarray] = []
     count = 0
@@ -503,6 +528,7 @@ def stream_robust_cell(
     once per chunk for all eps cells, not once per eps.
     """
     place = place or make_placer()
+    _check_cache_sig(clean_cache, paths, chunk_size, size)
     parts: list[dict[str, np.ndarray]] = []
     pipe = EvalBatchPipeline(paths, chunk_size, labels=labels, size=size)
     for step, x_np, y_np, n_valid in pipe:

@@ -91,6 +91,13 @@ def map_checkpoints(ckpt_dir: Path) -> tuple[dict[str, Path], list[Path]]:
             continue
         arch = next((family for pat, family in FAMILY_HINTS
                      if re.search(pat, stem)), None)
+        if arch is None:
+            # non-prefix names (madry_vgg19.pth): retry the hints
+            # unanchored so a robust checkpoint of a known non-ResNet50
+            # architecture maps to THAT family instead of silently
+            # importing foreign weights under resnet50_robust
+            arch = next((family for pat, family in FAMILY_HINTS
+                         if re.search(pat.replace("^", ""), stem)), None)
         if ROBUST_HINT.search(stem) and arch in (None, "resnet50"):
             family = "resnet50_robust"            # robust ResNet-50 lineage
         else:

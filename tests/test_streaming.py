@@ -788,6 +788,40 @@ class TestCleanForwardCache:
                                   clean_cache={})
         assert out["count"] == 10
 
+    def test_cache_rejects_mismatched_chunking(self, eval_dataset):
+        """A clean_cache built under one (paths, chunk_size, size) raises
+        on reuse with a different chunking instead of silently serving
+        stale per-chunk pseudo-labels (advisor r4)."""
+        from image_recognition_adversarial_example_attack_tpu.eval.defense_eval import (
+            STAT_KEYS,
+        )
+        from image_recognition_adversarial_example_attack_tpu.eval.streaming import (
+            stream_defense_cell,
+        )
+
+        def pseudo_fn(x):
+            return jnp.zeros((x.shape[0],), jnp.int32)
+
+        def eval_fn(x, y, threshold, key, eps):
+            return {k: jnp.ones((x.shape[0],), jnp.int32)
+                    for k in STAT_KEYS}
+
+        cache = {}
+        stream_defense_cell(eval_fn, eval_dataset, 2.0,
+                            jax.random.PRNGKey(0), jnp.float32(0.03),
+                            chunk_size=4, size=32,
+                            pseudo_label_fn=pseudo_fn, clean_cache=cache)
+        with pytest.raises(ValueError, match="pass a fresh dict"):
+            stream_defense_cell(eval_fn, eval_dataset, 2.0,
+                                jax.random.PRNGKey(0), jnp.float32(0.03),
+                                chunk_size=5, size=32,
+                                pseudo_label_fn=pseudo_fn, clean_cache=cache)
+        with pytest.raises(ValueError, match="pass a fresh dict"):
+            stream_defense_cell(eval_fn, eval_dataset[:7], 2.0,
+                                jax.random.PRNGKey(0), jnp.float32(0.03),
+                                chunk_size=4, size=32,
+                                pseudo_label_fn=pseudo_fn, clean_cache=cache)
+
 
 class TestUint8TransferPlacer:
     """ADV_TPU_TRANSFER_UINT8: uint8 host->device transfer with on-device

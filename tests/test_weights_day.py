@@ -66,6 +66,19 @@ class TestCheckpointMapping:
         assert "resnet50" not in mapped  # madry file is NOT plain resnet50
         assert unmapped == []
 
+    def test_non_prefix_robust_names_map_to_their_architecture(
+            self, tmp_path):
+        # advisor r4: FAMILY_HINTS are ^-anchored, so madry_vgg19.pth used
+        # to get arch=None and silently import VGG weights under
+        # resnet50_robust; the unanchored retry routes it to vgg19
+        for n in ["madry_vgg19.pth", "salman2020_swin_tiny.pth"]:
+            (tmp_path / n).write_bytes(b"x")
+        mapped, unmapped = weights_day.map_checkpoints(tmp_path)
+        assert mapped["vgg19"].name == "madry_vgg19.pth"
+        assert mapped["swin_t"].name == "salman2020_swin_tiny.pth"
+        assert "resnet50_robust" not in mapped
+        assert unmapped == []
+
 
 @pytest.mark.slow
 def test_weights_day_end_to_end_drill(tmp_path, capsys):
