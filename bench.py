@@ -1,20 +1,31 @@
 """Headline benchmark: PGD-10 adversarial examples/sec/chip, ResNet-50 @ 224².
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N,
+   "roofline_frac": N, ...}
 
 vs_baseline is measured against the 5k ex/s/chip north-star target
 (BASELINE.json; the reference publishes no throughput numbers — SURVEY.md §6).
+That target is physically unreachable on ONE v5e chip at exact PGD-10
+semantics (it implies 410 TF/s sustained > the chip's 197 TF/s bf16 peak —
+benchmarks/ROOFLINE.md), so the JSON also self-documents against the
+MEASURED ceiling: ``roofline_frac`` = value ÷ (scan-chained forward rate ÷
+20 forward-equivalents), with the forward rate measured in this same
+process on this same chip (VERDICT r4 #8).
 
 The measured program is the full fused attack: 10 iterations of
 forward + input-gradient + sign step + eps-ball projection + clip, compiled
 once, with the model in bfloat16 (MXU) and attack state in float32.
 
+``--model`` accepts every ImageNet family in the zoo (VERDICT r4 #1) —
+the per-family roofline table lives in benchmarks/family_roofline.py.
+
 Multi-chip: with more than one visible device (or --sharded), the batch is
 sharded over a 1-D 'data' mesh — the attack is embarrassingly data-parallel
-(zero per-step collectives), so aggregate throughput scales linearly and
-the reported value stays per-chip.  Validate without hardware on a virtual
-mesh:
+(zero per-step collectives; counted in the compiled HLO by
+tests/test_sharding.py::TestHeadlineCollectives), so aggregate throughput
+scales linearly and the reported value stays per-chip.  Validate without
+hardware on a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 ADV_TPU_PLATFORM=cpu \
   python bench.py --sharded --model resnet_tiny --size 64 --iters 2
 """
@@ -26,6 +37,7 @@ import json
 import os
 import sys
 import time
+import warnings
 
 if os.environ.get("ADV_TPU_PLATFORM") == "cpu":
     import jax
@@ -36,6 +48,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Every ImageNet-scale family in the zoo is benchable; CIFAR/certified
+# families are excluded (different resolution regime — benchmarks/ROOFLINE.md
+# scopes the headline to ImageNet @224).
+BENCH_MODELS = ("resnet50", "resnet_tiny", "vgg19", "vit_b_16", "swin_t",
+                "densenet121", "efficientnet_b0", "mobilenet_v2",
+                "convnext_tiny")
+
+
+def build_logits_fn(model_name: str, size: int, int8: bool = False):
+    """Zoo-registry model -> pixel-space logits closure (bf16 on TPU)."""
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        make_logits_fn,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        load_model,
+    )
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    with warnings.catch_warnings():
+        # random-init fallback is expected in the air-gapped bench container
+        warnings.simplefilter("ignore")
+        bundle = load_model(model_name, dtype=dtype, input_size=size,
+                            int8=int8)
+    return make_logits_fn(
+        bundle.module, bundle.variables, bundle.mean, bundle.std,
+        input_dtype=dtype if dtype != jnp.float32 else None,
+    )
+
 
 def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
                  sharded: bool = False, int8: bool = False):
@@ -44,27 +84,11 @@ def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
     the model's convs/classifier onto the int8 MXU (ops/int8.py) with the
     attack gradient taken through the op-granular float VJP — a documented
     NON-PARITY fast mode (the parity attack path is bf16/f32)."""
-    from image_recognition_adversarial_example_attack_tpu.attacks import make_logits_fn
-    from image_recognition_adversarial_example_attack_tpu.attacks.pgd import pgd_linf_attack
-    from image_recognition_adversarial_example_attack_tpu.core.constants import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-    )
-    from image_recognition_adversarial_example_attack_tpu.models.resnet import (
-        resnet50,
-        resnet_tiny,
+    from image_recognition_adversarial_example_attack_tpu.attacks.pgd import (
+        pgd_linf_attack,
     )
 
-    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    make = resnet50 if model_name == "resnet50" else resnet_tiny
-    model = make(dtype=dtype, int8=int8)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
-    )
-    logits_fn = make_logits_fn(
-        model, variables, IMAGENET_MEAN, IMAGENET_STD,
-        input_dtype=dtype if dtype != jnp.float32 else None,
-    )
+    logits_fn = build_logits_fn(model_name, size, int8=int8)
 
     def attack_fn(x, y, key):
         return pgd_linf_attack(
@@ -111,6 +135,39 @@ def measure(batch: int, iters: int, warmup: int = 2, **build_kw) -> float:
     return batch * iters / dt
 
 
+def measure_forward(batch: int, model_name: str, size: int,
+                    chain_iters: int = 20, repeats: int = 2,
+                    int8: bool = False) -> float:
+    """Scan-chained forward img/s — the only citable methodology for
+    sub-100 ms programs over the relay (benchmarks/fwd_probe.py; each scan
+    iteration's input depends on the previous logits so nothing is elided;
+    sync is a tiny host transfer, not block_until_ready)."""
+    from jax import lax
+
+    logits_fn = build_logits_fn(model_name, size, int8=int8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+
+    def chain(x0, bump0):
+        def body(carry, _):
+            xx, bump = carry
+            logits = logits_fn(xx + bump)
+            nxt = (jnp.mean(logits.astype(jnp.float32)) * 1e-6).astype(xx.dtype)
+            return (xx, nxt), None
+
+        (xf, bf), _ = lax.scan(body, (x0, bump0), None, length=chain_iters)
+        return xf[0, 0, 0, 0] + bf
+
+    f = jax.jit(chain)
+    np.asarray(f(x, jnp.asarray(0.0, x.dtype)))  # compile + transfer fence
+    best = float("inf")
+    for i in range(1, repeats + 1):
+        t0 = time.perf_counter()
+        np.asarray(f(x, jnp.asarray(i * 1e-9, x.dtype)))
+        best = min(best, time.perf_counter() - t0)
+    return batch * chain_iters / best
+
+
 def agreement_check(batch: int, model_name: str, size: int) -> dict:
     """PGD-10 against the int8 model vs the bf16 model on the SAME batch
     and key: per-model ASR (pred != y after attack, each model judging its
@@ -127,25 +184,7 @@ def agreement_check(batch: int, model_name: str, size: int) -> dict:
 
     # prediction programs: each model judges inputs through its own forward
     def preds(int8, xx):
-        from image_recognition_adversarial_example_attack_tpu.attacks import (
-            make_logits_fn,
-        )
-        from image_recognition_adversarial_example_attack_tpu.core.constants import (
-            IMAGENET_MEAN,
-            IMAGENET_STD,
-        )
-        from image_recognition_adversarial_example_attack_tpu.models.resnet import (
-            resnet50,
-            resnet_tiny,
-        )
-
-        dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-        make = resnet50 if model_name == "resnet50" else resnet_tiny
-        model = make(dtype=dtype, int8=int8)
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32))
-        fn = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD,
-                            input_dtype=dtype if dtype != jnp.float32 else None)
+        fn = build_logits_fn(model_name, size, int8=int8)
         return np.asarray(jax.jit(lambda a: jnp.argmax(fn(a), -1))(xx))
 
     y_np = np.asarray(y)
@@ -175,9 +214,9 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--sharded", action="store_true",
                         help="force the data-mesh path (automatic when >1 device)")
-    parser.add_argument("--model", choices=["resnet50", "resnet_tiny"],
-                        default="resnet50",
-                        help="resnet_tiny is for virtual-mesh validation only")
+    parser.add_argument("--model", choices=BENCH_MODELS, default="resnet50",
+                        help="any ImageNet family in the zoo; resnet_tiny is "
+                             "for virtual-mesh validation only")
     parser.add_argument("--size", type=int, default=224)
     parser.add_argument("--int8", action="store_true",
                         help="bench PGD-10 against the int8-quantized model "
@@ -187,6 +226,10 @@ def main() -> None:
     parser.add_argument("--skip_agreement", action="store_true",
                         help="with --int8: skip the bf16-vs-int8 agreement "
                              "programs (throughput number only)")
+    parser.add_argument("--skip_roofline", action="store_true",
+                        help="skip the in-process forward-rate measurement "
+                             "that contextualizes vs_baseline (saves one "
+                             "compile; roofline_frac is then omitted)")
     args = parser.parse_args()
 
     n_devices = len(jax.devices())
@@ -222,9 +265,9 @@ def main() -> None:
     # itself when unsharded on exactly one chip)
     per_chip = best / n_chips
     record = {
-        "metric": ("pgd10_resnet50_224_int8fwd_adv_examples_per_sec_per_chip"
+        "metric": (f"pgd10_{args.model}_{args.size}_int8fwd_adv_examples_per_sec_per_chip"
                    if args.int8 else
-                   "pgd10_resnet50_224_adv_examples_per_sec_per_chip"),
+                   f"pgd10_{args.model}_{args.size}_adv_examples_per_sec_per_chip"),
         "value": round(per_chip, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(per_chip / 5000.0, 4),
@@ -237,6 +280,26 @@ def main() -> None:
         "model": args.model,
         "size": args.size,
     }
+    if not args.skip_roofline:
+        # the self-documenting context for vs_baseline: PGD-10 costs ~20
+        # forward-equivalents (10 x (fwd + input-grad chain), ROOFLINE.md),
+        # so the measured single-chip ceiling is the scan-chained forward
+        # rate / 20 — measured HERE, same process, same chip, same batch.
+        print("measuring forward-rate ceiling...", file=sys.stderr)
+        try:
+            fwd = measure_forward(best_batch, args.model, args.size,
+                                  int8=args.int8)
+            ceiling = fwd / 20.0
+            record["fwd_img_per_s"] = round(fwd, 1)
+            record["roofline_ceiling_ex_per_s"] = round(ceiling, 1)
+            record["roofline_frac"] = round(per_chip / ceiling, 4)
+            record["roofline_ref"] = (
+                "benchmarks/ROOFLINE.md — vs_baseline's 5k north star needs "
+                "410 TF/s sustained (> the v5e's 197 TF/s bf16 peak); the "
+                "measured ceiling here is scan-chained fwd/20 on this chip")
+        except Exception as e:  # never let context kill the headline
+            print(f"roofline measurement failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     if args.int8:
         record["mode"] = "int8_forward_float_vjp_NON_PARITY"
         if not args.skip_agreement:

@@ -1,7 +1,7 @@
 """White-box attacks in [0,1] pixel space, as fused XLA programs."""
 
-from .api import (AttackParams, make_ensemble_logits_fn, make_logits_fn,
-                  run_attack)
+from .api import (ATTACK_NAMES, ATTACK_THREAT, AttackParams,
+                  make_ensemble_logits_fn, make_logits_fn, run_attack)
 from .fgsm import fgsm_attack
 from .pgd import (pgd_l1_attack, pgd_l2_attack, pgd_linf_attack,
                   pgd_multi_restart, project_l1_ball)

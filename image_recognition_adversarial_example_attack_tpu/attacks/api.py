@@ -199,6 +199,33 @@ def make_ensemble_logits_fn(logits_fns, weights=None) -> LogitsFn:
     return ensemble
 
 
+# ---------------------------------------------------------------------------
+# The zoo registry.  Every member registers a handler AND its threat model,
+# so the registry-driven invariant sweep (tests/test_zoo_invariants.py)
+# covers new attacks automatically — an attack cannot land in run_attack
+# without declaring how its output is bounded.
+#
+# Threat models:
+#   "linf" / "l2" / "l1"  — eps-ball in that norm around x,
+#   "l0"                  — at most ``jsma_steps`` coordinates changed,
+#   "none"                — minimal-norm or non-Lp attacks; only the
+#                           [0,1]-range / shape / determinism invariants apply.
+_DISPATCH: dict[str, Callable[..., jnp.ndarray]] = {}
+ATTACK_THREAT: dict[str, str] = {}
+
+
+def _register(name: str, threat: str):
+    if threat not in ("linf", "l2", "l1", "l0", "none"):
+        raise ValueError(f"unknown threat model '{threat}'")
+
+    def deco(fn):
+        _DISPATCH[name] = fn
+        ATTACK_THREAT[name] = threat
+        return fn
+
+    return deco
+
+
 def run_attack(
     attack_name: str,
     logits_fn: LogitsFn,
@@ -240,265 +267,318 @@ def run_attack(
     'deepfool', 'hsja', 'boundary', 'simba' and 'spatial' are
     untargeted-only and reject ``y_target``.
     """
-    from .cw import cw_l2_attack
+    try:
+        handler = _DISPATCH[attack_name]
+    except KeyError:
+        raise ValueError(f"unknown attack '{attack_name}'") from None
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return handler(logits_fn, x, y_true, params, key, y_target)
+
+
+@_register("fgsm", "linf")
+def _run_fgsm(logits_fn, x, y_true, params, key, y_target):
     from .fgsm import fgsm_attack
+
+    return fgsm_attack(logits_fn, x, y_true, eps=params.eps, y_target=y_target)
+
+
+@_register("mifgsm", "linf")
+def _run_mifgsm(logits_fn, x, y_true, params, key, y_target):
     from .mifgsm import mifgsm_attack
-    from .pgd import pgd_linf_attack
 
-    if attack_name == "fgsm":
-        return fgsm_attack(logits_fn, x, y_true, eps=params.eps, y_target=y_target)
-    if attack_name == "mifgsm":
-        return mifgsm_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
-            y_target=y_target,
-        )
-    if attack_name == "dim":
-        from .dim import dim_attack
+    return mifgsm_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+        y_target=y_target,
+    )
 
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return dim_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
-            key=key, y_target=y_target,
-        )
-    if attack_name == "tim":
-        from .tim import tim_attack
 
-        return tim_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
-            y_target=y_target,
-        )
-    if attack_name == "apgd":
-        from .apgd import apgd_ce_attack
+@_register("dim", "linf")
+def _run_dim(logits_fn, x, y_true, params, key, y_target):
+    from .dim import dim_attack
 
-        if y_target is not None:
-            raise ValueError("apgd here is the untargeted CE variant")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return apgd_ce_attack(
-            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
-        )
-    if attack_name == "apgd_dlr":
-        from .apgd import apgd_dlr_attack
+    return dim_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+        key=key, y_target=y_target,
+    )
 
-        if y_target is not None:
-            raise ValueError("apgd_dlr is the untargeted DLR variant")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return apgd_dlr_attack(
-            logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
-        )
-    if attack_name == "apgd_t":
-        from .apgd import apgd_targeted_attack
 
-        if y_target is not None:
-            raise ValueError(
-                "apgd_t picks its own top-K targets (n_target_classes)")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        x_adv, _ = apgd_targeted_attack(
-            logits_fn, x, y_true, eps=params.eps, steps=params.steps,
-            n_targets=params.n_target_classes, key=key,
-        )
-        return x_adv
-    if attack_name == "fab":
-        from .fab import fab_targeted_attack
+@_register("tim", "linf")
+def _run_tim(logits_fn, x, y_true, params, key, y_target):
+    from .tim import tim_attack
 
-        if y_target is not None:
-            raise ValueError(
-                "fab is the targeted-restart minimal-norm variant; it picks "
-                "its own top-K targets (n_target_classes)")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        x_fab = fab_targeted_attack(
-            logits_fn, x, y_true, eps=params.eps, steps=params.steps,
-            n_targets=params.n_target_classes, key=key,
-        )
-        # FAB is norm-MINIMIZING: its best iterate may lie far outside the
-        # eps ball.  Grid harnesses count plain misclassification per eps
-        # cell, so an out-of-ball iterate would inflate every small-eps
-        # cell; per the AutoAttack convention an out-of-ball FAB result
-        # simply does not count — return the clean input for those samples
-        # (eval/robust_eval.py applies the same in_ball mask).
-        in_ball = jnp.max(jnp.abs(x_fab - x), axis=(1, 2, 3)) <= params.eps + 1e-6
-        return jnp.where(in_ball[:, None, None, None], x_fab, x)
-    if attack_name in ("square", "square_l2"):
-        from .square import square_attack, square_l2_attack
+    return tim_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps, mu=params.mu,
+        y_target=y_target,
+    )
 
-        if y_target is not None:
-            raise ValueError("square is the untargeted margin-loss variant")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        fn = square_attack if attack_name == "square" else square_l2_attack
-        return fn(
-            logits_fn, x, y_true, eps=params.eps, steps=params.square_steps,
-            key=key,
-        )
-    if attack_name == "deepfool":
-        from .deepfool import deepfool_attack
 
-        if y_target is not None:
-            raise ValueError("deepfool flips the model's own prediction; untargeted-only")
-        return deepfool_attack(
-            logits_fn, x, y_true,
-            steps=params.deepfool_steps,
-            num_classes=params.deepfool_classes,
-            overshoot=params.deepfool_overshoot,
-        )
-    if attack_name == "bandits":
-        from .bandits import bandits_attack
+@_register("apgd", "linf")
+def _run_apgd(logits_fn, x, y_true, params, key, y_target):
+    from .apgd import apgd_ce_attack
 
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return bandits_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.bandits_steps,
-            key=key, prior_factor=params.bandits_prior_factor,
-            fd_eta=params.bandits_fd_eta, delta=params.bandits_delta,
-            prior_lr=params.bandits_prior_lr, y_target=y_target,
-        )
-    if attack_name in ("nes", "spsa"):
-        from .grad_est import nes_attack, spsa_attack
+    if y_target is not None:
+        raise ValueError("apgd here is the untargeted CE variant")
+    return apgd_ce_attack(
+        logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+    )
 
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        if attack_name == "nes":
-            return nes_attack(
-                logits_fn, x, y_true,
-                eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
-                n_samples=params.est_samples, sigma=params.nes_sigma,
-                y_target=y_target,
-            )
-        return spsa_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
-            n_samples=params.est_samples, delta=params.spsa_delta,
-            y_target=y_target,
-        )
-    if attack_name == "hsja":
-        from .hsja import hsja_attack
 
-        if y_target is not None:
-            raise ValueError("hsja here is the untargeted decision-based variant")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return hsja_attack(
-            logits_fn, x, y_true,
-            steps=params.hsja_steps, n_probes=params.hsja_probes, key=key,
-        )
-    if attack_name == "pgd_l1":
-        from .pgd import pgd_l1_attack
+@_register("apgd_dlr", "linf")
+def _run_apgd_dlr(logits_fn, x, y_true, params, key, y_target):
+    from .apgd import apgd_dlr_attack
 
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return pgd_l1_attack(
-            logits_fn, x, y_true,
-            eps=params.eps, alpha=params.alpha, steps=params.steps,
-            key=key, sparsity=params.l1_sparsity,
-            random_start=params.random_start, y_target=y_target,
-        )
-    if attack_name in ("pgd", "pgd_l2"):
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        from .pgd import pgd_l2_attack
+    if y_target is not None:
+        raise ValueError("apgd_dlr is the untargeted DLR variant")
+    return apgd_dlr_attack(
+        logits_fn, x, y_true, eps=params.eps, steps=params.steps, key=key,
+    )
 
-        fn = pgd_linf_attack if attack_name == "pgd" else pgd_l2_attack
-        return fn(
-            logits_fn,
-            x,
-            y_true,
-            eps=params.eps,
-            alpha=params.alpha,
-            steps=params.steps,
-            random_start=params.random_start,
-            key=key,
-            y_target=y_target,
-        )
-    if attack_name == "ead":
-        from .ead import ead_attack
 
-        res = ead_attack(
-            logits_fn, x, y_true,
-            c=params.ead_c, kappa=params.cw_kappa, beta=params.ead_beta,
-            steps=params.cw_steps, lr=params.ead_lr,
-            targeted=y_target is not None, y_target=y_target,
-        )
-        return res.x_adv
-    if attack_name == "boundary":
-        from .boundary import boundary_attack
+@_register("apgd_t", "linf")
+def _run_apgd_t(logits_fn, x, y_true, params, key, y_target):
+    from .apgd import apgd_targeted_attack
 
-        if y_target is not None:
-            raise ValueError("boundary here is the untargeted walk")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return boundary_attack(
-            logits_fn, x, y_true,
-            steps=params.boundary_steps,
-            spherical_step=params.boundary_spherical_step,
-            source_step=params.boundary_source_step,
-            key=key,
-        )
-    if attack_name == "simba":
-        from .simba import simba_attack
+    if y_target is not None:
+        raise ValueError(
+            "apgd_t picks its own top-K targets (n_target_classes)")
+    x_adv, _ = apgd_targeted_attack(
+        logits_fn, x, y_true, eps=params.eps, steps=params.steps,
+        n_targets=params.n_target_classes, key=key,
+    )
+    return x_adv
 
-        if y_target is not None:
-            raise ValueError("simba descends the true-class probability; untargeted-only")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return simba_attack(
-            logits_fn, x, y_true,
-            steps=params.simba_steps, eps=params.simba_eps,
-            mode=params.simba_mode, key=key,
-        )
-    if attack_name == "jsma":
-        from .jsma import jsma_attack
 
-        return jsma_attack(
-            logits_fn, x, y_true,
-            steps=params.jsma_steps, theta=params.jsma_theta,
-            y_target=y_target,
-        )
-    if attack_name == "spatial":
-        from .spatial import spatial_attack
+@_register("fab", "linf")
+def _run_fab(logits_fn, x, y_true, params, key, y_target):
+    from .fab import fab_targeted_attack
 
-        if y_target is not None:
-            raise ValueError("spatial is the untargeted worst-of-k search")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        res = spatial_attack(
-            logits_fn, x, y_true,
-            max_rot=params.spatial_max_rot,
-            max_trans=params.spatial_max_trans,
-            candidates=params.spatial_candidates,
-            grid_rot=params.spatial_grid_rot,
-            grid_trans=params.spatial_grid_trans,
-            key=key,
-        )
-        return res.x_adv
-    if attack_name == "stadv":
-        from .stadv import stadv_attack
+    if y_target is not None:
+        raise ValueError(
+            "fab is the targeted-restart minimal-norm variant; it picks "
+            "its own top-K targets (n_target_classes)")
+    x_fab = fab_targeted_attack(
+        logits_fn, x, y_true, eps=params.eps, steps=params.steps,
+        n_targets=params.n_target_classes, key=key,
+    )
+    # FAB is norm-MINIMIZING: its best iterate may lie far outside the
+    # eps ball.  Grid harnesses count plain misclassification per eps
+    # cell, so an out-of-ball iterate would inflate every small-eps
+    # cell; per the AutoAttack convention an out-of-ball FAB result
+    # simply does not count — return the clean input for those samples
+    # (eval/robust_eval.py applies the same in_ball mask).
+    in_ball = jnp.max(jnp.abs(x_fab - x), axis=(1, 2, 3)) <= params.eps + 1e-6
+    return jnp.where(in_ball[:, None, None, None], x_fab, x)
 
-        res = stadv_attack(
-            logits_fn, x, y_true,
-            steps=params.stadv_steps, lr=params.stadv_lr,
-            tau=params.stadv_tau, kappa=params.cw_kappa,
-            y_target=y_target,
-        )
-        return res.x_adv
-    if attack_name == "cw":
-        res = cw_l2_attack(
-            logits_fn,
-            x,
-            y_true,
-            c=params.cw_c,
-            kappa=params.cw_kappa,
-            steps=params.cw_steps,
-            lr=params.cw_lr,
-            targeted=y_target is not None,
-            y_target=y_target,
-        )
-        return res.x_adv
-    raise ValueError(f"unknown attack '{attack_name}'")
+
+def _run_square_family(logits_fn, x, y_true, params, key, y_target, *, l2):
+    from .square import square_attack, square_l2_attack
+
+    if y_target is not None:
+        raise ValueError("square is the untargeted margin-loss variant")
+    fn = square_l2_attack if l2 else square_attack
+    return fn(
+        logits_fn, x, y_true, eps=params.eps, steps=params.square_steps,
+        key=key,
+    )
+
+
+_register("square", "linf")(
+    lambda *a: _run_square_family(*a, l2=False))
+_register("square_l2", "l2")(
+    lambda *a: _run_square_family(*a, l2=True))
+
+
+@_register("deepfool", "none")
+def _run_deepfool(logits_fn, x, y_true, params, key, y_target):
+    from .deepfool import deepfool_attack
+
+    if y_target is not None:
+        raise ValueError("deepfool flips the model's own prediction; untargeted-only")
+    return deepfool_attack(
+        logits_fn, x, y_true,
+        steps=params.deepfool_steps,
+        num_classes=params.deepfool_classes,
+        overshoot=params.deepfool_overshoot,
+    )
+
+
+@_register("bandits", "linf")
+def _run_bandits(logits_fn, x, y_true, params, key, y_target):
+    from .bandits import bandits_attack
+
+    return bandits_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.bandits_steps,
+        key=key, prior_factor=params.bandits_prior_factor,
+        fd_eta=params.bandits_fd_eta, delta=params.bandits_delta,
+        prior_lr=params.bandits_prior_lr, y_target=y_target,
+    )
+
+
+@_register("nes", "linf")
+def _run_nes(logits_fn, x, y_true, params, key, y_target):
+    from .grad_est import nes_attack
+
+    return nes_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
+        n_samples=params.est_samples, sigma=params.nes_sigma,
+        y_target=y_target,
+    )
+
+
+@_register("spsa", "linf")
+def _run_spsa(logits_fn, x, y_true, params, key, y_target):
+    from .grad_est import spsa_attack
+
+    return spsa_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps, key=key,
+        n_samples=params.est_samples, delta=params.spsa_delta,
+        y_target=y_target,
+    )
+
+
+@_register("hsja", "none")
+def _run_hsja(logits_fn, x, y_true, params, key, y_target):
+    from .hsja import hsja_attack
+
+    if y_target is not None:
+        raise ValueError("hsja here is the untargeted decision-based variant")
+    return hsja_attack(
+        logits_fn, x, y_true,
+        steps=params.hsja_steps, n_probes=params.hsja_probes, key=key,
+    )
+
+
+@_register("pgd_l1", "l1")
+def _run_pgd_l1(logits_fn, x, y_true, params, key, y_target):
+    from .pgd import pgd_l1_attack
+
+    return pgd_l1_attack(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps,
+        key=key, sparsity=params.l1_sparsity,
+        random_start=params.random_start, y_target=y_target,
+    )
+
+
+def _run_pgd_family(logits_fn, x, y_true, params, key, y_target, *, l2):
+    from .pgd import pgd_l2_attack, pgd_linf_attack
+
+    fn = pgd_l2_attack if l2 else pgd_linf_attack
+    return fn(
+        logits_fn, x, y_true,
+        eps=params.eps, alpha=params.alpha, steps=params.steps,
+        random_start=params.random_start, key=key, y_target=y_target,
+    )
+
+
+_register("pgd", "linf")(
+    lambda *a: _run_pgd_family(*a, l2=False))
+_register("pgd_l2", "l2")(
+    lambda *a: _run_pgd_family(*a, l2=True))
+
+
+@_register("ead", "none")
+def _run_ead(logits_fn, x, y_true, params, key, y_target):
+    from .ead import ead_attack
+
+    res = ead_attack(
+        logits_fn, x, y_true,
+        c=params.ead_c, kappa=params.cw_kappa, beta=params.ead_beta,
+        steps=params.cw_steps, lr=params.ead_lr,
+        targeted=y_target is not None, y_target=y_target,
+    )
+    return res.x_adv
+
+
+@_register("boundary", "none")
+def _run_boundary(logits_fn, x, y_true, params, key, y_target):
+    from .boundary import boundary_attack
+
+    if y_target is not None:
+        raise ValueError("boundary here is the untargeted walk")
+    return boundary_attack(
+        logits_fn, x, y_true,
+        steps=params.boundary_steps,
+        spherical_step=params.boundary_spherical_step,
+        source_step=params.boundary_source_step,
+        key=key,
+    )
+
+
+@_register("simba", "none")
+def _run_simba(logits_fn, x, y_true, params, key, y_target):
+    from .simba import simba_attack
+
+    if y_target is not None:
+        raise ValueError("simba descends the true-class probability; untargeted-only")
+    return simba_attack(
+        logits_fn, x, y_true,
+        steps=params.simba_steps, eps=params.simba_eps,
+        mode=params.simba_mode, key=key,
+    )
+
+
+@_register("jsma", "l0")
+def _run_jsma(logits_fn, x, y_true, params, key, y_target):
+    from .jsma import jsma_attack
+
+    return jsma_attack(
+        logits_fn, x, y_true,
+        steps=params.jsma_steps, theta=params.jsma_theta,
+        y_target=y_target,
+    )
+
+
+@_register("spatial", "none")
+def _run_spatial(logits_fn, x, y_true, params, key, y_target):
+    from .spatial import spatial_attack
+
+    if y_target is not None:
+        raise ValueError("spatial is the untargeted worst-of-k search")
+    res = spatial_attack(
+        logits_fn, x, y_true,
+        max_rot=params.spatial_max_rot,
+        max_trans=params.spatial_max_trans,
+        candidates=params.spatial_candidates,
+        grid_rot=params.spatial_grid_rot,
+        grid_trans=params.spatial_grid_trans,
+        key=key,
+    )
+    return res.x_adv
+
+
+@_register("stadv", "none")
+def _run_stadv(logits_fn, x, y_true, params, key, y_target):
+    from .stadv import stadv_attack
+
+    res = stadv_attack(
+        logits_fn, x, y_true,
+        steps=params.stadv_steps, lr=params.stadv_lr,
+        tau=params.stadv_tau, kappa=params.cw_kappa,
+        y_target=y_target,
+    )
+    return res.x_adv
+
+
+@_register("cw", "none")
+def _run_cw(logits_fn, x, y_true, params, key, y_target):
+    from .cw import cw_l2_attack
+
+    res = cw_l2_attack(
+        logits_fn, x, y_true,
+        c=params.cw_c, kappa=params.cw_kappa, steps=params.cw_steps,
+        lr=params.cw_lr, targeted=y_target is not None, y_target=y_target,
+    )
+    return res.x_adv
+
+
+# The canonical zoo roster, in registration order (registry-driven: harnesses
+# and the invariant sweep iterate this, never a hand-maintained list).
+ATTACK_NAMES: tuple[str, ...] = tuple(_DISPATCH)

@@ -64,7 +64,10 @@ def test_bench_sharded_contract(monkeypatch, capsys):
     assert len(out_lines) == 1
     rec = json.loads(out_lines[0])
     for k in ("metric", "value", "unit", "vs_baseline", "aggregate_ex_per_s",
-              "batch", "sharded", "n_chips"):
+              "batch", "sharded", "n_chips",
+              # self-documenting roofline context (VERDICT r4 #8)
+              "fwd_img_per_s", "roofline_ceiling_ex_per_s", "roofline_frac",
+              "roofline_ref"):
         assert k in rec, k
     assert rec["unit"] == "examples/sec/chip"
     assert rec["sharded"] is True

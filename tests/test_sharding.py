@@ -379,3 +379,59 @@ class TestTPAllFamilies:
         assert p["classifier_0"]["bias"].sharding.spec == P("model")
         assert p["classifier_3"]["kernel"].sharding.spec == P("model", None)
         assert p["classifier_6"]["kernel"].sharding.spec == P(None, "model")
+
+
+class TestHeadlineCollectives:
+    """The 517 x N multi-chip scaling claim (benchmarks/ROOFLINE.md) rests
+    on the data-parallel headline attack having ZERO per-step collectives.
+    These tests count them in the COMPILED HLO (utils/hlo.py) instead of
+    asserting from program structure, so a regression that makes GSPMD
+    insert cross-chip traffic fails here (VERDICT r4 #3).  GSPMD
+    partitioning is platform-independent: counts on the virtual CPU mesh
+    hold for the TPU slice.
+    """
+
+    def test_sharded_pgd_hlo_has_zero_collectives(self):
+        import bench
+        from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
+            compiled_collectives,
+        )
+
+        attack, x, y = bench.build_attack(16, model_name="resnet_tiny",
+                                          size=32, sharded=True)
+        counts = compiled_collectives(attack, x, y, jax.random.PRNGKey(0))
+        assert counts == {}, f"data-parallel PGD emitted collectives: {counts}"
+
+    @pytest.mark.slow
+    def test_headline_geometry_hlo_has_zero_collectives(self):
+        """Same count at the REAL headline geometry (ResNet-50 @224,
+        8-way batch shard) — compile-only, never executed."""
+        import bench
+        from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
+            compiled_collectives,
+        )
+
+        attack, x, y = bench.build_attack(16, model_name="resnet50",
+                                          size=224, sharded=True)
+        counts = compiled_collectives(attack, x, y, jax.random.PRNGKey(0))
+        assert counts == {}, f"headline PGD emitted collectives: {counts}"
+
+    def test_counter_is_not_blind(self, mesh8, setup):
+        """Sanity: a program that DOES reduce across the mesh is counted —
+        guards against the regex silently matching nothing."""
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
+            compiled_collectives,
+        )
+
+        @partial(shard_map, mesh=mesh8, in_specs=P("data"),
+                 out_specs=P())
+        def summed(v):
+            return jax.lax.psum(jnp.sum(v, keepdims=True), "data")
+
+        f = jax.jit(summed)
+        counts = compiled_collectives(f, jnp.arange(8.0))
+        assert sum(counts.values()) >= 1, counts
