@@ -71,8 +71,13 @@ def build_logits_fn(model_name: str, size: int, int8: bool = False):
         warnings.simplefilter("ignore")
         bundle = load_model(model_name, dtype=dtype, input_size=size,
                             int8=int8)
+    # load_model returns HOST numpy variables; closing a jit over them
+    # embeds every weight in the compile payload, which the axon remote-
+    # compile endpoint rejects above ~0.5 GB (vgg19 -> HTTP 413, measured
+    # r5).  Device-resident variables become runtime buffers instead.
+    variables = jax.device_put(bundle.variables)
     return make_logits_fn(
-        bundle.module, bundle.variables, bundle.mean, bundle.std,
+        bundle.module, variables, bundle.mean, bundle.std,
         input_dtype=dtype if dtype != jnp.float32 else None,
     )
 
@@ -115,8 +120,17 @@ def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
     return attack, x, y
 
 
+def _fence(out) -> None:
+    """Sync via a tiny host TRANSFER.  ``block_until_ready`` over the axon
+    relay was measured returning before execution finished (densenet PGD
+    read 346k ex/s = 1098x its own forward ceiling, r5; same failure mode
+    benchmarks/fwd_probe.py documents) — a dependent 4-element transfer
+    cannot lie.  Costs one ~25 ms relay round-trip, paid once per timing."""
+    np.asarray(jnp.ravel(out)[:4])
+
+
 def measure(batch: int, iters: int, warmup: int = 2, **build_kw) -> float:
-    """Pipelined steady-state throughput: enqueue all iterations, block once.
+    """Pipelined steady-state throughput: enqueue all iterations, sync once.
 
     (Per-iteration blocking was measured 10% slower on remote-attached
     chips — it adds a host round-trip per batch that a real pipeline never
@@ -125,12 +139,12 @@ def measure(batch: int, iters: int, warmup: int = 2, **build_kw) -> float:
     attack, x, y = build_attack(batch, **build_kw)
     key = jax.random.PRNGKey(0)
     for i in range(warmup):
-        attack(x, y, jax.random.fold_in(key, i)).block_until_ready()
+        _fence(attack(x, y, jax.random.fold_in(key, i)))
     t0 = time.perf_counter()
     out = None
     for i in range(iters):
         out = attack(x, y, jax.random.fold_in(key, 100 + i))
-    out.block_until_ready()
+    _fence(out)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

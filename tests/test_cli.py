@@ -474,6 +474,45 @@ def test_serve_cli_sharded_virtual_mesh(image_dir, tmp_path):
     assert len(lines) == 3 and all("top1" in ln for ln in lines[1:])
 
 
+@pytest.mark.slow
+def test_serve_cli_overlap_stream_equivalent(image_dir, tmp_path):
+    """--overlap (double-buffered drain/decode/transfer pipeline, VERDICT
+    r4 #4) serves a bursty stdin stream with the SAME responses, order and
+    error isolation as the sequential path."""
+    import subprocess
+    import sys as _sys
+
+    reqs = "".join(
+        f"{image_dir / f'img_{i % 3}.jpg'}\n" for i in range(7)
+    ) + f"{tmp_path / 'missing.jpg'}\n"
+    env = {"ADV_TPU_PLATFORM": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root"}
+    outs = {}
+    for mode in ("seq", "overlap"):
+        cmd = [_sys.executable, "-m",
+               "image_recognition_adversarial_example_attack_tpu.cli.serve",
+               "--model", "resnet_tiny", "--batch", "4", "--max_wait_ms", "50"]
+        if mode == "overlap":
+            cmd.append("--overlap")
+        proc = subprocess.run(
+            cmd, input=reqs, capture_output=True, text=True, timeout=600,
+            env=env, cwd=str(Path(__file__).resolve().parent.parent),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [json.loads(ln) for ln in proc.stdout.splitlines()]
+        assert lines[0]["ready"] is True
+        outs[mode] = lines[1:]
+    assert len(outs["seq"]) == len(outs["overlap"]) == 8
+    for a, b in zip(outs["seq"], outs["overlap"]):
+        assert a["path"] == b["path"]  # response order preserved
+        if "error" in a:
+            assert "error" in b
+        else:
+            assert a["top1"] == b["top1"]
+            assert a["topk"] == b["topk"]
+            assert b["latency_ms"] > 0 and b["batch_size"] == 4
+
+
 def test_labels_json_resolution(tmp_path):
     """resolve_labels: path match, basename match, partial fallback."""
     import numpy as np
