@@ -52,13 +52,38 @@ DEFAULT_MODELS = ["resnet50", "vgg19", "densenet121", "convnext_tiny",
 
 
 def forward_gflops_per_example(model_name: str, size: int, batch: int) -> float | None:
-    """FLOPs/example of the compiled forward via XLA cost analysis
-    (client-side HLO pass — works for the axon backend too).  Returns None
-    if the backend exposes no cost analysis."""
-    fn = bench.build_logits_fn(model_name, size)
+    """FLOPs/example of the compiled forward via XLA cost analysis.
+
+    Variables are an EXPLICIT lowering argument: ``jit.lower()`` inlines
+    closure-captured weights as HLO literals even when device-resident,
+    which blows the axon remote-compile payload past its ~0.5 GB limit
+    (vgg19 -> HTTP 413, measured r5); as parameters only their shapes
+    travel.  Returns None if the backend exposes no cost analysis."""
+    import warnings
+
+    from image_recognition_adversarial_example_attack_tpu.attacks import (
+        make_logits_fn,
+    )
+    from image_recognition_adversarial_example_attack_tpu.models.zoo import (
+        load_model,
+    )
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bundle = load_model(model_name, dtype=dtype, input_size=size)
+
+    def fwd(variables, xx):
+        lf = make_logits_fn(bundle.module, variables, bundle.mean,
+                            bundle.std,
+                            input_dtype=dtype if dtype != jnp.float32
+                            else None)
+        return lf(xx)
+
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     try:
-        cost = jax.jit(fn).lower(x).compile().cost_analysis()
+        cost = (jax.jit(fwd).lower(bundle.variables, x).compile()
+                .cost_analysis())
         if isinstance(cost, (list, tuple)):  # older jax returns [dict]
             cost = cost[0]
         flops = float(cost["flops"])

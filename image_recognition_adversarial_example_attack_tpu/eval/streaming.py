@@ -365,6 +365,9 @@ def stream_suite_attack(
     out["compile_run_s"] = chunk_times[0]
     out["steady_s"] = (float(np.mean(chunk_times[1:]))
                        if len(chunk_times) > 1 else None)
+    # every chunk's attack-call wall time, in order — lets scale probes
+    # report variance, not just the mean (benchmarks/stream_scale_probe.py)
+    out["chunk_times_s"] = [float(t) for t in chunk_times]
     return out
 
 
