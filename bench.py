@@ -56,8 +56,15 @@ BENCH_MODELS = ("resnet50", "resnet_tiny", "vgg19", "vit_b_16", "swin_t",
                 "convnext_tiny")
 
 
-def build_logits_fn(model_name: str, size: int, int8: bool = False):
-    """Zoo-registry model -> pixel-space logits closure (bf16 on TPU)."""
+def build_model(model_name: str, size: int, int8: bool = False):
+    """Zoo-registry model -> ``(apply_fn(variables, x01) -> logits,
+    variables_on_device)``.
+
+    Weights cross every jit boundary as an EXPLICIT argument: the axon
+    remote-compile endpoint serializes closure-captured constants into the
+    compile request even when device-resident, and rejects payloads above
+    ~0.5 GB (vgg19 -> HTTP 413 after a 25-minute upload, measured r5).
+    As a parameter, only the weight SHAPES travel with the program."""
     from image_recognition_adversarial_example_attack_tpu.attacks import (
         make_logits_fn,
     )
@@ -71,15 +78,23 @@ def build_logits_fn(model_name: str, size: int, int8: bool = False):
         warnings.simplefilter("ignore")
         bundle = load_model(model_name, dtype=dtype, input_size=size,
                             int8=int8)
-    # load_model returns HOST numpy variables; closing a jit over them
-    # embeds every weight in the compile payload, which the axon remote-
-    # compile endpoint rejects above ~0.5 GB (vgg19 -> HTTP 413, measured
-    # r5).  Device-resident variables become runtime buffers instead.
-    variables = jax.device_put(bundle.variables)
-    return make_logits_fn(
-        bundle.module, variables, bundle.mean, bundle.std,
-        input_dtype=dtype if dtype != jnp.float32 else None,
-    )
+
+    def apply_fn(variables, x01):
+        lf = make_logits_fn(
+            bundle.module, variables, bundle.mean, bundle.std,
+            input_dtype=dtype if dtype != jnp.float32 else None,
+        )
+        return lf(x01)
+
+    return apply_fn, jax.device_put(bundle.variables)
+
+
+def build_logits_fn(model_name: str, size: int, int8: bool = False):
+    """Closure convenience for small/medium models (weights become jit
+    constants — fine below the relay's payload limit; for vgg19-sized
+    models use ``build_model`` and pass variables explicitly)."""
+    apply_fn, variables = build_model(model_name, size, int8=int8)
+    return lambda x01: apply_fn(variables, x01)
 
 
 def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
@@ -93,11 +108,12 @@ def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
         pgd_linf_attack,
     )
 
-    logits_fn = build_logits_fn(model_name, size, int8=int8)
+    apply_fn, variables = build_model(model_name, size, int8=int8)
 
-    def attack_fn(x, y, key):
+    def attack_fn(variables, x, y, key):
         return pgd_linf_attack(
-            logits_fn, x, y, eps=8 / 255, alpha=2 / 255, steps=10, key=key
+            lambda xx: apply_fn(variables, xx), x, y,
+            eps=8 / 255, alpha=2 / 255, steps=10, key=key,
         )
 
     rng = np.random.RandomState(0)
@@ -110,13 +126,23 @@ def build_attack(batch: int, model_name: str = "resnet50", size: int = 224,
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
         xs = NamedSharding(mesh, P("data"))
         ys = NamedSharding(mesh, P("data"))
-        attack = jax.jit(attack_fn, in_shardings=(xs, ys, None),
+        rep = NamedSharding(mesh, P())  # weights replicate over the mesh
+        jitted = jax.jit(attack_fn, in_shardings=(rep, xs, ys, None),
                          out_shardings=xs)
+        variables = jax.device_put(variables, rep)
         x = jax.device_put(x_np, xs)
         y = jax.device_put(y_np, ys)
     else:
-        attack = jax.jit(attack_fn)
+        jitted = jax.jit(attack_fn)
         x, y = jnp.asarray(x_np), jnp.asarray(y_np)
+
+    def attack(x, y, key):
+        return jitted(variables, x, y, key)
+
+    # exposed for AOT introspection (tests/test_sharding.py counts the
+    # collectives in jitted.lower(example_vars, ...).compile())
+    attack.jitted = jitted
+    attack.example_vars = variables
     return attack, x, y
 
 
@@ -158,14 +184,14 @@ def measure_forward(batch: int, model_name: str, size: int,
     sync is a tiny host transfer, not block_until_ready)."""
     from jax import lax
 
-    logits_fn = build_logits_fn(model_name, size, int8=int8)
+    apply_fn, variables = build_model(model_name, size, int8=int8)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
 
-    def chain(x0, bump0):
+    def chain(variables, x0, bump0):
         def body(carry, _):
             xx, bump = carry
-            logits = logits_fn(xx + bump)
+            logits = apply_fn(variables, xx + bump)
             nxt = (jnp.mean(logits.astype(jnp.float32)) * 1e-6).astype(xx.dtype)
             return (xx, nxt), None
 
@@ -173,11 +199,11 @@ def measure_forward(batch: int, model_name: str, size: int,
         return xf[0, 0, 0, 0] + bf
 
     f = jax.jit(chain)
-    np.asarray(f(x, jnp.asarray(0.0, x.dtype)))  # compile + transfer fence
+    np.asarray(f(variables, x, jnp.asarray(0.0, x.dtype)))  # compile + fence
     best = float("inf")
     for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        np.asarray(f(x, jnp.asarray(i * 1e-9, x.dtype)))
+        np.asarray(f(variables, x, jnp.asarray(i * 1e-9, x.dtype)))
         best = min(best, time.perf_counter() - t0)
     return batch * chain_iters / best
 
@@ -198,8 +224,9 @@ def agreement_check(batch: int, model_name: str, size: int) -> dict:
 
     # prediction programs: each model judges inputs through its own forward
     def preds(int8, xx):
-        fn = build_logits_fn(model_name, size, int8=int8)
-        return np.asarray(jax.jit(lambda a: jnp.argmax(fn(a), -1))(xx))
+        apply_fn, variables = build_model(model_name, size, int8=int8)
+        return np.asarray(jax.jit(
+            lambda v, a: jnp.argmax(apply_fn(v, a), -1))(variables, xx))
 
     y_np = np.asarray(y)
     p_bf_on_bf = preds(False, adv_bf)

@@ -399,7 +399,8 @@ class TestHeadlineCollectives:
 
         attack, x, y = bench.build_attack(16, model_name="resnet_tiny",
                                           size=32, sharded=True)
-        counts = compiled_collectives(attack, x, y, jax.random.PRNGKey(0))
+        counts = compiled_collectives(attack.jitted, attack.example_vars,
+                                      x, y, jax.random.PRNGKey(0))
         assert counts == {}, f"data-parallel PGD emitted collectives: {counts}"
 
     @pytest.mark.slow
@@ -413,7 +414,8 @@ class TestHeadlineCollectives:
 
         attack, x, y = bench.build_attack(16, model_name="resnet50",
                                           size=224, sharded=True)
-        counts = compiled_collectives(attack, x, y, jax.random.PRNGKey(0))
+        counts = compiled_collectives(attack.jitted, attack.example_vars,
+                                      x, y, jax.random.PRNGKey(0))
         assert counts == {}, f"headline PGD emitted collectives: {counts}"
 
     def test_counter_is_not_blind(self, mesh8, setup):
