@@ -47,7 +47,10 @@ def main() -> None:
         run_attack,
     )
 
-    lf = bench.build_logits_fn(args.model, args.size)
+    # weights cross the jit boundary as an explicit argument (the relay
+    # serializes closure constants into the compile payload; vit_b_16's
+    # 344 MB -> HTTP 413 — same fix as bench.build_model)
+    apply_fn, variables = bench.build_model(args.model, args.size)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(
@@ -60,19 +63,21 @@ def main() -> None:
 
     for name in args.attacks:
         fn = jax.jit(
-            lambda x, y, k, a=name: run_attack(a, lf, x, y, params, k)
+            lambda v, x, y, k, a=name: run_attack(
+                a, lambda xx: apply_fn(v, xx), x, y, params, k)
         )
         key = jax.random.PRNGKey(0)
         try:
-            # two blocked warmups like bench.measure: the first post-compile
-            # call over the relay is reliably slower than steady state
-            fn(x, y, key).block_until_ready()
-            fn(x, y, jax.random.fold_in(key, 999)).block_until_ready()
+            # two fenced warmups like bench.measure (the first post-compile
+            # call over the relay is reliably slower than steady state;
+            # block_until_ready can return early — bench._fence)
+            bench._fence(fn(variables, x, y, key))
+            bench._fence(fn(variables, x, y, jax.random.fold_in(key, 999)))
             t0 = time.perf_counter()
             out = None
             for i in range(args.iters):
-                out = fn(x, y, jax.random.fold_in(key, i))
-            out.block_until_ready()
+                out = fn(variables, x, y, jax.random.fold_in(key, i))
+            bench._fence(out)
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "attack": name, "model": args.model,
