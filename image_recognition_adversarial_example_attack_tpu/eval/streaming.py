@@ -25,6 +25,18 @@ per-chunk keys via ``fold_in(key, step)`` — same distribution, different
 stream than a single whole-batch draw (statistical, not bitwise,
 equivalence; the same caveat as the reference's unseeded random start,
 SURVEY.md §7 "PGD randomness").
+
+Host-memory contract (measured at 10,240 images on chip, r5): the
+library itself is constant-memory — bounded decode queue, per-sample
+scalar accumulators; CPU runs plateau.  On RELAY-attached hosts the
+axon client additionally retains a host copy of EVERY uploaded chunk
+for the life of the process (benchmarks/relay_rss_probe.py: exactly
+the uploaded bytes per transfer; not releasable from our side), so a
+long stream's RSS grows ~ n_chunks x chunk_bytes.
+``ADV_TPU_TRANSFER_UINT8=1`` cuts both the retained bytes (4x) and the
+measured slope (110 -> 54 MB per batch-128 chunk) and raised steady
+throughput 1.63x (benchmarks/STREAM_SCALE_r5.jsonl).  Directly-attached
+hosts (PCIe libtpu / GPU / CPU) are unaffected.
 """
 
 from __future__ import annotations
