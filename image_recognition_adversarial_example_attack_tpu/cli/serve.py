@@ -714,15 +714,22 @@ def main(argv=None) -> int:
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
         def produce() -> None:
-            while True:
-                paths = next_drain()
-                if paths is None:
-                    q.put(None)
-                    return
-                q.put((paths, _decode_drain(paths, size)))
-                if not streaming or got_signal:
-                    q.put(None)
-                    return
+            # an exception here (reader I/O, OOM) must reach the consumer:
+            # a silently dead producer would hang q.get() forever, where
+            # the sequential path surfaces the error (same contract as
+            # utils/pipeline._ThreadedPipeline)
+            try:
+                while True:
+                    paths = next_drain()
+                    if paths is None:
+                        q.put(None)
+                        return
+                    q.put((paths, _decode_drain(paths, size)))
+                    if not streaming or got_signal:
+                        q.put(None)
+                        return
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         threading.Thread(target=produce, daemon=True).start()
         prev = None
@@ -730,6 +737,8 @@ def main(argv=None) -> int:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             paths, (responses, ok_pairs, decode_ms) = item
             chunk_futs = list(submit_chunks(ok_pairs))
             if prev is not None:

@@ -513,6 +513,39 @@ def test_serve_cli_overlap_stream_equivalent(image_dir, tmp_path):
             assert b["latency_ms"] > 0 and b["batch_size"] == 4
 
 
+def test_serve_overlap_producer_error_propagates(image_dir, tmp_path,
+                                                 monkeypatch, capsys):
+    """A producer-thread exception in --overlap mode must reach the
+    consumer and terminate the service (not hang q.get() forever — the
+    sequential path surfaces the same error inline)."""
+    import threading
+
+    from image_recognition_adversarial_example_attack_tpu.cli import serve
+
+    def boom(paths, size):
+        raise RuntimeError("decode thread died")
+
+    monkeypatch.setattr(serve, "_decode_drain", boom)
+    reqfile = tmp_path / "reqs.txt"
+    reqfile.write_text(f"{image_dir / 'img_0.jpg'}\n")
+
+    holder: dict = {}
+
+    def run():
+        try:
+            serve.main(["--model", "resnet_tiny", "--batch", "2",
+                        "--overlap", "--input", str(reqfile)])
+        except BaseException as e:  # noqa: BLE001 — recording for assert
+            holder["exc"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=300.0)
+    assert not t.is_alive(), "--overlap hung after producer death"
+    assert isinstance(holder.get("exc"), RuntimeError)
+    assert "decode thread died" in str(holder["exc"])
+
+
 def test_labels_json_resolution(tmp_path):
     """resolve_labels: path match, basename match, partial fallback."""
     import numpy as np
