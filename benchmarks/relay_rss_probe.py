@@ -40,20 +40,14 @@ from __future__ import annotations
 import gc
 import sys
 import time
-from pathlib import Path
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hostmem import rss_mb
+
 SHAPE = (128, 224, 224, 3)  # one batch-128 eval chunk, 73.5 MiB float32
-
-
-def rss_mb() -> float:
-    for line in Path("/proc/self/status").read_text().splitlines():
-        if line.startswith("VmRSS:"):
-            return float(line.split()[1]) / 1024.0
-    return float("nan")
 
 
 def main() -> None:

@@ -48,11 +48,7 @@ import bench
 SOURCE_DIR = Path("/root/reference/picture")
 
 
-def rss_mb() -> float:
-    for line in Path("/proc/self/status").read_text().splitlines():
-        if line.startswith("VmRSS:"):
-            return float(line.split()[1]) / 1024.0
-    return float("nan")
+from hostmem import rss_mb  # noqa: E402 — after the sys.path insert
 
 
 def synthesize_dataset(out_dir: Path, n: int, seed: int = 0) -> list[Path]:
@@ -181,10 +177,11 @@ def main() -> None:
             (res["count"] - args.chunk) / steady_wall, 1),
         "attack_chunk_s": {
             "compile_run": round(float(ct[0]), 2),
-            "mean": round(float(np.mean(ct[1:])), 4),
-            "std": round(float(np.std(ct[1:])), 4),
-            "min": round(float(np.min(ct[1:])), 4),
-            "max": round(float(np.max(ct[1:])), 4),
+            **({"mean": round(float(np.mean(ct[1:])), 4),
+                "std": round(float(np.std(ct[1:])), 4),
+                "min": round(float(np.min(ct[1:])), 4),
+                "max": round(float(np.max(ct[1:])), 4)}
+               if len(ct) > 1 else {}),
         },
         "chunk_cadence_s": {
             "mean": round(float(np.mean(gaps)), 4) if len(gaps) else None,

@@ -508,14 +508,14 @@ def _decode_drain(paths: list[str], size: int):
 
     Returns ``(responses, ok_pairs, decode_ms)`` — ``responses`` holds
     error dicts at failed indices (None elsewhere), ``ok_pairs`` is
-    ``[(request_idx, img), ...]`` in request order.  stdout is the JSON
-    protocol stream, so the loader's skip warnings go to stderr."""
-    import contextlib
-
+    ``[(request_idx, img), ...]`` in request order.  The loader writes
+    its skip warnings to stderr itself (core/images.py) — no
+    ``redirect_stdout`` here: that swap is process-global, and in
+    ``--overlap`` mode this runs on the producer thread while the main
+    thread prints protocol JSON to stdout (r5 review)."""
     t0 = time.perf_counter()
     try:
-        with contextlib.redirect_stdout(sys.stderr):
-            x_ok, kept = load_image_batch_tolerant(paths, size=size)
+        x_ok, kept = load_image_batch_tolerant(paths, size=size)
     except Exception as e:  # noqa: BLE001 — the service must NEVER die
         # on a request batch (every-path-unreadable ValueError, a broken
         # native loader, anything); fall through to per-path retries
@@ -670,7 +670,12 @@ def main(argv=None) -> int:
             if pad:
                 x_np = np.concatenate(
                     [x_np, np.zeros((pad,) + x_np.shape[1:], np.float32)])
-            yield (chunk, service(place(x_np)), time.perf_counter())
+            # clock starts BEFORE place(): latency_ms covers host
+            # quantization + host->device transfer + compute (the upload
+            # is tens of ms per chunk on relay hosts — excluding it would
+            # be a silent accounting change, r5 review)
+            t_sub = time.perf_counter()
+            yield (chunk, service(place(x_np)), t_sub)
 
     def resolve_chunks(paths, responses, chunk_futs) -> dict[int, float]:
         """Block on each chunk's outputs and fill ``responses``; returns
@@ -732,24 +737,47 @@ def main(argv=None) -> int:
                 q.put(e)
 
         threading.Thread(target=produce, daemon=True).start()
+        # at most this many chunks un-resolved at once: a file-mode drain
+        # can carry hundreds of chunks, and dispatching them all before
+        # the first device_get would queue the whole file's inputs+outputs
+        # on the device (r5 review); 2 is enough to overlap upload with
+        # compute
+        max_inflight = 2
+
+        def flush_prev(prev) -> None:
+            p_paths, p_resp, p_futs, p_ms, p_dec = prev
+            p_ms.update(resolve_chunks(p_paths, p_resp, p_futs))
+            emit(p_paths, p_resp, p_ms, p_dec)
+
         prev = None
         while True:
-            item = q.get()
+            try:
+                item = q.get(timeout=0.25)
+            except queue_mod.Empty:
+                # idle flush: no next drain arrived — answer the deferred
+                # one now, so a lockstep client (waits for a response
+                # before sending more) is never starved (r5 review)
+                if prev is not None:
+                    flush_prev(prev)
+                    prev = None
+                continue
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
             paths, (responses, ok_pairs, decode_ms) = item
-            chunk_futs = list(submit_chunks(ok_pairs))
+            window: list = []
+            chunk_ms: dict[int, float] = {}
+            for one in submit_chunks(ok_pairs):
+                window.append(one)
+                if len(window) > max_inflight:
+                    chunk_ms.update(
+                        resolve_chunks(paths, responses, [window.pop(0)]))
             if prev is not None:
-                p_paths, p_resp, p_futs, p_dec = prev
-                emit(p_paths, p_resp,
-                     resolve_chunks(p_paths, p_resp, p_futs), p_dec)
-            prev = (paths, responses, chunk_futs, decode_ms)
+                flush_prev(prev)
+            prev = (paths, responses, window, chunk_ms, decode_ms)
         if prev is not None:
-            p_paths, p_resp, p_futs, p_dec = prev
-            emit(p_paths, p_resp,
-                 resolve_chunks(p_paths, p_resp, p_futs), p_dec)
+            flush_prev(prev)
     else:
         while True:
             paths = next_drain()

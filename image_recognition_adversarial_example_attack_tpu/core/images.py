@@ -12,6 +12,7 @@ image while attacks/evaluation run as compiled XLA programs on device.
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import Iterable, Sequence
 
@@ -136,7 +137,12 @@ def load_image_batch_tolerant(
             arrays.append(load_image(p, size=size))
             good.append(Path(p))
         except Exception as e:  # noqa: BLE001 — isolate any decode failure
-            print(f"WARNING: skipping unreadable image {p}: {e}")
+            # stderr, not stdout: callers' stdout may be a data stream
+            # (cli/serve.py's JSON protocol) and this can run on a
+            # background decode thread, where a process-global
+            # redirect_stdout would race the protocol writer (r5 review)
+            print(f"WARNING: skipping unreadable image {p}: {e}",
+                  file=sys.stderr)
     if not arrays:
         raise ValueError("no readable images in batch")
     return np.concatenate(arrays, axis=0), good

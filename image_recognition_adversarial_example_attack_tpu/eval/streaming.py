@@ -60,12 +60,18 @@ def _check_cache_sig(clean_cache: dict | None, paths, chunk_size: int,
     silently serving stale pseudo-labels (advisor r4)."""
     if clean_cache is None:
         return
-    sig = (len(paths), int(chunk_size), int(size))
+    # the path-list hash makes a DIFFERENT (or reordered) file list of the
+    # same length fail the guard too — same-length shards silently sharing
+    # per-chunk pseudo-labels was exactly the bug this exists to stop
+    # (in-process cache, so the salted str hash is stable enough)
+    sig = (len(paths), int(chunk_size), int(size),
+           hash(tuple(str(p) for p in paths)))
     prior = clean_cache.setdefault("__sig__", sig)
     if prior != sig:
         raise ValueError(
-            f"clean_cache was built for (n_paths, chunk_size, size)={prior} "
-            f"but this call streams {sig} — pass a fresh dict")
+            f"clean_cache was built for (n_paths, chunk_size, size, "
+            f"paths_hash)={prior} but this call streams {sig} — pass a "
+            f"fresh dict")
 
 
 def round_up(n: int, multiple: int) -> int:

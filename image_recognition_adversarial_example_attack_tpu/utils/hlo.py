@@ -17,9 +17,14 @@ import re
 
 # every collective HLO op GSPMD/SPMD-partitioner can emit, including the
 # -start/-done async pairs (counted once via the -start form) and the
-# fused all-reduce-scatter variants
+# fused all-reduce-scatter variants.  The shape token before the op name
+# may be a TUPLE — `(f32[1]{0}, f32[1]{0}) all-reduce(...)` is what a
+# variadic (multi-operand) reduction compiles to, exactly the form GSPMD
+# emits for fused gradient reductions — so it must match `(...)` as well
+# as a scalar/array shape (tuple shapes contain no nested parens; layouts
+# use braces).
 _COLL_RE = re.compile(
-    r"=\s*\S+\s+(all-gather|all-reduce|all-to-all|"
+    r"=\s*(?:\([^)]*\)|\S+)\s+(all-gather|all-reduce|all-to-all|"
     r"collective-permute|reduce-scatter|collective-broadcast)"
     r"(?:-start)?\(",
     re.I,

@@ -280,9 +280,10 @@ def test_classify_skips_corrupt_image(image_dir, tmp_path, capsys):
     (d / "corrupt.jpg").write_bytes(b"not a jpeg at all")
     rc = main([str(d), "--model", "resnet_tiny"])
     assert rc == 0
-    out = capsys.readouterr().out
-    assert "WARNING: skipping unreadable image" in out
-    assert out.count("Image: ") == 1
+    cap = capsys.readouterr()
+    # diagnostics go to stderr (stdout may be a data/protocol stream)
+    assert "WARNING: skipping unreadable image" in cap.err
+    assert cap.out.count("Image: ") == 1
 
 
 @pytest.mark.slow

@@ -437,3 +437,26 @@ class TestHeadlineCollectives:
         f = jax.jit(summed)
         counts = compiled_collectives(f, jnp.arange(8.0))
         assert sum(counts.values()) >= 1, counts
+
+    def test_counter_sees_variadic_tuple_collectives(self, mesh8, setup):
+        """A multi-operand psum compiles to ONE all-reduce with a TUPLE
+        result shape — `(f32[...], f32[...]) all-reduce(...)` — the exact
+        form GSPMD emits for fused gradient reductions.  The counter must
+        not require a whitespace-free shape token (r5 review: the original
+        regex returned {} on this program)."""
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+
+        from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
+            compiled_collectives,
+        )
+
+        @partial(shard_map, mesh=mesh8, in_specs=(P("data"), P("data")),
+                 out_specs=(P(), P()))
+        def two_sums(a, b):
+            return (jax.lax.psum(a, "data"), jax.lax.psum(b, "data"))
+
+        f = jax.jit(two_sums)
+        counts = compiled_collectives(f, jnp.ones((8, 4)), jnp.ones((8, 3)))
+        assert counts.get("all-reduce", 0) >= 1, counts

@@ -821,6 +821,14 @@ class TestCleanForwardCache:
                                 jax.random.PRNGKey(0), jnp.float32(0.03),
                                 chunk_size=4, size=32,
                                 pseudo_label_fn=pseudo_fn, clean_cache=cache)
+        # same length, same chunking, DIFFERENT path order: per-chunk
+        # pseudo-labels would be applied to the wrong images — must also
+        # raise (r5 review: the sig originally keyed on len() only)
+        with pytest.raises(ValueError, match="pass a fresh dict"):
+            stream_defense_cell(eval_fn, list(reversed(eval_dataset)), 2.0,
+                                jax.random.PRNGKey(0), jnp.float32(0.03),
+                                chunk_size=4, size=32,
+                                pseudo_label_fn=pseudo_fn, clean_cache=cache)
 
 
 class TestUint8TransferPlacer:
