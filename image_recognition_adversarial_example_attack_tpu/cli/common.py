@@ -212,8 +212,16 @@ def load_bundle(args: argparse.Namespace, name: str | None = None):
     explicit = getattr(args, "weights", None)
     if name is not None and name != getattr(args, "model", None):
         explicit = None
-    return load_model(target, dtype=dtype, weights=explicit,
-                      int8=bool(getattr(args, "int8", False)))
+    bundle = load_model(target, dtype=dtype, weights=explicit,
+                        int8=bool(getattr(args, "int8", False)))
+    # jit closures over HOST-numpy variables serialize every weight into
+    # the axon remote-compile payload; vgg19 (~0.55 GB f32) exceeds the
+    # endpoint's ~0.5 GB body limit (HTTP 413 — hit by the r5 reference
+    # replay's blackbox stage).  device_put turns them into runtime
+    # buffers so the compile request carries HLO only — same fix bench.py
+    # carries; one upload per process, no-op on CPU.
+    bundle.variables = jax.device_put(bundle.variables)
+    return bundle
 
 
 def model_input_size(args: argparse.Namespace) -> int:
