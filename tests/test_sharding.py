@@ -423,7 +423,7 @@ class TestHeadlineCollectives:
         guards against the regex silently matching nothing."""
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
             compiled_collectives,
@@ -446,7 +446,7 @@ class TestHeadlineCollectives:
         regex returned {} on this program)."""
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from image_recognition_adversarial_example_attack_tpu.utils.hlo import (
             compiled_collectives,
