@@ -73,6 +73,11 @@ def main() -> int:
     ap.add_argument("--model", default=None,
                     help="override --model for every surface (e.g. "
                          "resnet_tiny for a CPU smoke)")
+    ap.add_argument("--only", nargs="*", default=None, metavar="SHIM",
+                    help="run only these surfaces (by shim filename, e.g. "
+                         "defense_experiments.py) — for retrying a surface "
+                         "that lost its device grant to a relay stall; the "
+                         "summary merges over any prior REPLAY.json in --out")
     args = ap.parse_args()
 
     art = args.out.resolve()
@@ -91,6 +96,13 @@ def main() -> int:
 
     results = []
     steps = build_steps(art, args.fast)
+    if args.only:
+        known = {shim for shim, _ in steps}
+        unknown = set(args.only) - known
+        if unknown:
+            ap.error(f"--only: unknown surfaces {sorted(unknown)}; "
+                     f"choose from {sorted(known)}")
+        steps = [(s, a) for s, a in steps if s in args.only]
     for i, (shim, shim_args) in enumerate(steps):
         if args.model:
             shim_args = [*shim_args, "--model", args.model]
@@ -119,6 +131,15 @@ def main() -> int:
     artifacts = sorted(str(p.relative_to(art)) for p in art.rglob("*")
                        if p.is_file() and p.suffix in
                        (".png", ".json", ".txt", ".csv"))
+    if args.only and (art / "REPLAY.json").exists():
+        # merge a retried subset over the prior full run, preserving the
+        # canonical surface order and marking retried entries
+        prior = json.loads((art / "REPLAY.json").read_text())
+        merged = {r["surface"]: r for r in prior.get("surfaces", [])}
+        for r in results:
+            merged[r["surface"]] = {**r, "retried": True}
+        results = [merged[s] for s, _ in build_steps(art, args.fast)
+                   if s in merged]
     summary = {"replay_ok": all(r["ok"] for r in results),
                "fast": bool(args.fast),
                "surfaces": results,
