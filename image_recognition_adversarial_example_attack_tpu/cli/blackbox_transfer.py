@@ -33,8 +33,8 @@ from ..core.constants import (
 from ..core.images import list_images, load_image_batch
 from ..core.labels import load_imagenet_labels
 from ..core.rng import key_from_seed
-from .common import (add_extended_attack_args, add_model_args,
-                     extended_attack_kwargs, load_bundle, make_fns,
+from .common import (VarBoundJit, add_extended_attack_args, add_model_args,
+                     extended_attack_kwargs, load_bundle, make_fns_explicit,
                      maybe_profile)
 
 TARGET_DISPLAY = {"vgg19": "VGG19", "vit_b_16": "ViT", "swin_t": "Swin"}
@@ -83,12 +83,15 @@ def main(argv=None) -> int:
     if not paths:
         raise SystemExit(f"no images found in {image_dir}")
 
+    # variables-explicit closures: weights cross every jit boundary as
+    # runtime arguments, never as compile-payload constants (HTTP 413 on
+    # vgg19-size models over the relay — see common.make_fns_explicit)
     src_bundle = load_bundle(args, name=args.source)
-    src_logits_fn, _ = make_fns(src_bundle)
-    target_fns = {}
+    src_logits_of, _ = make_fns_explicit(src_bundle)
+    target_fns = {}  # name -> (logits_of, variables)
     for name in args.targets:
         b = load_bundle(args, name=name)
-        target_fns[name] = make_fns(b)[0]
+        target_fns[name] = (make_fns_explicit(b)[0], b.variables)
 
     labels = load_imagenet_labels()
     max_batch = int(args.max_batch)
@@ -100,10 +103,11 @@ def main(argv=None) -> int:
     # target) would recompile the identical forward each time — minutes per
     # program on a remote TPU relay)
     predict_fns = {
-        name: jax.jit(lambda x, f=fn: jnp.argmax(f(x), -1))
-        for name, fn in target_fns.items()
+        name: VarBoundJit(lambda v, x, f=fn: jnp.argmax(f(v, x), -1), vars_)
+        for name, (fn, vars_) in target_fns.items()
     }
-    src_pred = jax.jit(lambda x: jnp.argmax(src_logits_fn(x), -1))
+    src_pred = VarBoundJit(lambda v, x: jnp.argmax(src_logits_of(v, x), -1),
+                           src_bundle.variables)
 
     def make_attack_fn(attack_name):
         params = AttackParams(
@@ -113,9 +117,10 @@ def main(argv=None) -> int:
             square_steps=int(args.square_steps),
             **extended_attack_kwargs(args),
         )
-        return jax.jit(
-            lambda x, y, k, a=attack_name, p=params: run_attack(
-                a, src_logits_fn, x, y, p, k))
+        return VarBoundJit(
+            lambda v, x, y, k, a=attack_name, p=params: run_attack(
+                a, lambda xx: src_logits_of(v, xx), x, y, p, k),
+            src_bundle.variables)
 
     stats: dict[str, dict[str, dict[str, int]]] = {}
     adv_cache: dict[str, np.ndarray] = {}

@@ -254,6 +254,51 @@ def make_fns(bundle):
     return lf, ff
 
 
+def make_fns_explicit(bundle):
+    """Variables-EXPLICIT twin of make_fns: returns
+    ``(logits_of(variables, x01), features_of(variables, x01))``.
+
+    Required whenever a jit program over a relay-attached TPU captures
+    large-model weights: the axon remote-compile endpoint serializes
+    closure-captured weights into the compile payload EVEN when
+    device-resident (~0.5 GB body limit -> HTTP 413 on vgg19-size
+    models; hit by the r5 reference replay's blackbox/transferability
+    stages).  Variables passed as explicit jit ARGUMENTS cross as
+    runtime buffers instead — the same fix bench.py carries.
+    """
+    from ..attacks.api import make_logits_fn
+    from ..defenses.detector import make_features_fn
+
+    input_dtype = bundle_input_dtype(bundle)
+    module, mean, std = bundle.module, bundle.mean, bundle.std
+
+    def logits_of(variables, x01):
+        return make_logits_fn(module, variables, mean, std,
+                              input_dtype=input_dtype)(x01)
+
+    def features_of(variables, x01):
+        return make_features_fn(module, variables, mean, std,
+                                input_dtype=input_dtype)(x01)
+
+    return logits_of, features_of
+
+
+class VarBoundJit:
+    """``jax.jit(fn)`` with the model-variables pytree as an explicit
+    leading argument, bound at construction so call sites keep plain
+    ``f(x, ...)`` ergonomics.  ``fn`` must take ``(variables, *args)``.
+    The SAME device-resident pytree is passed on every call (no
+    re-upload over the relay), while the compile request stays HLO-only
+    (rationale: make_fns_explicit)."""
+
+    def __init__(self, fn, variables):
+        self._jit = jax.jit(fn)
+        self._variables = variables
+
+    def __call__(self, *args):
+        return self._jit(self._variables, *args)
+
+
 def topk_host(probs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """[B,K] probs -> (values [B,k], indices [B,k]) sorted descending."""
     idx = np.argsort(-probs, axis=-1)[:, :k]

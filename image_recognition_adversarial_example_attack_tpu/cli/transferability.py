@@ -33,10 +33,10 @@ from ..core.constants import (
 from ..core.images import load_image_batch, save_image_01
 from ..core.rng import key_from_seed
 from ..eval.transfer import transfer_attack_batch
-from .common import (EPS_INDEPENDENT_ATTACKS, add_extended_attack_args,
-                     add_model_args, cell_key, cell_rng_id,
-                     extended_attack_kwargs, load_bundle, make_fns,
-                     maybe_profile, resolve_image_inputs)
+from .common import (EPS_INDEPENDENT_ATTACKS, VarBoundJit,
+                     add_extended_attack_args, add_model_args, cell_key,
+                     cell_rng_id, extended_attack_kwargs, load_bundle,
+                     make_fns_explicit, maybe_profile, resolve_image_inputs)
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Black-box Transferability Attack")
@@ -113,23 +113,48 @@ def main(argv=None) -> int:
 
     src_names = list(args.source_model)
     print(f"\n[1/4] Loading source model(s): {src_names}")
-    member_fns = [make_fns(load_bundle(args, name=nm))[0] for nm in src_names]
-    if len(member_fns) == 1:
-        src_logits_fn = member_fns[0]
-    else:
-        from ..attacks import make_ensemble_logits_fn
-
-        src_logits_fn = make_ensemble_logits_fn(member_fns)
-        print(f"  Attacking a logit-fusion ensemble of {len(member_fns)} sources"
+    # variables-explicit closures + a variables pytree passed as an
+    # explicit jit argument: the fused cell program spans EVERY
+    # participating model's weights (source ensemble + all targets ≈ 1 GB
+    # f32 at the reference defaults), far past the relay compile
+    # endpoint's ~0.5 GB payload limit if captured as closure constants
+    # (HTTP 413 — see common.make_fns_explicit)
+    member_bundles = [load_bundle(args, name=nm) for nm in src_names]
+    member_ofs = [make_fns_explicit(b)[0] for b in member_bundles]
+    if len(member_ofs) > 1:
+        print(f"  Attacking a logit-fusion ensemble of {len(member_ofs)} sources"
               " (one fused program)")
 
     print(f"\n[2/4] Loading target models: {args.target_models}")
-    target_fns = {}
+    target_ofs = {}
+    target_vars = {}
     for name in args.target_models:
         if name in src_names:
             print(f"  Skipping {name} (same as a source model)")
             continue
-        target_fns[name] = make_fns(load_bundle(args, name=name))[0]
+        b = load_bundle(args, name=name)
+        target_ofs[name] = make_fns_explicit(b)[0]
+        target_vars[name] = b.variables
+    target_fns = target_ofs  # name order/keys (downstream iterates names)
+
+    vars_tree = {"sources": [b.variables for b in member_bundles],
+                 "targets": target_vars}
+
+    def bind_fns(vtree):
+        """Rebuild the (src_logits_fn, target_fns) closures from a TRACED
+        variables pytree, inside the jit trace."""
+        mfns = [lambda x, f=f, v=v: f(v, x)
+                for f, v in zip(member_ofs, vtree["sources"])]
+        if len(mfns) == 1:
+            src_lf = mfns[0]
+        else:
+            from ..attacks import make_ensemble_logits_fn
+
+            src_lf = make_ensemble_logits_fn(mfns)
+        tfns = {name: (lambda x, f=target_ofs[name], v=vtree["targets"][name]:
+                       f(v, x))
+                for name in target_ofs}
+        return src_lf, tfns
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -177,13 +202,15 @@ def main(argv=None) -> int:
                         cw_steps=int(args.cw_steps), cw_lr=float(args.cw_lr), square_steps=int(args.square_steps),
                         **extended_attack_kwargs(args),
                     )
-                    cell_fns[attack_name] = jax.jit(
-                        lambda x, k, e, a=attack_name, p=base: transfer_attack_batch(
-                            src_logits_fn, target_fns, x, a,
+                    def _cell(vtree, x, k, e, a=attack_name, p=base):
+                        src_lf, tfns = bind_fns(vtree)
+                        return transfer_attack_batch(
+                            src_lf, tfns, x, a,
                             dataclasses.replace(p, eps=e), k,
                             convention=args.convention,
                         )
-                    )
+
+                    cell_fns[attack_name] = VarBoundJit(_cell, vars_tree)
                 sub = cell_key(key, cell_rng_id(attack_name, float(eps)))
                 if streaming:
                     from ..eval.streaming import stream_transfer_cell

@@ -750,3 +750,51 @@ def test_uap_cli_both_modes(image_dir, tmp_path, capsys):
     assert patch.shape == (16, 16, 3)
     assert patch.min() >= 0.0 and patch.max() <= 1.0
     assert len(list(adv_dir.glob("*_adv.png"))) == 3
+
+
+def test_cli_model_programs_take_weights_as_runtime_args():
+    """Relay-413 regression (r5 reference replay): the axon remote-compile
+    endpoint serializes closure-captured weights into the compile payload
+    even when device-resident, and rejects bodies past ~0.5 GB — so every
+    multi-model CLI program must receive its weights as EXPLICIT jit
+    arguments (HLO parameters), never as embedded constants."""
+    import argparse
+    import re as _re
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_recognition_adversarial_example_attack_tpu.cli.common import (
+        VarBoundJit, load_bundle, make_fns_explicit)
+
+    ns = argparse.Namespace(model="resnet_tiny", model_dtype="float32",
+                            weights=None, int8=False)
+    bundle = load_bundle(ns)
+    lof, _ = make_fns_explicit(bundle)
+    prog = VarBoundJit(lambda v, x: jnp.argmax(lof(v, x), -1),
+                       bundle.variables)
+    x = jnp.zeros((2, bundle.input_size, bundle.input_size, 3))
+
+    def big_const_elems(text):
+        total = 0
+        for m in _re.finditer(r"stablehlo\.constant\s+dense<[^:]*:\s*"
+                              r"tensor<([0-9x]+)x?f32>", text):
+            dims = [int(d) for d in m.group(1).split("x") if d]
+            n = 1
+            for d in dims:
+                n *= d
+            total = max(total, n)
+        return total
+
+    # explicit style: no weight tensor may be inlined as a constant
+    explicit_text = prog._jit.lower(bundle.variables, x).as_text()
+    assert big_const_elems(explicit_text) < 10_000, (
+        "weights leaked into the compile payload as constants")
+
+    # control — the counter is not blind: the closure style DOES inline
+    # them (lower() inlines closure consts; the relay behaves likewise
+    # for execution-path compiles)
+    closure = jax.jit(lambda xx: jnp.argmax(lof(bundle.variables, xx), -1))
+    closure_text = closure.lower(x).as_text()
+    assert big_const_elems(closure_text) >= 10_000, (
+        "control failed: closure constants not visible to the check")
